@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the ``noop`` sink — full execution of
+every column, zero driver-side collection — so the timing measures the
+distributed plan, not Py4J row transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative slice of SURVEY §2 coverage: scan+agg, join+agg,
+# window, semi/anti join, as-of join, rollup, top-k, text pipeline,
+# fuzzy dedup (MinHash LSH), similarity search, streaming-equivalent
+# event aggregation.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_unshipped_orders",
+    "q04_priority_semi_join",
+    "q05_customers_no_orders",
+    "q08_topk_parts_per_brand",
+    "q09_running_customer_total",
+    "q11_rollup_quantity",
+    "q19_event_stats",
+    "q29_asof_purchase_view",
+    "q42_word_count_topk",
+    "q45_quality_score",
+    "q50_minhash_candidates",
+    "q53_cosine_topk",
+]
+
+
+def main() -> None:
+    from ml_with_spark_streaming_spark.session import get_spark
+    from ml_with_spark_streaming_spark.plans import QUERIES
+
+    spark = get_spark(app_name="bench")
+    sf = None
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            pass
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast of the (small) query
+set against the corpus, cosine as JVM higher-order functions (zip_with
++ aggregate in double precision), per-query top-k via window. No
+Python, no UDF, no collect.
+
+Scale path: IVF — assign every corpus vector to its nearest centroid
+once (narrow), then probe only the closest `nprobe` centroid buckets
+per query: the candidate set shrinks by ~n_centroids/nprobe. Centroid
+choice here is deterministic (strided sample) so results are
+reproducible; at 100 TB you'd fit KMeans centroids instead — the
+bucketing/probing plumbing is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision (deterministic left-fold order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda s, v: s + v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus, window top-k.
+    Columns: q_id, vec_id, cosine (rounded 4), rank."""
+    joined = corpus.crossJoin(F.broadcast(queries)).filter(F.col(q_id) != F.col(c_id))
+    scored = joined.select(
+        q_id,
+        c_id,
+        F.round(cosine_expr(F.col(q_vec), F.col(c_vec)), 4).alias("cosine"),
+    )
+    w = W.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ t).
+
+    All-pairs formulation — correct + oracle-checkable at test SF.
+    At scale, gate with LSH buckets (random-hyperplane signs) first;
+    see ivf_topk for the bucketing pattern.
+    """
+    a = corpus.select(F.col(c_id).alias("id1"), F.col(c_vec).alias("v1"))
+    b = corpus.select(F.col(c_id).alias("id2"), F.col(c_vec).alias("v2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.round(cosine_expr(F.col("v1"), F.col("v2")), 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: IVF with deterministic strided centroids.
+
+    1. centroids = every (n/n_centroids)-th corpus vector (broadcast);
+    2. each corpus vector → nearest centroid (one narrow pass);
+    3. each query probes its nprobe nearest centroids;
+    4. exact cosine only within probed buckets → window top-k.
+    """
+    n = corpus.count()
+    stride = max(n // n_centroids, 1)
+    centroids = (
+        corpus.filter((F.col(c_id) % stride == 0))
+        .select(F.col(c_id).alias("cent_id"), F.col(c_vec).alias("cent_vec"))
+        .limit(n_centroids)
+    )
+    # corpus → nearest centroid
+    assigned = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select(c_id, c_vec, "cent_id", cosine_expr(F.col(c_vec), F.col("cent_vec")).alias("sim"))
+        .withColumn("rn", F.row_number().over(W.partitionBy(c_id).orderBy(F.col("sim").desc(), "cent_id")))
+        .filter(F.col("rn") == 1)
+        .select(c_id, c_vec, "cent_id")
+    )
+    # query → nprobe nearest centroids
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(q_id, q_vec, "cent_id", cosine_expr(F.col(q_vec), F.col("cent_vec")).alias("sim"))
+        .withColumn("rn", F.row_number().over(W.partitionBy(q_id).orderBy(F.col("sim").desc(), "cent_id")))
+        .filter(F.col("rn") <= nprobe)
+        .select(q_id, q_vec, "cent_id")
+    )
+    scored = (
+        probes.join(assigned, "cent_id")
+        .filter(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id, F.round(cosine_expr(F.col(q_vec), F.col(c_vec)), 4).alias("cosine"))
+    )
+    w = W.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

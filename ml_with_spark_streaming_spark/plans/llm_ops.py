@@ -1,4 +1,232 @@
-"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
-multimodal (see operators/)."""
+"""LLM-data-pipeline queries: fuzzy dedup (MinHash+LSH, Jaccard,
+SimHash), similarity search (brute-force + IVF), multimodal plumbing.
+
+Oracle-checkable wherever the computation is SQL-expressible — the
+MinHash signatures use salted md5 specifically so DuckDB can reproduce
+them bit-for-bit. xxhash64-based ops (SimHash) and the approximate IVF
+path get rows-only checks.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ml_with_spark_streaming_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_candidates,
+    simhash_fingerprints,
+)
+from ml_with_spark_streaming_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthesize_assets,
+)
+from ml_with_spark_streaming_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    neardup_pairs,
+)
+from ml_with_spark_streaming_spark.plans.registry import query
+from ml_with_spark_streaming_spark.plans.text_ml import CLEAN_SQL
+from ml_with_spark_streaming_spark.sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs (k=16 hashes, 4 bands × 4 rows)
+# ---------------------------------------------------------------------------
+
+Q50_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                        i -> array_to_string(t[i:i+2], ' ')) AS s
+  FROM toks
+),
+shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+                        i -> list_min(list_transform(s, x -> md5(x || '#' || CAST(i AS VARCHAR))))) AS sg
+  FROM shf
+),
+bands AS (
+  SELECT doc_id, j AS band_idx,
+         md5(array_to_string(sg[j*4+1:j*4+4], '|')) AS band_hash
+  FROM sig, UNNEST([0, 1, 2, 3]) AS t(j)
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2
+FROM bands a
+JOIN bands b ON a.band_hash = b.band_hash AND a.band_idx = b.band_idx AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q50_minhash_candidates", Q50_SQL)
+def q50_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_candidates(d, "text", "doc_id", k=16, bands=4).orderBy("id1", "id2")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram (token-set) Jaccard pairs
+# ---------------------------------------------------------------------------
+
+Q51_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id AS id, t
+  FROM (SELECT doc_id, unnest(string_split({CLEAN_SQL}, ' ')) AS t
+        FROM documents WHERE length({CLEAN_SQL}) > 0)
+  WHERE t <> ''
+),
+sz AS (SELECT id, COUNT(*) AS n FROM dt GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS c
+  FROM dt a JOIN dt b ON a.t = b.t AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sz sa ON sa.id = inter.id1
+JOIN sz sb ON sb.id = inter.id2
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+ORDER BY id1, id2
+"""
+
+
+@query("q51_jaccard_pairs", Q51_SQL)
+def q51_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "text", "doc_id", threshold=0.5).orderBy("id1", "id2")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (xxhash64-based → rows-only check)
+# ---------------------------------------------------------------------------
+
+
+@query("q52_simhash_neardup")  # no oracle: xxhash64 has no DuckDB equivalent
+def q52_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints via per-bit
+    conditional-sum aggregates; pairs bucketed by the top-16-bit band
+    before the hamming check (the scale path — no all-pairs xor)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(d, "text", "doc_id")
+    banded = fp.withColumn("band", F.shiftrightunsigned("simhash", 48))
+    a = banded.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"), "band")
+    b = banded.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"), F.col("band").alias("band2"))
+    return (
+        a.join(b, (a.band == b.band2) & (a.id1 < b.id2))
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter(F.col("hamming") <= 16)
+        .select("id1", "id2", "hamming")
+        .orderBy("id1", "id2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_sum(list_transform(generate_series(1, len({a})), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(generate_series(1, len({a})), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(generate_series(1, len({b})), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+)
+
+Q53_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, c.vec_id,
+         ROUND({_COS.format(a='q.q_vec', b='c.embedding')}, 4) AS cosine
+  FROM embeddings c, q
+  WHERE q.q_id <> c.vec_id
+)
+SELECT q_id, vec_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) t
+WHERE rank <= 10
+ORDER BY q_id, rank
+"""
+
+
+@query("q53_cosine_topk", Q53_SQL)
+def q53_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return brute_force_topk(queries, e, k=10).orderBy("q_id", "rank")
+
+
+Q54_SQL = f"""
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND({_COS.format(a='a.embedding', b='b.embedding')}, 4) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
+ORDER BY id1, id2
+"""
+
+
+@query("q54_embedding_neardup", Q54_SQL)
+def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs(e, threshold=0.4).orderBy("id1", "id2")
+
+
+@query("q55_ivf_ann")  # no oracle: approximate by construction
+def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (deterministic strided
+    centroids, nprobe=4) — the 100 TB path for q53's computation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(queries, e, k=10, n_centroids=16, nprobe=4).orderBy("q_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed; schema/batching real)
+# ---------------------------------------------------------------------------
+
+Q56_SQL = """
+SELECT doc_id AS asset_id,
+       'image' AS modality,
+       octet_length(encode(text)) AS n_bytes,
+       ascii(substr(text, 1, 1)) AS first_byte,
+       list_sum(list_transform(generate_series(1, length(text)), i -> ascii(substr(text, i, 1)))) % 100000 AS byte_sum_mod
+FROM documents
+ORDER BY asset_id
+"""
+
+
+@query("q56_multimodal_features", Q56_SQL)
+def q56_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through mapInPandas (Arrow
+    batches) — the decode itself is a deterministic stub (no media
+    libs in container); the schema/batch plumbing is the real path."""
+    d = load_table(spark, sf_dir, "documents")
+    assets = synthesize_assets(d, "image")
+    return extract_features(assets, decode_stub="fake").orderBy("asset_id")
+
+
+Q57_SQL = """
+SELECT doc_id AS asset_id,
+       greatest(CAST(floor(octet_length(encode(text)) * 10 / 1000) AS INT), 1) AS n_frames
+FROM documents
+ORDER BY asset_id
+"""
+
+
+@query("q57_frame_sample_plan", Q57_SQL)
+def q57_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    assets = synthesize_assets(d, "video")
+    plan = frame_sample_plan(assets, every_ms=1000)
+    return plan.groupBy("asset_id").agg(F.count("*").alias("n_frames")).orderBy("asset_id")

@@ -1,4 +1,225 @@
-"""Text-pipeline and ML-parity queries (filled in with the featurization
-surface — see functions/text.py)."""
+"""Text-pipeline queries over the documents table: the reference's
+cleaning chain (P3–P8) plus the text-analysis operators (language-ID,
+quality, token counting, fingerprinting), each with a DuckDB oracle.
+
+The cleaning SQL mirrors functions/text.py::clean_text_expr exactly —
+same regexes, same order (reference: PAC/passiveAgressiveModel.py:47-52).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ml_with_spark_streaming_spark.functions.text import (
+    STOPWORDS_MINI,
+    clean_text_expr,
+    stem_tokens_udf,
+    tokens_expr,
+)
+from ml_with_spark_streaming_spark.operators.textstats import (
+    LANG_LEXICONS,
+    LANG_ORDER,
+    TOKEN_PATTERN,
+    char_counts,
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_expr,
+    token_count_expr,
+    whitespace_token_count_expr,
+)
+from ml_with_spark_streaming_spark.operators.dedup import exact_dedup
+from ml_with_spark_streaming_spark.plans.registry import query
+from ml_with_spark_streaming_spark.sources.batch import load_table
+
+# the P3-P8 chain in portable SQL ('g' flag: duckdb replaces first
+# match only by default; Spark replaces all)
+CLEAN_SQL = (
+    "trim(lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "text, '[@#&][A-Za-z0-9-]+', ' ', 'g'), '\\w+://\\S+', ' ', 'g'), "
+    "'[^A-Za-z]', ' ', 'g'), '\\s+', ' ', 'g')))"
+)
+
+Q40_SQL = f"""
+SELECT doc_id, {CLEAN_SQL} AS cleaned
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("q40_clean_documents", Q40_SQL)
+def q40_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", clean_text_expr("text").alias("cleaned")).orderBy("doc_id")
+
+
+Q41_SQL = f"""
+SELECT
+  doc_id,
+  CASE WHEN length({CLEAN_SQL}) = 0 THEN 0
+       ELSE len(string_split({CLEAN_SQL}, ' ')) END AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))  AS n_alpha,
+  length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))     AS n_digit,
+  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))           AS n_punct
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("q41_token_stats", Q41_SQL)
+def q41_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cc = char_counts("text")
+    return d.select(
+        "doc_id",
+        whitespace_token_count_expr(clean_text_expr("text")).alias("n_tokens"),
+        token_count_expr("text").alias("n_bpe_tokens"),
+        cc["n_alpha"].alias("n_alpha"),
+        cc["n_digit"].alias("n_digit"),
+        cc["n_punct"].alias("n_punct"),
+    ).orderBy("doc_id")
+
+
+Q42_SQL = f"""
+SELECT t AS token, COUNT(*) AS n
+FROM (SELECT unnest(string_split({CLEAN_SQL}, ' ')) AS t FROM documents WHERE length({CLEAN_SQL}) > 0)
+WHERE t <> ''
+GROUP BY t
+ORDER BY n DESC, t
+LIMIT 20
+"""
+
+
+@query("q42_word_count_topk", Q42_SQL)
+def q42_word_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_expr(clean_text_expr("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+_SW_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_MINI) + "]"
+
+Q43_SQL = f"""
+SELECT
+  doc_id,
+  len(list_filter(toks, t -> list_contains({_SW_LIST_SQL}, t))) AS n_stopwords,
+  len(toks) AS n_tokens,
+  ROUND(len(list_filter(toks, t -> list_contains({_SW_LIST_SQL}, t))) * 1.0 / len(toks), 4) AS stopword_ratio
+FROM (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS toks
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+)
+WHERE len(toks) > 0
+ORDER BY doc_id
+"""
+
+
+@query("q43_stopword_ratio", Q43_SQL)
+def q43_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_MINI])
+    toks = tokens_expr(clean_text_expr("text"))
+    out = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_stop = F.size(F.filter(F.col("toks"), lambda t: F.array_contains(sw, t)))
+    return out.select(
+        "doc_id",
+        n_stop.alias("n_stopwords"),
+        F.size("toks").alias("n_tokens"),
+        F.round(n_stop * 1.0 / F.size("toks"), 4).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+def _lang_sql() -> str:
+    hit = {
+        lang: f"len(list_filter(toks, t -> list_contains([{', '.join(repr(w) for w in LANG_LEXICONS[lang])}], t)))"
+        for lang in LANG_ORDER
+    }
+    best = "greatest(" + ", ".join(hit[lang] for lang in LANG_ORDER) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND {hit[lang]} = {best} THEN '{lang}'" for lang in LANG_ORDER
+    ) + " ELSE 'und' END"
+    return f"""
+SELECT lang, {case} AS predicted, COUNT(*) AS n
+FROM (
+  SELECT lang, string_split({CLEAN_SQL}, ' ') AS toks
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+)
+GROUP BY lang, predicted
+ORDER BY lang, predicted
+"""
+
+
+@query("q44_langid_heuristic", _lang_sql())
+def q44_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = clean_text_expr("text")
+    out = d.filter(F.length(cleaned) > 0)
+    return (
+        out.select("lang", lang_id_expr("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+Q45_SQL = f"""
+SELECT doc_id,
+  ROUND(
+    0.5 * (CASE WHEN length(text) > 0
+           THEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0 / length(text)
+           ELSE 0 END)
+  + 0.3 * least(
+      (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) / 50.0,
+      1.0)
+  + 0.2 * (1.0 - (CASE WHEN length(text) > 0
+           THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text)
+           ELSE 0 END)), 4) AS quality
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("q45_quality_score", Q45_SQL)
+def q45_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_expr("text").alias("quality")).orderBy("doc_id")
+
+
+Q46_SQL = f"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS group_size
+FROM (
+  SELECT doc_id,
+         md5(array_to_string(string_split({CLEAN_SQL}, ' ')[1:8], ' ')) AS fp
+  FROM documents
+)
+GROUP BY fp
+ORDER BY doc_id
+"""
+
+
+@query("q46_fingerprint_dedup", Q46_SQL)
+def q46_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the 8-token-prefix md5 fingerprint: keep the
+    min doc_id per group (hash-groupBy — one shuffle at any scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, fingerprint_expr("text", 8), "doc_id").orderBy("doc_id")
+
+
+@query("q47_stemmed_tokens")  # no oracle: Porter stemming isn't expressible in SQL
+def q47_stemmed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow pandas-UDF Porter stemming (the reference's only UDF,
+    PAC/passiveAgressiveModel.py:64-66, vectorized)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr(clean_text_expr("text"))
+    return (
+        d.select("doc_id", stem_tokens_udf(toks).alias("stemmed"))
+        .select("doc_id", F.concat_ws(" ", "stemmed").alias("stemmed_text"))
+        .orderBy("doc_id")
+    )
