@@ -1,0 +1,354 @@
+"""Incremental learners with distributed per-batch passes.
+
+Design (SURVEY.md §7 step 5): MLlib has no ``partial_fit``, so each
+learner keeps a tiny driver-side state vector — O(num_features), i.e.
+2×2500 doubles for the reference's configuration — and updates it from
+ONE distributed aggregation per batch. The data-sized work (feature
+hashing, dot products, gradient terms) is all DataFrame ops:
+
+* features live as an exploded ``(row_id, feature_idx, cnt)`` table —
+  sparse, shuffled by hash, never densified;
+* model application (dot product per row) is a **broadcast join**
+  against the ≤num_features-row weights table, then
+  ``groupBy(row_id).sum()`` — at 100 TB the weights broadcast to every
+  executor and no all-to-all shuffle of the data side is keyed by
+  anything but row_id;
+* the per-batch state delta (sufficient statistics / gradient /
+  centroid sums) comes back as ≤ num_features × n_classes rows.
+
+Feature hashing note: term → ``pmod(hash(term), num_features)`` —
+Spark SQL's builtin murmur3(seed 42). This is the engine's hashing
+scheme; it is NOT bit-identical to ``pyspark.ml.HashingTF`` (which
+uses a different murmur3 byte-variant), but has identical semantics
+(hash-bucketed term frequencies, reference dimensionality 2500 from
+PAC/passiveAgressiveModel.py:69). The MLlib-pipeline batch path
+(functions/features.py) keeps real HashingTF; the incremental path
+uses the SQL-native scheme so every hot-path expression stays in
+whole-stage codegen.
+
+Online-update semantics vs the reference: sklearn ``partial_fit``
+consumes samples *sequentially within a batch*, so its result depends
+on intra-batch row order — unreproducible on a distributed shuffle-
+ordered batch. The engine defines the batch-parallel equivalents
+(documented deviation, FIXTURES.md):
+* BernoulliNB — EXACT: sufficient statistics are additive, so
+  distributed counting gives bit-for-bit the same model as any
+  sequential order;
+* PA / SGD — one mini-batch gradient step per batch (average
+  gradient at the batch-start weights), the standard parallel
+  formulation of the same online rule;
+* MiniBatchKMeans — per-batch assignment at batch-start centroids,
+  then the sklearn mini-batch center update with per-center
+  learning rate 1/total_count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NUM_FEATURES = 2500  # reference: HashingTF(numFeatures=2500)
+
+
+def hashed_features(
+    df: DataFrame,
+    terms_col: str = "terms",
+    id_col: str = "row_id",
+    num_features: int = NUM_FEATURES,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Explode a token-array column into the sparse TF triple table
+    ``(<id_col>, [extra_cols...,] fi, cnt)``.
+
+    One narrow explode + one hash-shuffled count — the canonical
+    sparse representation every learner here consumes.
+    """
+    keep = [F.col(id_col), *[F.col(c) for c in extra_cols]]
+    ex = df.select(*keep, F.explode(terms_col).alias("_t")).filter(F.col("_t") != "")
+    ex = ex.withColumn("fi", F.pmod(F.hash("_t"), F.lit(num_features)))
+    return ex.groupBy(id_col, *extra_cols, "fi").agg(F.count("*").alias("cnt"))
+
+
+def _weights_df(spark: SparkSession, w: np.ndarray, col: str = "w") -> DataFrame:
+    """≤num_features-row (fi, w) table from a dense numpy vector —
+    zero entries dropped so the broadcast side stays minimal."""
+    rows = [(int(i), float(v)) for i, v in enumerate(w) if v != 0.0]
+    return spark.createDataFrame(rows or [(0, 0.0)], f"fi int, {col} double")
+
+
+class IncrementalBernoulliNB:
+    """Bernoulli Naive Bayes with additive sufficient statistics.
+
+    Reference path: sklearn.BernoulliNB.partial_fit
+    (BNB/latest_Bnb.py:94). Statistics: per-class doc counts and
+    per-(class, feature) presence counts — exactly additive across
+    batches, so the incremental model equals the batch model.
+    """
+
+    def __init__(self, num_features: int = NUM_FEATURES, alpha: float = 1.0) -> None:
+        self.num_features = num_features
+        self.alpha = alpha
+        self.class_count = np.zeros(2, dtype=np.int64)
+        self.feat_count = np.zeros((2, num_features), dtype=np.int64)
+
+    # -- state dict for the model registry -------------------------------
+    def get_state(self) -> dict[str, np.ndarray]:
+        return {"class_count": self.class_count, "feat_count": self.feat_count}
+
+    def set_state(self, state: dict[str, np.ndarray]) -> None:
+        self.class_count = np.asarray(state["class_count"], dtype=np.int64)
+        self.feat_count = np.asarray(state["feat_count"], dtype=np.int64)
+
+    def update(self, feats: DataFrame, id_col: str = "row_id", label_col: str = "target") -> None:
+        """One distributed pass: presence counts per (class, feature).
+
+        ``feats`` is the hashed_features triple table carrying the
+        label in ``label_col``. Collects ≤ 2 × num_features rows.
+        """
+        presence = (
+            feats.select(label_col, id_col, "fi")
+            .groupBy(label_col, "fi")
+            .agg(F.count_distinct(id_col).alias("n"))
+        )
+        docs = feats.select(label_col, id_col).distinct().groupBy(label_col).agg(
+            F.count("*").alias("n")
+        )
+        for r in docs.collect():
+            self.class_count[int(r[label_col])] += r["n"]
+        for r in presence.collect():
+            self.feat_count[int(r[label_col]), int(r["fi"])] += r["n"]
+
+    def _log_weights(self) -> tuple[np.ndarray, np.ndarray]:
+        """Per-class smoothed log-odds weights and absence baselines.
+
+        score_c(x) = log P(c) + Σ_i log(1 - p_ci) + Σ_{i present} w_ci
+        with w_ci = log p_ci - log(1 - p_ci).
+        """
+        n_c = np.maximum(self.class_count, 0)[:, None].astype(np.float64)
+        p = (self.feat_count + self.alpha) / (n_c + 2.0 * self.alpha)
+        w = np.log(p) - np.log1p(-p)
+        total = max(self.class_count.sum(), 1)
+        prior = np.log(np.maximum(self.class_count, 1e-12) / total)
+        base = prior + np.log1p(-p).sum(axis=1)
+        return w, base
+
+    def predict(self, feats: DataFrame, id_col: str = "row_id") -> DataFrame:
+        """Distributed scoring: broadcast the 2×F weight table, one
+        join + one groupBy. Returns ``(<id_col>, prediction)``."""
+        spark = feats.sparkSession
+        w, base = self._log_weights()
+        delta = w[1] - w[0]  # decision only needs the class-score difference
+        base_delta = float(base[1] - base[0])
+        wdf = _weights_df(spark, delta, "w")
+        scored = (
+            feats.select(id_col, "fi")
+            .distinct()  # Bernoulli: presence, not counts
+            .join(F.broadcast(wdf), "fi", "left")
+            .groupBy(id_col)
+            .agg(F.coalesce(F.sum("w"), F.lit(0.0)).alias("s"))
+        )
+        return scored.select(
+            F.col(id_col),
+            F.when(F.col("s") + F.lit(base_delta) > 0, 1.0).otherwise(0.0).alias("prediction"),
+        )
+
+
+class IncrementalLinearClassifier:
+    """Mini-batch Passive-Aggressive / SGD-hinge linear classifier.
+
+    Reference paths: sklearn.PassiveAggressiveClassifier.partial_fit
+    (PAC/passiveAgressiveModel.py:93) and SGDClassifier.partial_fit
+    (SGDC/sgdc.py:89). Labels in {0,1} map to y ∈ {-1,+1}.
+
+    Per batch (one distributed pass):
+      margin_r = y_r · (w · x_r)           — broadcast-join dot product
+      V        = {r : margin_r < 1}        — hinge violators
+      g        = Σ_{r∈V} (-y_r) x_r / |B|  — average gradient
+    update rules:
+      * variant='pa' (PA-I): τ = min(C, avg_loss / ||g||²), w ← w − τ·g
+      * variant='sgd':       w ← (1 − lr·λ)·w − lr·g
+    """
+
+    def __init__(
+        self,
+        num_features: int = NUM_FEATURES,
+        variant: str = "pa",
+        C: float = 1.0,
+        lr: float = 0.1,
+        reg: float = 1e-4,
+    ) -> None:
+        if variant not in ("pa", "sgd"):
+            raise ValueError(f"unknown variant: {variant}")
+        self.num_features = num_features
+        self.variant = variant
+        self.C = C
+        self.lr = lr
+        self.reg = reg
+        self.w = np.zeros(num_features, dtype=np.float64)
+        self.b = 0.0
+
+    def get_state(self) -> dict[str, np.ndarray]:
+        return {"w": self.w, "b": np.array([self.b])}
+
+    def set_state(self, state: dict[str, np.ndarray]) -> None:
+        self.w = np.asarray(state["w"], dtype=np.float64)
+        self.b = float(np.asarray(state["b"]).ravel()[0])
+
+    def _margins(self, feats: DataFrame, id_col: str, label_col: str | None) -> DataFrame:
+        spark = feats.sparkSession
+        wdf = _weights_df(spark, self.w, "w")
+        cols = [id_col] + ([label_col] if label_col else [])
+        keys = [id_col] + ([label_col] if label_col else [])
+        return (
+            feats.select(*cols, "fi", "cnt")
+            .join(F.broadcast(wdf), "fi", "left")
+            .groupBy(*keys)
+            .agg((F.coalesce(F.sum(F.col("cnt") * F.col("w")), F.lit(0.0)) + F.lit(self.b)).alias("score"))
+        )
+
+    def update(self, feats: DataFrame, id_col: str = "row_id", label_col: str = "target") -> None:
+        """One mini-batch gradient step from a distributed pass.
+
+        Two aggregations: per-row margins (broadcast join), then the
+        gradient sum over violators (≤ num_features rows collected).
+        """
+        y = (F.col(label_col) * 2 - 1).alias("y")
+        margins = self._margins(feats, id_col, label_col).select(
+            id_col, y, (F.col("score") * (F.col(label_col) * 2 - 1)).alias("margin")
+        )
+        viol = margins.filter(F.col("margin") < 1)
+        stats = margins.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.when(F.col("margin") < 1, 1 - F.col("margin"))), F.lit(0.0)).alias(
+                "loss_sum"
+            ),
+        ).collect()[0]
+        n = stats["n"]
+        if not n:
+            return
+        grad_rows = (
+            feats.select(id_col, "fi", "cnt")
+            .join(viol.select(id_col, "y"), id_col)
+            .groupBy("fi")
+            .agg(F.sum(-F.col("y") * F.col("cnt")).alias("g"))
+            .collect()
+        )
+        g = np.zeros(self.num_features, dtype=np.float64)
+        for r in grad_rows:
+            g[int(r["fi"])] = r["g"]
+        g /= n
+        gb = float(
+            viol.agg(F.coalesce(F.sum(-F.col("y")), F.lit(0.0)).alias("gb")).collect()[0]["gb"]
+        ) / n
+        if self.variant == "pa":
+            sq = float(g @ g) + gb * gb
+            if sq == 0.0:
+                return
+            tau = min(self.C, (stats["loss_sum"] / n) / sq)
+            self.w -= tau * g
+            self.b -= tau * gb
+        else:
+            self.w *= 1.0 - self.lr * self.reg
+            self.w -= self.lr * g
+            self.b -= self.lr * gb
+
+    def predict(self, feats: DataFrame, id_col: str = "row_id") -> DataFrame:
+        """Returns ``(<id_col>, prediction)`` with prediction ∈ {0.0, 1.0}."""
+        return self._margins(feats, id_col, None).select(
+            F.col(id_col), F.when(F.col("score") > 0, 1.0).otherwise(0.0).alias("prediction")
+        )
+
+
+class MiniBatchKMeans:
+    """Mini-batch k-means over hashed TF features.
+
+    Reference path: sklearn.MiniBatchKMeans(n_clusters=2,
+    batch_size=2048).partial_fit (KMEANS CLUSTERING/kmeans.py:155-157,
+    92). Assignment and per-cluster sums are distributed; the centroid
+    update touches k × num_features driver-side floats.
+    """
+
+    def __init__(self, k: int = 2, num_features: int = NUM_FEATURES, seed: int = 42) -> None:
+        self.k = k
+        self.num_features = num_features
+        self.centroids = np.zeros((k, num_features), dtype=np.float64)
+        self.counts = np.zeros(k, dtype=np.int64)
+        self._rng = np.random.default_rng(seed)
+        self._initialized = False
+
+    def get_state(self) -> dict[str, np.ndarray]:
+        return {"centroids": self.centroids, "counts": self.counts}
+
+    def set_state(self, state: dict[str, np.ndarray]) -> None:
+        self.centroids = np.asarray(state["centroids"], dtype=np.float64)
+        self.counts = np.asarray(state["counts"], dtype=np.int64)
+        self._initialized = bool(self.counts.sum())
+
+    def _assignments(self, feats: DataFrame, id_col: str) -> DataFrame:
+        """argmin_j ||x − c_j||² = argmin_j (||c_j||² − 2·x·c_j)
+        (||x||² is constant per row). One broadcast join against the
+        k-wide weight table, one groupBy — no densified vectors."""
+        spark = feats.sparkSession
+        rows = [
+            (int(i), *[float(self.centroids[j, i]) for j in range(self.k)])
+            for i in range(self.num_features)
+            if any(self.centroids[j, i] != 0.0 for j in range(self.k))
+        ]
+        schema = "fi int, " + ", ".join(f"c{j} double" for j in range(self.k))
+        cdf = spark.createDataFrame(rows or [tuple([0] + [0.0] * self.k)], schema)
+        dots = (
+            feats.select(id_col, "fi", "cnt")
+            .join(F.broadcast(cdf), "fi", "left")
+            .groupBy(id_col)
+            .agg(
+                *[
+                    F.coalesce(F.sum(F.col("cnt") * F.col(f"c{j}")), F.lit(0.0)).alias(f"dot{j}")
+                    for j in range(self.k)
+                ]
+            )
+        )
+        norms = [float(self.centroids[j] @ self.centroids[j]) for j in range(self.k)]
+        dist_cols = [(F.lit(norms[j]) - 2.0 * F.col(f"dot{j}")).alias(f"d{j}") for j in range(self.k)]
+        d = dots.select(id_col, *dist_cols)
+        # tie-break = lowest index: first j whose distance equals the min
+        first_min = None
+        for j in reversed(range(self.k)):
+            cond = F.col(f"d{j}") == F.least(*[F.col(f"d{i}") for i in range(self.k)])
+            first_min = F.lit(j) if first_min is None else F.when(cond, j).otherwise(first_min)
+        return d.select(F.col(id_col), first_min.cast("double").alias("prediction"))
+
+    def update(self, feats: DataFrame, id_col: str = "row_id") -> None:
+        """Assign at current centroids, then apply the sklearn
+        mini-batch update: c_j ← c_j + (1/N_j)·Σ(x − c_j) with N_j the
+        cumulative count. Collects ≤ k × num_features sum rows."""
+        if not self._initialized:
+            # seed centroids from k distinct docs (deterministic: lowest ids)
+            seed_ids = [
+                r[id_col]
+                for r in feats.select(id_col).distinct().orderBy(id_col).limit(self.k).collect()
+            ]
+            for j, sid in enumerate(seed_ids):
+                for r in feats.filter(F.col(id_col) == sid).select("fi", "cnt").collect():
+                    self.centroids[j, int(r["fi"])] = float(r["cnt"])
+            self._initialized = True
+        assign = self._assignments(feats, id_col)
+        joined = feats.select(id_col, "fi", "cnt").join(assign, id_col)
+        sums = joined.groupBy("prediction", "fi").agg(F.sum("cnt").alias("s")).collect()
+        sizes = {
+            int(r["prediction"]): r["n"]
+            for r in assign.groupBy("prediction").agg(F.count("*").alias("n")).collect()
+        }
+        batch_sum = np.zeros((self.k, self.num_features), dtype=np.float64)
+        for r in sums:
+            batch_sum[int(r["prediction"]), int(r["fi"])] = float(r["s"])
+        for j in range(self.k):
+            m = sizes.get(j, 0)
+            if not m:
+                continue
+            self.counts[j] += m
+            eta = m / self.counts[j]
+            self.centroids[j] = (1 - eta) * self.centroids[j] + eta * (batch_sum[j] / m)
+
+    def predict(self, feats: DataFrame, id_col: str = "row_id") -> DataFrame:
+        return self._assignments(feats, id_col)

@@ -1,0 +1,55 @@
+"""Frozen-model streaming inference (Entry point C, `TESTING .py`).
+
+Reference: loads ``PAC_3000.pkl`` once per batch (TESTING .py:76),
+predicts, prints metrics, persists nothing. Engine: load the
+checkpoint ONCE at attach time (the reference's per-batch reload is a
+bug-shaped inefficiency), transform each micro-batch declaratively,
+emit per-batch metrics to the console and an in-memory history.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ml_with_spark_streaming_spark.functions.metrics import binary_metrics
+from ml_with_spark_streaming_spark.ml.registry import ModelRegistry
+from ml_with_spark_streaming_spark.streaming.train import prepare_batch
+from ml_with_spark_streaming_spark.streaming.wire import parse_wire, split_quarantine
+
+
+@dataclass
+class StreamingScorer:
+    model: object
+    stem: bool = False  # TESTING .py hashes unstemmed tokens (TESTING .py:60)
+    num_features: int = 2500
+    history: list[dict] = field(default_factory=list)
+
+    @classmethod
+    def from_registry(cls, model: object, registry: ModelRegistry, key: str, best: bool = True, **kw) -> "StreamingScorer":
+        state = registry.load(key, best=best) or registry.load(key, best=False)
+        if state is None:
+            raise FileNotFoundError(f"no checkpoint for key {key!r} in {registry.root}")
+        model.set_state(state)
+        return cls(model=model, **kw)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        clean, _ = split_quarantine(parse_wire(batch_df)) if "value" in batch_df.columns else (batch_df, None)
+        feats = prepare_batch(clean, stem=self.stem, num_features=self.num_features)
+        pred = self.model.predict(feats).join(
+            feats.select("row_id", "target").distinct(), "row_id"
+        )
+        m = binary_metrics(pred)
+        self.history.append({"batch_id": batch_id, "batchsize": m.n, **m.as_row()})
+
+    def attach(self, lines: DataFrame, trigger_seconds: int = 5) -> StreamingQuery:
+        return (
+            lines.writeStream.foreachBatch(self.process_batch)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .outputMode("update")
+            .start()
+        )

@@ -1,0 +1,142 @@
+"""foreachBatch incremental-training loop (Entry point A semantics).
+
+Reference lifecycle per 5 s micro-batch (PAC/passiveAgressiveModel.py:
+36-137): DataFrame-ize → clean → tokenize → stopwords → stem →
+HashingTF → label-index → collect → train_test_split(0.2, seed 42) →
+partial_fit → predict → metrics → CSV append + best-F1 checkpoint.
+
+Engine version: identical per-batch semantics, but every data-sized
+step is a DataFrame op (see ml/incremental.py) and nothing except
+O(num_features) state reaches the driver. Differences (deliberate,
+SURVEY.md §7): deterministic label map, randomSplit instead of
+sklearn's collected-array split, quarantine instead of blanket except,
+empty-batch guard instead of schema-inference crash.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ml_with_spark_streaming_spark.functions.features import label_expr
+from ml_with_spark_streaming_spark.functions.metrics import binary_metrics, clustering_agreement
+from ml_with_spark_streaming_spark.functions.text import (
+    clean_text_expr,
+    remove_stopwords_expr,
+    stem_tokens_udf,
+    tokens_expr,
+)
+from ml_with_spark_streaming_spark.ml.incremental import hashed_features
+from ml_with_spark_streaming_spark.ml.registry import ModelRegistry
+from ml_with_spark_streaming_spark.streaming.wire import parse_wire, split_quarantine
+
+METRICS_COLUMNS = "batch_id long, f1 double, maxf1 double, acc double, precision double, recall double, batchsize long, rmse double"
+
+
+def prepare_batch(
+    df: DataFrame, stem: bool = True, num_features: int = 2500
+) -> DataFrame:
+    """clean → tokenize → stopwords → (stem) → hashed TF triple table
+    with columns (row_id, target, fi, cnt)."""
+    base = (
+        df.filter(F.col("tweet").isNotNull())
+        .withColumn("target", label_expr("label"))
+        .filter(F.col("target").isNotNull())
+        .withColumn("row_id", F.monotonically_increasing_id())
+        .withColumn("toks", remove_stopwords_expr(tokens_expr(clean_text_expr("tweet"))))
+    )
+    if stem:
+        base = base.withColumn("toks", stem_tokens_udf(F.col("toks")))
+    return hashed_features(base, "toks", "row_id", num_features, extra_cols=("target",))
+
+
+@dataclass
+class StreamingTrainer:
+    """Drives one incremental learner from a line stream.
+
+    ``model`` is any of the ml/incremental learners (duck-typed:
+    update/predict/get_state/set_state). Supervised models split each
+    batch 80:20 (seed 42, reference D3) and report held-out metrics;
+    KMeans trains on the full batch and reports the
+    permutation-invariant agreement (SURVEY.md §3 B fix).
+    """
+
+    model: object
+    registry: ModelRegistry
+    key: str
+    stem: bool = True
+    supervised: bool = True
+    holdout: float = 0.2
+    seed: int = 42
+    num_features: int = 2500
+    history: list[dict] = field(default_factory=list)
+    best_f1: float = 0.0
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """The foreachBatch body — also callable directly on any batch
+        DataFrame of (label, tweet) for tests."""
+        if batch_df.isEmpty():  # reference crashes then swallows; we guard
+            return
+        clean, _quarantine = split_quarantine(parse_wire(batch_df)) if "value" in batch_df.columns else (batch_df, None)
+        feats = prepare_batch(clean, stem=self.stem, num_features=self.num_features)
+        feats = feats.persist()
+        try:
+            if self.supervised:
+                train, test = self._split(feats)
+                self.model.update(train)
+                pred = self.model.predict(test).join(
+                    test.select("row_id", "target").distinct(), "row_id"
+                )
+                m = binary_metrics(pred)
+                row = {"batch_id": batch_id, "batchsize": m.n, **m.as_row()}
+                f1 = m.f1
+            else:
+                self.model.update(feats)
+                pred = self.model.predict(feats).join(
+                    feats.select("row_id", "target").distinct(), "row_id"
+                )
+                f1 = clustering_agreement(pred)
+                row = {"batch_id": batch_id, "batchsize": pred.count(), "agreement": f1}
+            self.best_f1 = max(self.best_f1, f1)
+            row["maxf1"] = self.best_f1
+            self.history.append(row)
+            self.registry.save(self.key, self.model.get_state(), meta=row)
+            self.registry.save_if_best(self.key, self.model.get_state(), f1, meta=row)
+            self._append_metrics(row)
+        finally:
+            feats.unpersist()
+
+    def _split(self, feats: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Deterministic 80:20 by row hash (reference: train_test_split
+        seed 42). Split on distinct row_ids so a row's features never
+        straddle both sides."""
+        ids = feats.select("row_id").distinct()
+        train_ids, test_ids = ids.randomSplit([1 - self.holdout, self.holdout], seed=self.seed)
+        return feats.join(train_ids, "row_id"), feats.join(test_ids, "row_id")
+
+    def _append_metrics(self, row: dict) -> None:
+        """S6 mapping: append-only per-batch metrics record (CSV, same
+        column intent as the reference's *_stats_<bs>.csv)."""
+        path = os.path.join(self.registry.root, f"{self.key}_stats.csv")
+        new = not os.path.exists(path)
+        keys = ["batch_id", "f1", "maxf1", "acc", "precision", "recall", "batchsize", "rmse", "agreement"]
+        with open(path, "a") as f:
+            if new:
+                f.write(",".join(keys) + "\n")
+            f.write(",".join(str(row.get(k, "")) for k in keys) + "\n")
+
+    def attach(self, lines: DataFrame, trigger_seconds: int = 5, checkpoint: str | None = None) -> StreamingQuery:
+        """Start the stream: 5 s processing-time trigger (reference
+        StreamingContext(sc, 5))."""
+        writer = (
+            lines.writeStream.foreachBatch(self.process_batch)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .outputMode("update")
+        )
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        return writer.start()

@@ -1,0 +1,86 @@
+"""Wire-format parser for the reference's socket protocol.
+
+One socket line = one JSON array whose elements are ``"label,text"``
+strings, batched by the external replay server (reference S2/S3:
+``flatMap(lambda line: json.loads(str(line)))`` then
+``map(lambda x: x.split(',', 1))`` — PAC/passiveAgressiveModel.py:168-169).
+
+Declarative equivalent: ``from_json`` → ``explode`` → limit-2
+``split``. Malformed input never throws and never silently vanishes
+(the reference swallowed it with a blanket except at :136-137):
+
+* a line that is not a JSON string array → one quarantine row with
+  ``error='bad_json'`` and the raw line preserved;
+* a record with no comma → ``error='no_comma'``, label null, the
+  whole record kept as text.
+
+Plain JSON-lines records ``{"label": ..., "text": ...}`` are also
+supported (primary format for new deployments, SURVEY.md §7 step 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WIRE_SCHEMA = T.ArrayType(T.StringType())
+
+# Output schema: label (string|null), tweet (string), error (string|null),
+# raw (string — original line, only on bad_json rows)
+
+
+def parse_wire(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse the JSON-array-of-"label,text" wire format.
+
+    Works identically on a batch or streaming DataFrame (the plan is
+    fully declarative — no UDFs, no RDDs).
+    """
+    parsed = lines.select(
+        F.col(value_col).alias("raw"),
+        F.from_json(F.col(value_col), WIRE_SCHEMA).alias("records"),
+    )
+    bad = parsed.filter(F.col("records").isNull()).select(
+        F.lit(None).cast("string").alias("label"),
+        F.lit(None).cast("string").alias("tweet"),
+        F.lit("bad_json").alias("error"),
+        F.col("raw"),
+    )
+    good = (
+        parsed.filter(F.col("records").isNotNull())
+        .select(F.explode("records").alias("rec"))
+        .select(F.split("rec", ",", 2).alias("parts"), F.col("rec"))
+        .select(
+            F.when(F.size("parts") >= 2, F.element_at("parts", 1)).alias("label"),
+            F.when(F.size("parts") >= 2, F.element_at("parts", 2))
+            .otherwise(F.col("rec"))
+            .alias("tweet"),
+            F.when(F.size("parts") < 2, F.lit("no_comma")).alias("error"),
+            F.lit(None).cast("string").alias("raw"),
+        )
+    )
+    return good.unionByName(bad)
+
+
+def parse_jsonl(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Primary modern format: one JSON object per line with
+    ``label`` / ``text`` fields; same output schema as parse_wire."""
+    schema = T.StructType(
+        [T.StructField("label", T.StringType()), T.StructField("text", T.StringType())]
+    )
+    parsed = lines.select(
+        F.col(value_col).alias("raw"), F.from_json(F.col(value_col), schema).alias("r")
+    )
+    return parsed.select(
+        F.col("r.label").alias("label"),
+        F.col("r.text").alias("tweet"),
+        F.when(F.col("r").isNull() | F.col("r.text").isNull(), "bad_json").alias("error"),
+        F.when(F.col("r").isNull(), F.col("raw")).alias("raw"),
+    )
+
+
+def split_quarantine(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) — clean rows drop the error/raw columns."""
+    clean = parsed.filter(F.col("error").isNull()).select("label", "tweet")
+    quarantined = parsed.filter(F.col("error").isNotNull())
+    return clean, quarantined

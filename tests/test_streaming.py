@@ -1,0 +1,164 @@
+"""Structured Streaming: file-source micro-batch replay through the
+training loop, watermarked windows, and the custom stateful operator.
+Memory sink + processAllAvailable per SURVEY.md §5."""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_with_spark_streaming_spark.ml import IncrementalBernoulliNB, ModelRegistry
+from ml_with_spark_streaming_spark.streaming.train import StreamingTrainer
+from ml_with_spark_streaming_spark.streaming.windows import (
+    running_user_totals,
+    tumbling_counts,
+)
+
+POS = ["good", "great", "love", "happy", "awesome"]
+NEG = ["bad", "terrible", "hate", "sad", "awful"]
+
+
+def _wire_files(tmp_path, n_files=3, per_file=60, seed=3):
+    rnd = random.Random(seed)
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    for fi in range(n_files):
+        recs = []
+        for i in range(per_file):
+            lab = "4" if i % 2 else "0"
+            words = " ".join((POS if lab == "4" else NEG)[rnd.randrange(5)] for _ in range(4))
+            recs.append(f"{lab},{words}")
+        (d / f"batch_{fi}.json").write_text(json.dumps(recs) + "\n")
+    return str(d)
+
+
+def test_streaming_training_loop(spark, tmp_path):
+    path = _wire_files(tmp_path)
+    reg = ModelRegistry(str(tmp_path / "models"))
+    trainer = StreamingTrainer(
+        model=IncrementalBernoulliNB(), registry=reg, key="nb_stream", stem=False
+    )
+    lines = (
+        spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(path)
+    )
+    q = trainer.attach(lines, trigger_seconds=1, checkpoint=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(trainer.history) == 3  # one per file = one per micro-batch
+    assert all(h["batchsize"] > 0 for h in trainer.history)
+    # fully-separable vocabulary → the model is perfect by the last batch
+    assert trainer.history[-1]["f1"] == 1.0
+    # S8: per-batch checkpoint and best snapshot both exist and load
+    assert reg.load("nb_stream") is not None
+    assert reg.load("nb_stream", best=True) is not None
+    # S6: metrics CSV appended one row per batch (+header)
+    stats = (tmp_path / "models" / "nb_stream_stats.csv").read_text().strip().splitlines()
+    assert len(stats) == 4
+
+
+def test_empty_batch_guard(spark, tmp_path):
+    reg = ModelRegistry(str(tmp_path / "m2"))
+    trainer = StreamingTrainer(model=IncrementalBernoulliNB(), registry=reg, key="nb_empty")
+    empty = spark.createDataFrame([], "value string")
+    trainer.process_batch(empty, 0)  # must not raise (reference crashed + swallowed)
+    assert trainer.history == []
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tmp_path_factory):
+    """Events as JSON files for streaming replay (2 files = 2 batches)."""
+    d = tmp_path_factory.mktemp("events_in")
+    rows = [
+        # user 1: two sessions' worth across one hour; user 2: crosses alert threshold
+        (0, "2024-01-01 00:01:00", 1, "click", 10.0),
+        (1, "2024-01-01 00:02:00", 1, "view", 20.0),
+        (2, "2024-01-01 00:30:00", 2, "click", 600.0),
+        (3, "2024-01-01 01:10:00", 1, "click", 5.0),
+        (4, "2024-01-01 01:20:00", 2, "buy", 700.0),
+        (5, "2024-01-01 01:40:00", 2, "view", 1.0),
+    ]
+    half = len(rows) // 2
+    for fi, chunk in enumerate((rows[:half], rows[half:])):
+        lines = "\n".join(
+            json.dumps(
+                {"event_id": e, "ts": ts, "user_id": u, "event_type": t, "value": v}
+            )
+            for e, ts, u, t, v in chunk
+        )
+        (d / f"ev_{fi}.jsonl").write_text(lines + "\n")
+    return str(d)
+
+
+def _read_event_stream(spark, path):
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+
+
+def test_streaming_tumbling_counts_match_batch(spark, event_stream_dir):
+    stream = tumbling_counts(_read_event_stream(spark, event_stream_dir), minutes=60)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+            for r in spark.sql("select * from tumbling_test").collect()
+        }
+    finally:
+        q.stop()
+    batch_df = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).json(event_stream_dir)
+    want = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in tumbling_counts(batch_df, minutes=60).collect()
+    }
+    assert got == want
+
+
+def test_stateful_running_totals_final_state_matches_batch(spark, event_stream_dir):
+    stream = running_user_totals(_read_event_stream(spark, event_stream_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("totals_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from totals_test").collect()
+    finally:
+        q.stop()
+    # last emission per user == plain batch aggregate (q63 twin)
+    final = {}
+    for r in rows:  # memory sink appends per batch, later rows win
+        final[r["user_id"]] = (r["total"], r["n"], r["alert"])
+    batch_df = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).json(event_stream_dir)
+    want = {
+        r["user_id"]: (r["total"], r["n"], r["alert"])
+        for r in batch_df.groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total"),
+            F.count("*").alias("n"),
+            (F.sum("value") > 1000.0).alias("alert"),
+        )
+        .collect()
+    }
+    assert final == want
+    assert final[2][2] is True  # user 2 crossed the 1000 threshold
