@@ -8,6 +8,7 @@ from ml_with_spark_streaming_spark.plans.registry import ORACLES, QUERIES, query
 
 # noqa imports below populate the registry
 from ml_with_spark_streaming_spark.plans import relational  # noqa: F401,E402
+from ml_with_spark_streaming_spark.plans import relational_ext  # noqa: F401,E402
 from ml_with_spark_streaming_spark.plans import text_ml  # noqa: F401,E402
 from ml_with_spark_streaming_spark.plans import llm_ops  # noqa: F401,E402
 from ml_with_spark_streaming_spark.plans import events_streaming  # noqa: F401,E402

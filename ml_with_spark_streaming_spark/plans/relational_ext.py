@@ -1,0 +1,303 @@
+"""Extended relational surface: subqueries, window-function variants,
+array aggregation, regexp extraction, percentiles, max_by — all
+oracle-checked (SURVEY.md §2.5 completion).
+
+Determinism notes follow the registry rules; every tie-sensitive
+construct (max_by, collect_list) orders by a unique total ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ml_with_spark_streaming_spark.plans.registry import query
+from ml_with_spark_streaming_spark.sources.batch import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery: parts above the global average retail price
+# ---------------------------------------------------------------------------
+
+Q31_SQL = """
+SELECT p_partkey, p_name, ROUND(p_retailprice, 2) AS retail
+FROM part
+WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+ORDER BY p_partkey
+"""
+
+
+@query("q31_above_global_avg_parts", Q31_SQL)
+def q31_above_global_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery as a broadcast of a 1-row aggregate (a window
+    over an empty partition would shuffle everything to one task —
+    the cross-join of a 1-row frame broadcasts instead)."""
+    p = _t(spark, sf_dir, "part")
+    avg = p.agg(F.avg("p_retailprice").alias("_avg"))
+    return (
+        p.crossJoin(F.broadcast(avg))
+        .filter(F.col("p_retailprice") > F.col("_avg"))
+        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("retail"))
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag / lead / first_value / last_value over per-customer order history
+# ---------------------------------------------------------------------------
+
+Q32_SQL = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  ROUND(o_totalprice - LAG(o_totalprice) OVER w, 2)  AS delta_prev,
+  ROUND(LEAD(o_totalprice) OVER w, 2)                AS next_price,
+  ROUND(FIRST_VALUE(o_totalprice) OVER w, 2)         AS first_price,
+  ROUND(LAST_VALUE(o_totalprice) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@query("q32_order_history_lag_lead", Q32_SQL)
+def q32_order_history_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# ntile / percent_rank / cume_dist over customer balances
+# ---------------------------------------------------------------------------
+
+Q33_SQL = """
+SELECT
+  c_custkey,
+  NTILE(4) OVER w                      AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 4)      AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 4)         AS cume
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@query("q33_acctbal_quartiles", Q33_SQL)
+def q33_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-ORDER window: at scale this is the one window shape that
+    serializes onto a single task — acceptable for a ranked report
+    (output ≤ customers), flagged here deliberately."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# RANGE frame: orders within ±10 days per customer
+# ---------------------------------------------------------------------------
+
+Q34_SQL = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                 RANGE BETWEEN 864000 PRECEDING AND 864000 FOLLOWING) AS neighbors,
+  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                 RANGE BETWEEN 864000 PRECEDING AND 864000 FOLLOWING), 2) AS neighbor_spend
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@query("q34_range_frame_neighbors", Q34_SQL)
+def q34_range_frame_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-864000, 864000)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("neighbors"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("neighbor_spend"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Array aggregation: sorted distinct size list per brand
+# ---------------------------------------------------------------------------
+
+Q35_SQL = """
+SELECT p_brand,
+       list_sort(list(DISTINCT p_size)) AS sizes,
+       len(list_sort(list(DISTINCT p_size))) AS n_sizes
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@query("q35_brand_size_arrays", Q35_SQL)
+def q35_brand_size_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(F.array_sort(F.collect_set("p_size")).alias("sizes"))
+        .withColumn("n_sizes", F.size("sizes"))
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-order quantity arrays (ordered collect_list) + array reductions
+# ---------------------------------------------------------------------------
+
+Q36_SQL = """
+SELECT l_orderkey,
+       list(l_quantity ORDER BY l_linenumber, l_quantity) AS quantities,
+       ROUND(list_max(list(l_quantity ORDER BY l_linenumber, l_quantity)), 2) AS max_qty,
+       ROUND(list_sum(list(l_quantity ORDER BY l_linenumber, l_quantity)), 2) AS total_qty
+FROM lineitem
+GROUP BY l_orderkey
+HAVING COUNT(*) >= 5
+ORDER BY l_orderkey
+"""
+
+
+@query("q36_order_quantity_arrays", Q36_SQL)
+def q36_order_quantity_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive collect: sort_array over (linenumber, qty)
+    structs then strip the key — deterministic without relying on
+    collect_list's undefined ordering."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = F.array_sort(F.collect_list(F.struct("l_linenumber", "l_quantity")))
+    qty = F.transform(pairs, lambda s: s["l_quantity"])
+    return (
+        li.groupBy("l_orderkey")
+        .agg(qty.alias("quantities"), F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 5)
+        .select(
+            "l_orderkey",
+            "quantities",
+            F.round(F.array_max("quantities"), 2).alias("max_qty"),
+            F.round(F.aggregate("quantities", F.lit(0.0), lambda a, x: a + x), 2).alias("total_qty"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# regexp_extract_all over part names
+# ---------------------------------------------------------------------------
+
+Q37_SQL = """
+SELECT p_partkey,
+       regexp_extract_all(p_name, '[a-z]+', 0) AS words,
+       len(regexp_extract_all(p_name, '[a-z]+', 0)) AS n_words
+FROM part
+WHERE p_partkey <= 500
+ORDER BY p_partkey
+"""
+
+
+@query("q37_part_name_tokens", Q37_SQL)
+def q37_part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_partkey") <= 500)
+        .select(
+            "p_partkey",
+            F.expr("regexp_extract_all(p_name, '[a-z]+', 0)").alias("words"),
+            F.size(F.expr("regexp_extract_all(p_name, '[a-z]+', 0)")).alias("n_words"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles per market segment
+# ---------------------------------------------------------------------------
+
+Q38_SQL = """
+SELECT c_mktsegment,
+       ROUND(quantile_cont(c_acctbal, 0.25), 4) AS q25,
+       ROUND(quantile_cont(c_acctbal, 0.50), 4) AS q50,
+       ROUND(quantile_cont(c_acctbal, 0.75), 4) AS q75
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("q38_segment_percentiles", Q38_SQL)
+def q38_segment_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolating) percentiles — the oracle-checkable twin;
+    at 100 TB swap percentile() for approx_percentile (t-digest sketch,
+    mergeable map-side) and accept sketch error."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("q25"),
+            F.round(F.expr("percentile(c_acctbal, 0.50)"), 4).alias("q50"),
+            F.round(F.expr("percentile(c_acctbal, 0.75)"), 4).alias("q75"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# max_by / arg_max: each customer's highest-value order
+# ---------------------------------------------------------------------------
+
+Q39_SQL = """
+SELECT o_custkey, o_orderkey AS best_order, ROUND(o_totalprice, 2) AS best_price
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
+@query("q39_best_order_per_customer", Q39_SQL)
+def q39_best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by with a (price, orderkey) compound ordering — tie-broken
+    deterministically, one map-side-combinable aggregate (vs the
+    row_number window alternative, which shuffles whole rows)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "max_by(o_orderkey, struct(o_totalprice, o_orderkey))"
+            ).alias("best_order"),
+            F.round(F.max("o_totalprice"), 2).alias("best_price"),
+        )
+        .orderBy("o_custkey")
+    )

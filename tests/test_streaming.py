@@ -162,3 +162,28 @@ def test_stateful_running_totals_final_state_matches_batch(spark, event_stream_d
     }
     assert final == want
     assert final[2][2] is True  # user 2 crossed the 1000 threshold
+
+
+def test_throughput_exceeds_reference_ceiling(spark, tmp_path):
+    """BASELINE.md: the only reference-derived perf obligation — the
+    DStream design capped at 600 records/s (3000 rec / 5 s batch on
+    local[2]); the engine must beat it on ingest+featurize+train."""
+    import time
+
+    n_files, per_file = 2, 5000
+    path = _wire_files(tmp_path, n_files=n_files, per_file=per_file, seed=11)
+    reg = ModelRegistry(str(tmp_path / "models_tp"))
+    trainer = StreamingTrainer(
+        model=IncrementalBernoulliNB(), registry=reg, key="nb_tp", stem=False
+    )
+    lines = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(path)
+    t0 = time.monotonic()
+    q = trainer.attach(lines, trigger_seconds=1, checkpoint=str(tmp_path / "ckpt_tp"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    wall = time.monotonic() - t0
+    rate = n_files * per_file / wall
+    assert len(trainer.history) == n_files
+    assert rate > 600, f"{rate:.0f} rec/s <= reference ceiling (600)"
