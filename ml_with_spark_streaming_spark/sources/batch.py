@@ -57,3 +57,49 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register each table as a temp view for the SQL API path."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Generic batch reader (SURVEY.md §2.5 file-format scans).
+
+    Schema is DECLARED, never inferred (the reference's per-batch
+    schema inference — PAC/passiveAgressiveModel.py:39 — is the bug
+    class this engine bans): pass a DDL string for csv/json. CSV/JSON
+    readers get corrupt-record quarantining via PERMISSIVE mode with a
+    _corrupt_record column rather than silent drops.
+    """
+    reader = spark.read.format(fmt)
+    if schema:
+        if fmt in ("csv", "json"):
+            schema = schema + ", _corrupt_record string"
+            reader = reader.option("mode", "PERMISSIVE").option(
+                "columnNameOfCorruptRecord", "_corrupt_record"
+            )
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(f"declare a schema for {fmt} reads — inference is banned")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned batch sink — partition columns become directory
+    keys, so downstream reads with filters on them prune files before
+    any IO (the 100 TB layout primitive)."""
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
