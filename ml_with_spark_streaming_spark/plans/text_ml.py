@@ -223,3 +223,64 @@ def q47_stemmed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.concat_ws(" ", "stemmed").alias("stemmed_text"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top term per document (smooth idf, sklearn-style)
+# ---------------------------------------------------------------------------
+
+Q48_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({CLEAN_SQL}, ' ')) AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok WHERE t <> '' GROUP BY doc_id, t),
+df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.t,
+         ROUND(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
+  FROM tf JOIN df USING (t) CROSS JOIN n
+)
+SELECT doc_id, t AS term, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t) AS rn
+  FROM scored
+) WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@query("q48_tfidf_top_terms", Q48_SQL)
+def q48_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top TF-IDF term, computed with built-ins only (the MLlib
+    IDF estimator produces hashed — unmappable — feature indices; this
+    keeps terms readable AND the whole plan oracle-checkable).
+    Shuffles: tf groupBy, df groupBy, one term-keyed join; the 1-row
+    doc count broadcasts."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens_expr(clean_text_expr("text"))).alias("t")
+    ).filter(F.col("t") != "")
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df, "t")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "t",
+            F.round(
+                F.col("tf") * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "t")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("t").alias("term"), "tfidf")
+        .orderBy("doc_id")
+    )

@@ -187,3 +187,54 @@ def test_throughput_exceeds_reference_ceiling(spark, tmp_path):
     rate = n_files * per_file / wall
     assert len(trainer.history) == n_files
     assert rate > 600, f"{rate:.0f} rec/s <= reference ceiling (600)"
+
+
+def test_socket_source_end_to_end(spark):
+    """S1 parity: a real TCP server feeding the socket source through
+    the wire parser to a memory sink."""
+    import socket
+    import threading
+    import time
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    payload = json.dumps(["4,streamed positive", "0,streamed negative"]) + "\n"
+
+    def serve():
+        conn, _ = server.accept()
+        try:
+            conn.sendall(payload.encode())
+            time.sleep(8)  # keep the connection up while Spark polls
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    from ml_with_spark_streaming_spark.streaming.sources import socket_stream
+    from ml_with_spark_streaming_spark.streaming.wire import parse_wire
+
+    parsed = parse_wire(socket_stream(spark, "127.0.0.1", port))
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("sock_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            if spark.sql("select * from sock_test").count() >= 2:
+                break
+            time.sleep(0.5)
+        rows = {
+            (r["label"], r["tweet"]) for r in spark.sql("select * from sock_test").collect()
+        }
+        assert ("4", "streamed positive") in rows
+        assert ("0", "streamed negative") in rows
+    finally:
+        q.stop()
+        server.close()
