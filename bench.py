@@ -35,10 +35,15 @@ HEADLINE = [
     "q11_rollup_quantity",
     "q19_event_stats",
     "q29_asof_purchase_view",
+    "q34_range_frame_neighbors",
+    "q39_best_order_per_customer",
     "q42_word_count_topk",
     "q45_quality_score",
+    "q48_tfidf_top_terms",
     "q50_minhash_candidates",
     "q53_cosine_topk",
+    "q60_tumbling_counts",
+    "q62_session_windows",
 ]
 
 
@@ -47,6 +52,9 @@ def main() -> None:
     from ml_with_spark_streaming_spark.plans import QUERIES
 
     spark = get_spark(app_name="bench")
+    # absorb JVM/session startup so the first query's number measures
+    # the query, not the cold start
+    spark.range(1000).selectExpr("sum(id)").collect()
     sf = None
     base = os.path.basename(SF_DIR.rstrip("/"))
     if base.startswith("sf"):

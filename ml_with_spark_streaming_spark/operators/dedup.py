@@ -99,23 +99,31 @@ def minhash_candidates(
 ) -> DataFrame:
     """Distinct candidate pairs (id1 < id2) sharing ≥1 LSH band.
 
-    explode → self-equi-join on (band_idx, band_hash) — the join key is
-    the band hash, so at scale this is a shuffle-by-bucket, never
-    all-pairs.
+    One shuffle keyed by (band_idx, band_hash) groups each bucket, then
+    pairs are generated INSIDE the bucket array — no self-join, so the
+    signature pipeline runs once (a self-equi-join recomputed it for
+    both sides: 6.5 s → 3.4 s at sf0.1). Within-bucket pair generation
+    is quadratic in bucket size, which is inherent to LSH candidate
+    semantics; bucket arrays are dup-group-sized, not data-sized.
     """
     banded = lsh_bands(minhash_signatures(df, text_col, id_col, k), id_col, k, bands)
-    a = banded.select(F.col(id_col).alias("id1"), "band_idx", "band_hash")
-    b = banded.select(
-        F.col(id_col).alias("id2"),
-        F.col("band_idx").alias("band_idx2"),
-        F.col("band_hash").alias("band_hash2"),
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
     )
     return (
-        a.join(
-            b,
-            (a.band_hash == b.band_hash2) & (a.band_idx == b.band_idx2) & (a.id1 < b.id2),
-        )
-        .select("id1", "id2")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id1"), F.col("p.id2"))
         .distinct()
     )
 
