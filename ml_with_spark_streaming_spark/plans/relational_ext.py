@@ -8,6 +8,8 @@ construct (max_by, collect_list) orders by a unique total ordering.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -300,4 +302,118 @@ def q39_best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("best_price"),
         )
         .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map functions: construct, merge, sort entries, stringify
+# ---------------------------------------------------------------------------
+
+Q49_SQL = """
+SELECT event_id,
+       'src=' || 'events' || ',type=' || event_type || ',uid=' || CAST(user_id AS VARCHAR)
+         AS map_repr,
+       3 AS n_keys
+FROM events
+WHERE event_id < 1000
+ORDER BY event_id
+"""
+
+
+@query("q49_map_functions", Q49_SQL)
+def q49_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map surface (create_map / map_concat / map_entries /
+    map_keys) — surfaced as a canonical sorted-entries string because
+    map column hashing is engine-specific; the oracle builds the same
+    string directly."""
+    e = _t(spark, sf_dir, "events")
+    m = F.map_concat(
+        F.create_map(F.lit("type"), F.col("event_type")),
+        F.create_map(F.lit("uid"), F.col("user_id").cast("string")),
+        F.create_map(F.lit("src"), F.lit("events")),
+    )
+    entries = F.array_sort(F.map_entries(m))
+    repr_ = F.concat_ws(
+        ",", F.transform(entries, lambda kv: F.concat(kv["key"], F.lit("="), kv["value"]))
+    )
+    return (
+        e.filter(F.col("event_id") < 1000)
+        .select("event_id", repr_.alias("map_repr"), F.size(F.map_keys(m)).alias("n_keys"))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDAF: geometric mean of event values
+# ---------------------------------------------------------------------------
+
+Q64_SQL = """
+SELECT event_type,
+       ROUND(exp(AVG(ln(value))), 4) AS geo_mean
+FROM events
+WHERE value > 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q64_grouped_agg_udaf", Q64_SQL)
+def q64_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDAF surface (SURVEY.md §2.5): an Arrow grouped-aggregate
+    pandas UDF. Geometric mean is deliberately also SQL-expressible
+    (exp∘avg∘ln) so even the Python-aggregate path stays under the
+    DuckDB oracle. At scale: grouped-agg pandas UDFs get no partial
+    aggregation — the whole group ships to one worker — so built-ins
+    remain the hot-path rule; this demonstrates the escape hatch."""
+    @F.pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(F.round(geo_mean("value"), 4).alias("geo_mean"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (lateral join): tokenize part names with positions
+# ---------------------------------------------------------------------------
+
+Q65_SQL = """
+SELECT p_partkey, u.w AS word, u.i AS pos
+FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws
+      FROM part WHERE p_partkey <= 200),
+     UNNEST(list_transform(generate_series(1, len(ws)),
+                           i -> {'w': ws[i], 'i': i})) AS t(u)
+ORDER BY p_partkey, pos
+"""
+
+
+@query("q65_udtf_lateral_tokens", Q65_SQL)
+def q65_udtf_lateral_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDTF surface (SURVEY.md §2.5): a Python table function in a
+    LATERAL join. This one is also expressible as posexplode (hence
+    oracle-checkable); real uses are row-expanding logic Python owns
+    (parsers, segmenters). Arrow-batched like any pandas UDF path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, pos int")
+    class TokenizeWithPos:
+        def eval(self, name: str):
+            for i, w in enumerate((name or "").split(" "), start=1):
+                yield w, i
+
+    spark.udtf.register("tokenize_with_pos", TokenizeWithPos)
+    _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200).createOrReplaceTempView(
+        "_part_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT p_partkey, t.word, t.pos
+        FROM _part_for_udtf, LATERAL tokenize_with_pos(p_name) t
+        ORDER BY p_partkey, pos
+        """
     )

@@ -41,17 +41,24 @@ def prepare_batch(
     df: DataFrame, stem: bool = True, num_features: int = 2500
 ) -> DataFrame:
     """clean → tokenize → stopwords → (stem) → hashed TF triple table
-    with columns (row_id, target, fi, cnt)."""
+    with columns (row_id, target, _holdout, fi, cnt).
+
+    row_id is unique per row (monotonically_increasing_id); _holdout is
+    a CONTENT hash of the text — the 80:20 split must not depend on
+    partition layout the way seeded randomSplit does, or held-out
+    metrics become irreproducible across runs (reference D3's seeded
+    split on a collected array had the same order-dependence bug)."""
     base = (
         df.filter(F.col("tweet").isNotNull())
         .withColumn("target", label_expr("label"))
         .filter(F.col("target").isNotNull())
         .withColumn("row_id", F.monotonically_increasing_id())
+        .withColumn("_holdout", F.pmod(F.hash("tweet"), F.lit(5)) == 0)
         .withColumn("toks", remove_stopwords_expr(tokens_expr(clean_text_expr("tweet"))))
     )
     if stem:
         base = base.withColumn("toks", stem_tokens_udf(F.col("toks")))
-    return hashed_features(base, "toks", "row_id", num_features, extra_cols=("target",))
+    return hashed_features(base, "toks", "row_id", num_features, extra_cols=("target", "_holdout"))
 
 
 @dataclass
@@ -111,12 +118,9 @@ class StreamingTrainer:
             feats.unpersist()
 
     def _split(self, feats: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """Deterministic 80:20 by row hash (reference: train_test_split
-        seed 42). Split on distinct row_ids so a row's features never
-        straddle both sides."""
-        ids = feats.select("row_id").distinct()
-        train_ids, test_ids = ids.randomSplit([1 - self.holdout, self.holdout], seed=self.seed)
-        return feats.join(train_ids, "row_id"), feats.join(test_ids, "row_id")
+        """Deterministic ~80:20 on the content-hash column (replaces
+        the reference's order-dependent seeded train_test_split, D3)."""
+        return feats.filter(~F.col("_holdout")), feats.filter(F.col("_holdout"))
 
     def _append_metrics(self, row: dict) -> None:
         """S6 mapping: append-only per-batch metrics record (CSV, same
