@@ -52,9 +52,13 @@ def main() -> None:
     from ml_with_spark_streaming_spark.plans import QUERIES
 
     spark = get_spark(app_name="bench")
-    # absorb JVM/session startup so the first query's number measures
-    # the query, not the cold start
+    # absorb JVM/codegen/parquet-reader warmup so the first query's
+    # number measures the query, not the cold start — warm on the
+    # smallest SF (different data, same code paths)
     spark.range(1000).selectExpr("sum(id)").collect()
+    QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
     sf = None
     base = os.path.basename(SF_DIR.rstrip("/"))
     if base.startswith("sf"):

@@ -230,3 +230,67 @@ def q57_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = synthesize_assets(d, "video")
     plan = frame_sample_plan(assets, every_ms=1000)
     return plan.groupBy("asset_id").agg(F.count("*").alias("n_frames")).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end fuzzy dedup: LSH candidates → exact Jaccard verification
+# ---------------------------------------------------------------------------
+
+Q58_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                        i -> array_to_string(t[i:i+2], ' ')) AS s
+  FROM toks
+),
+shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+                        i -> list_min(list_transform(s, x -> md5(x || '#' || CAST(i AS VARCHAR))))) AS sg
+  FROM shf
+),
+bands AS (
+  SELECT doc_id, j AS band_idx,
+         md5(array_to_string(sg[j*4+1:j*4+4], '|')) AS band_hash
+  FROM sig, UNNEST([0, 1, 2, 3]) AS t(j)
+),
+cand AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a
+  JOIN bands b ON a.band_hash = b.band_hash AND a.band_idx = b.band_idx AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+tsets AS (
+  SELECT doc_id, list_distinct(list_filter(string_split({CLEAN_SQL}, ' '), x -> x <> '')) AS ts
+  FROM documents
+),
+verified AS (
+  SELECT c.id1, c.id2,
+         ROUND(len(list_intersect(a.ts, b.ts)) * 1.0 /
+               (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) AS jaccard
+  FROM cand c
+  JOIN tsets a ON a.doc_id = c.id1
+  JOIN tsets b ON b.doc_id = c.id2
+)
+SELECT id1, id2, jaccard FROM verified
+WHERE jaccard >= 0.3
+ORDER BY id1, id2
+"""
+
+
+@query("q58_fuzzy_dedup_pipeline", Q58_SQL)
+def q58_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production fuzzy-dedup composition (SURVEY.md §7 step 8):
+    MinHash→LSH candidate generation followed by exact Jaccard
+    verification restricted to candidates — O(n·sig) + O(candidates),
+    never all-pairs. q50/q51 test the stages; this tests the pipeline."""
+    from ml_with_spark_streaming_spark.operators.dedup import jaccard_verify
+
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidates(d, "text", "doc_id", k=16, bands=4)
+    return jaccard_verify(cands, d, "text", "doc_id", threshold=0.3).orderBy("id1", "id2")
