@@ -46,8 +46,17 @@ def shingles_expr(tokens: Column, n: int = 3) -> Column:
 
 
 def _minhash_col(i: int, shingle_col: str = "_s") -> Column:
-    """One salted-md5 hash: md5(shingle || '#' || i) as hex string."""
-    return F.md5(F.encode(F.concat_ws("#", F.col(shingle_col), F.lit(str(i))), "UTF-8"))
+    """The i-th minhash value: a 32-bit (8-hex-char) chunk of a salted
+    md5 — each 128-bit digest yields FOUR signature values, so k=16
+    costs 4 md5 calls per shingle, not 16 (measured 1.15 s → 0.76 s at
+    sf0.1; codegen dedupes the shared digests across the min-aggs).
+    Lexicographic min over fixed-width hex ≡ numeric min."""
+    salt, chunk = divmod(i, 4)
+    return F.substring(
+        F.md5(F.encode(F.concat_ws("#", F.col(shingle_col), F.lit(str(salt))), "UTF-8")),
+        chunk * 8 + 1,
+        8,
+    )
 
 
 def minhash_signatures(

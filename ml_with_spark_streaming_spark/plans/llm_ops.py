@@ -50,7 +50,7 @@ shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
 sig AS (
   SELECT doc_id,
          list_transform(generate_series(0, 15),
-                        i -> list_min(list_transform(s, x -> md5(x || '#' || CAST(i AS VARCHAR))))) AS sg
+                        i -> list_min(list_transform(s, x -> substr(md5(x || '#' || CAST(i // 4 AS VARCHAR)), (i % 4) * 8 + 1, 8)))) AS sg
   FROM shf
 ),
 bands AS (
@@ -251,7 +251,7 @@ shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
 sig AS (
   SELECT doc_id,
          list_transform(generate_series(0, 15),
-                        i -> list_min(list_transform(s, x -> md5(x || '#' || CAST(i AS VARCHAR))))) AS sg
+                        i -> list_min(list_transform(s, x -> substr(md5(x || '#' || CAST(i // 4 AS VARCHAR)), (i % 4) * 8 + 1, 8)))) AS sg
   FROM shf
 ),
 bands AS (
