@@ -238,3 +238,61 @@ def test_socket_source_end_to_end(spark):
     finally:
         q.stop()
         server.close()
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics (SURVEY.md §5): a row arriving AFTER its
+    window was finalized and evicted must be dropped. (Spark's
+    guarantee is eviction-relative: a late row landing in the same
+    batch that finalizes the window is still included — that is the
+    watermark delay working as designed.)"""
+    d = tmp_path / "late_in"
+    d.mkdir()
+    batches = [
+        [
+            {"event_id": 0, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 1, "ts": "2024-01-01 10:30:00", "user_id": 1, "event_type": "click", "value": 1.0},
+            # sentinel: advances the watermark to 11:50 (> 11:00)
+            {"event_id": 2, "ts": "2024-01-01 12:00:00", "user_id": 9, "event_type": "view", "value": 1.0},
+        ],
+        [
+            # batch 2 runs with watermark 11:50 → finalizes + evicts the
+            # [10:00, 11:00) window at its end
+            {"event_id": 3, "ts": "2024-01-01 12:05:00", "user_id": 9, "event_type": "view", "value": 1.0},
+        ],
+        [
+            # LATE: arrives after eviction — must be dropped, not
+            # resurrect the closed window
+            {"event_id": 4, "ts": "2024-01-01 10:45:00", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 5, "ts": "2024-01-01 12:10:00", "user_id": 9, "event_type": "view", "value": 1.0},
+        ],
+    ]
+    import os
+    import time as _time
+
+    now = _time.time()
+    for i, batch in enumerate(batches):
+        p = d / f"b{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in batch) + "\n")
+        # FileStreamSource orders files by mtime — make the ordering
+        # explicit or the "late" file can land in an earlier batch
+        os.utime(p, (now + i * 10, now + i * 10))
+
+    stream = tumbling_counts(_read_event_stream(spark, str(d)), minutes=60, watermark="10 minutes")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")  # append only emits CLOSED windows
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = [
+            (str(r["window_start"]), r["event_type"], r["n"])
+            for r in spark.sql("select * from late_test").collect()
+            if r["event_type"] == "click"
+        ]
+    finally:
+        q.stop()
+    # exactly one emission for the click window, with only on-time rows
+    assert rows == [("2024-01-01 10:00:00", "click", 2)]
