@@ -80,7 +80,7 @@ Q51_SQL = f"""
 WITH dt AS (
   SELECT DISTINCT doc_id AS id, t
   FROM (SELECT doc_id, unnest(string_split({CLEAN_SQL}, ' ')) AS t
-        FROM documents WHERE length({CLEAN_SQL}) > 0)
+        FROM documents WHERE length({CLEAN_SQL}) > 0 AND doc_id < 1000)
   WHERE t <> ''
 ),
 sz AS (SELECT id, COUNT(*) AS n FROM dt GROUP BY id),
@@ -100,7 +100,11 @@ ORDER BY id1, id2
 
 @query("q51_jaccard_pairs", Q51_SQL)
 def q51_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    """Exact all-pairs Jaccard — quadratic by design, so the oracle
+    slice is CAPPED at 1000 docs (covers every doc at the correctness
+    SF; stays bounded at any SF). The unbounded scale path is
+    q58_fuzzy_dedup_pipeline (LSH candidates → verify)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return jaccard_pairs(d, "text", "doc_id", threshold=0.5).orderBy("id1", "id2")
 
 
@@ -168,7 +172,7 @@ Q54_SQL = f"""
 SELECT a.vec_id AS id1, b.vec_id AS id2,
        ROUND({_COS.format(a='a.embedding', b='b.embedding')}, 4) AS cosine
 FROM embeddings a
-JOIN embeddings b ON a.vec_id < b.vec_id
+JOIN embeddings b ON a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
 WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
 ORDER BY id1, id2
 """
@@ -176,7 +180,9 @@ ORDER BY id1, id2
 
 @query("q54_embedding_neardup", Q54_SQL)
 def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    """All-pairs cosine — quadratic oracle path capped at 1000 vectors
+    (every vector at the correctness SF). Scale path: q55 IVF."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     return neardup_pairs(e, threshold=0.4).orderBy("id1", "id2")
 
 
