@@ -417,3 +417,43 @@ def q65_udtf_lateral_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p_partkey, pos
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# approx_count_distinct: HLL sketch vs exact, tolerance asserted in-query
+# ---------------------------------------------------------------------------
+
+Q66_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q66_approx_count_distinct", Q66_SQL)
+def q66_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++, rsd=0.02) — sketches aren't
+    portable across engines, so the oracle-checked surface is the
+    exact count plus a boolean asserting the sketch landed within 5%
+    of it. At 100 TB the sketch is the point: mergeable, map-side
+    combinable, no distinct shuffle."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("event_type")
+    )

@@ -67,9 +67,10 @@ class StreamingTrainer:
 
     ``model`` is any of the ml/incremental learners (duck-typed:
     update/predict/get_state/set_state). Supervised models split each
-    batch 80:20 (seed 42, reference D3) and report held-out metrics;
-    KMeans trains on the full batch and reports the
-    permutation-invariant agreement (SURVEY.md §3 B fix).
+    batch ~80:20 on a content hash (reference D3's seeded split,
+    made layout-independent) and report held-out metrics; KMeans
+    trains on the full batch and reports the permutation-invariant
+    agreement (SURVEY.md §3 B fix).
     """
 
     model: object
@@ -77,8 +78,6 @@ class StreamingTrainer:
     key: str
     stem: bool = True
     supervised: bool = True
-    holdout: float = 0.2
-    seed: int = 42
     num_features: int = 2500
     history: list[dict] = field(default_factory=list)
     best_f1: float = 0.0
