@@ -457,3 +457,139 @@ def q66_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Six-table multi-way join (TPC-H Q5 shape): regional revenue
+# ---------------------------------------------------------------------------
+
+Q67_SQL = """
+SELECT r_name AS region, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+@query("q67_regional_revenue_6way", Q67_SQL)
+def q67_regional_revenue_6way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact-fact join (orders⋈lineitem) shuffles on its
+    key; supplier/nation/region ride as broadcasts. Catalyst reorders
+    freely because the plan is declarative."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1995-01-01")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# OR-of-ANDs predicates (TPC-H Q19 shape): pushdown across disjunctions
+# ---------------------------------------------------------------------------
+
+Q68_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@query("q68_or_predicate_revenue", Q68_SQL)
+def q68_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctions across BOTH join
+    sides — Catalyst derives the single-side implications (brand/size
+    on part, quantity on lineitem) and pushes them below the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#5")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed ratio: customers spending > 2x their segment average
+# ---------------------------------------------------------------------------
+
+Q69_SQL = """
+WITH spend AS (
+  SELECT c_custkey, c_mktsegment, SUM(o_totalprice) AS total
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_mktsegment
+)
+SELECT c_custkey, c_mktsegment,
+       ROUND(total, 2) AS total_spend,
+       ROUND(total / AVG(total) OVER (PARTITION BY c_mktsegment), 4) AS vs_segment
+FROM spend
+QUALIFY total > 2 * AVG(total) OVER (PARTITION BY c_mktsegment)
+ORDER BY c_custkey
+"""
+
+
+@query("q69_big_spenders_vs_segment", Q69_SQL)
+def q69_big_spenders_vs_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate → window-over-aggregate → filter on the window value
+    (QUALIFY shape). One shuffle for the groupBy, one for the segment
+    window — both on small (per-customer) data after the fact-side
+    reduction."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    w = W.partitionBy("c_mktsegment")
+    return (
+        spend.withColumn("_seg_avg", F.avg("total").over(w))
+        .filter(F.col("total") > 2 * F.col("_seg_avg"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round("total", 2).alias("total_spend"),
+            F.round(F.col("total") / F.col("_seg_avg"), 4).alias("vs_segment"),
+        )
+        .orderBy("c_custkey")
+    )
