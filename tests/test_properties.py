@@ -1,0 +1,80 @@
+"""Property-style equivalence: the engine's Column expressions vs
+pure-Python reference models over generated inputs (one Spark job per
+test — examples are batched into a single DataFrame, not run
+per-example)."""
+
+from __future__ import annotations
+
+import json
+import random
+import re
+import string
+
+from pyspark.sql import functions as F
+
+from ml_with_spark_streaming_spark.functions.text import clean_text_expr, tokens_expr
+from ml_with_spark_streaming_spark.streaming.wire import parse_wire
+
+_CHARS = (
+    string.ascii_letters
+    + string.digits
+    + " \t\n@#&,.:;!?'\"()-_/🙂é漢"
+    + "://"
+)
+
+
+def _rand_strings(n=300, seed=1234):
+    rnd = random.Random(seed)
+    out = []
+    for _ in range(n):
+        ln = rnd.randrange(0, 60)
+        out.append("".join(rnd.choice(_CHARS) for _ in range(ln)))
+    # adversarial fixed cases
+    out += [
+        "", " ", "@only #tags &here", "http://u.rl only", "a,b,c",
+        "ftp://x\t\nmix 123", "ALLCAPS lower", "@a" * 30,
+    ]
+    return out
+
+
+def _py_clean(text: str) -> str:
+    t = re.sub(r"[@#&][A-Za-z0-9-]+", " ", text)
+    t = re.sub(r"\w+://\S+", " ", t)
+    t = re.sub(r"[^A-Za-z]", " ", t)
+    t = re.sub(r"\s+", " ", t)
+    return t.lower().strip()
+
+
+def test_clean_text_matches_python_model(spark):
+    data = _rand_strings()
+    df = spark.createDataFrame([(s,) for s in data], "t string")
+    got = [r["c"] for r in df.select(clean_text_expr("t").alias("c")).collect()]
+    want = [_py_clean(s) for s in data]
+    assert got == want
+
+
+def test_tokens_match_python_model(spark):
+    data = _rand_strings(seed=99)
+    df = spark.createDataFrame([(s,) for s in data], "t string")
+    got = [r["k"] for r in df.select(tokens_expr(clean_text_expr("t")).alias("k")).collect()]
+    want = [(_py_clean(s).split(" ") if _py_clean(s) else []) for s in data]
+    assert got == want
+
+
+def test_wire_roundtrip_generated_payloads(spark):
+    rnd = random.Random(7)
+    payload_records = []
+    lines = []
+    for _ in range(40):
+        recs = []
+        for _ in range(rnd.randrange(1, 6)):
+            label = rnd.choice(["0", "4"])
+            # text may contain commas and unicode — split is first-comma-only
+            text = "".join(rnd.choice(_CHARS.replace("\n", "")) for _ in range(rnd.randrange(0, 30)))
+            recs.append(f"{label},{text}")
+            payload_records.append((label, text))
+        lines.append(json.dumps(recs))
+    df = spark.createDataFrame([(line,) for line in lines], "value string")
+    parsed = parse_wire(df).filter(F.col("error").isNull())
+    got = sorted((r["label"], r["tweet"]) for r in parsed.collect())
+    assert got == sorted(payload_records)
