@@ -593,3 +593,40 @@ def q69_big_spenders_vs_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt: wide per-type stats → long (metric, value) rows
+# ---------------------------------------------------------------------------
+
+Q75_SQL = """
+WITH wide AS (
+  SELECT event_type,
+         ROUND(AVG(value), 4) AS avg_value,
+         ROUND(MIN(value), 4) AS min_value,
+         ROUND(MAX(value), 4) AS max_value
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type, metric, value
+FROM wide UNPIVOT (value FOR metric IN (avg_value, min_value, max_value))
+ORDER BY event_type, metric
+"""
+
+
+@query("q75_unpivot_event_stats", Q75_SQL)
+def q75_unpivot_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshape surface: wide→long via DataFrame.unpivot (melt) — the
+    inverse of q20's pivot. Narrow op, no shuffle beyond the agg."""
+    e = _t(spark, sf_dir, "events")
+    wide = e.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+    return wide.unpivot(
+        ids=["event_type"],
+        values=["avg_value", "min_value", "max_value"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("event_type", "metric")
