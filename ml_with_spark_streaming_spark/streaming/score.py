@@ -46,9 +46,18 @@ class StreamingScorer:
         m = binary_metrics(pred)
         self.history.append({"batch_id": batch_id, "batchsize": m.n, **m.as_row()})
 
-    def attach(self, lines: DataFrame, trigger_seconds: int = 5) -> StreamingQuery:
+    def attach(
+        self, lines: DataFrame, trigger_seconds: int = 5, console: bool = False
+    ) -> StreamingQuery:
+        """``console=True`` additionally prints each scored batch's
+        metrics (S9 mapping — the reference's df.show / print(cm))."""
+        def _body(batch_df: DataFrame, batch_id: int) -> None:
+            self.process_batch(batch_df, batch_id)
+            if console and self.history:
+                print(f"[score batch {batch_id}] {self.history[-1]}")
+
         return (
-            lines.writeStream.foreachBatch(self.process_batch)
+            lines.writeStream.foreachBatch(_body)
             .trigger(processingTime=f"{trigger_seconds} seconds")
             .outputMode("update")
             .start()

@@ -296,3 +296,34 @@ def test_watermark_drops_late_events(spark, tmp_path):
         q.stop()
     # exactly one emission for the click window, with only on-time rows
     assert rows == [("2024-01-01 10:00:00", "click", 2)]
+
+
+def test_scorer_replays_frozen_model(spark, tmp_path):
+    """Entry point C: train via the streaming loop, freeze the best
+    checkpoint, score a replay with a fresh model object."""
+    from ml_with_spark_streaming_spark.streaming.score import StreamingScorer
+
+    path = _wire_files(tmp_path, n_files=2, per_file=80, seed=21)
+    reg = ModelRegistry(str(tmp_path / "models_sc"))
+    trainer = StreamingTrainer(
+        model=IncrementalBernoulliNB(), registry=reg, key="nb_sc", stem=False
+    )
+    lines = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(path)
+    q = trainer.attach(lines, trigger_seconds=1, checkpoint=str(tmp_path / "ck_sc"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    scorer = StreamingScorer.from_registry(
+        IncrementalBernoulliNB(), reg, "nb_sc", best=True, stem=False
+    )
+    lines2 = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(path)
+    q2 = scorer.attach(lines2, trigger_seconds=1)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert len(scorer.history) == 2
+    # the frozen model scores the (fully separable) replay perfectly
+    assert all(h["f1"] == 1.0 for h in scorer.history)
