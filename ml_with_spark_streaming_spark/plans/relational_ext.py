@@ -630,3 +630,47 @@ def q75_unpivot_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).orderBy("event_type", "metric")
+
+
+# ---------------------------------------------------------------------------
+# Null semantics: null-safe equality join + coalesce/nullif
+# ---------------------------------------------------------------------------
+
+Q76_SQL = """
+WITH l AS (
+  SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS pri
+  FROM orders WHERE o_orderkey <= 2000
+),
+r AS (
+  SELECT DISTINCT NULLIF(o_orderpriority, '3-MEDIUM') AS pri, 1 AS matched
+  FROM orders
+)
+SELECT COALESCE(l.pri, 'none') AS priority,
+       COUNT(*) AS n,
+       SUM(r.matched) AS n_matched
+FROM l JOIN r ON l.pri IS NOT DISTINCT FROM r.pri
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q76_null_safe_join", Q76_SQL)
+def q76_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics surface: NULLIF manufactures nulls, the join uses
+    null-safe equality (<=> / IS NOT DISTINCT FROM — nulls DO match
+    nulls, unlike plain =), COALESCE restores a display value."""
+    o = _t(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey", F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("pri")
+    )
+    right = (
+        o.select(F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("pri"))
+        .distinct()
+        .withColumn("matched", F.lit(1))
+    )
+    return (
+        left.join(right, left["pri"].eqNullSafe(right["pri"]))
+        .groupBy(F.coalesce(left["pri"], F.lit("none")).alias("priority"))
+        .agg(F.count("*").alias("n"), F.sum("matched").alias("n_matched"))
+        .orderBy("priority")
+    )

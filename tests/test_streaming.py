@@ -327,3 +327,60 @@ def test_scorer_replays_frozen_model(spark, tmp_path):
     assert len(scorer.history) == 2
     # the frozen model scores the (fully separable) replay perfectly
     assert all(h["f1"] == 1.0 for h in scorer.history)
+
+
+def test_streaming_session_windows_close_and_match_batch(spark, tmp_path):
+    """Session windows in append mode: sessions finalized by the
+    watermark must equal the batch twin's rows for the same span."""
+    from ml_with_spark_streaming_spark.streaming.windows import session_windows
+
+    d = tmp_path / "sess_in"
+    d.mkdir()
+    batches = [
+        [
+            # user 1: two sessions separated by a >5min gap
+            {"event_id": 0, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 1, "ts": "2024-01-01 10:02:00", "user_id": 1, "event_type": "click", "value": 2.0},
+            {"event_id": 2, "ts": "2024-01-01 10:20:00", "user_id": 1, "event_type": "click", "value": 3.0},
+        ],
+        [
+            # sentinel advances watermark far past both sessions
+            {"event_id": 3, "ts": "2024-01-01 12:00:00", "user_id": 9, "event_type": "view", "value": 0.0},
+        ],
+        [
+            {"event_id": 4, "ts": "2024-01-01 12:05:00", "user_id": 9, "event_type": "view", "value": 0.0},
+        ],
+    ]
+    import os
+    import time as _time
+
+    now = _time.time()
+    for i, batch in enumerate(batches):
+        p = d / f"b{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in batch) + "\n")
+        os.utime(p, (now + i * 10, now + i * 10))
+
+    stream = session_windows(_read_event_stream(spark, str(d)), gap_minutes=5)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r["session_start"]), r["user_id"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("select * from sess_test where user_id = 1").collect()
+        }
+    finally:
+        q.stop()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    batch_df = spark.read.schema(schema).json(str(d))
+    want = {
+        (str(r["session_start"]), r["user_id"]): (r["n_events"], r["sum_value"])
+        for r in session_windows(batch_df, gap_minutes=5).filter(F.col("user_id") == 1).collect()
+    }
+    # both of user 1's sessions were closed by the watermark and match batch
+    assert got == want
+    assert len(got) == 2
