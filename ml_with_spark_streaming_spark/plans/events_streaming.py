@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 
 from ml_with_spark_streaming_spark.plans.registry import query
 from ml_with_spark_streaming_spark.sources.batch import load_table
+from ml_with_spark_streaming_spark.streaming.joins import (
+    dedup_within_watermark,
+    interval_join,
+)
 from ml_with_spark_streaming_spark.streaming.windows import (
     session_windows,
     sliding_user_activity,
@@ -165,4 +169,85 @@ def q63_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("value") > 1000.0).alias("alert"),
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join — batch twin (click → purchase attribution)
+# ---------------------------------------------------------------------------
+
+Q77_SQL = """
+SELECT
+  c.event_id AS l_event_id,
+  p.event_id AS r_event_id,
+  c.user_id  AS l_key,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS l_ts_s,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS r_ts_s,
+  ROUND(p.value, 2) AS r_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts < c.ts + INTERVAL '30 minutes'
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+ORDER BY l_event_id, r_event_id
+"""
+
+
+@query("q77_interval_join_attribution", Q77_SQL)
+def q77_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/joins.py::interval_join — purchases
+    attributed to any click by the same user in the preceding 30 min.
+    The identical plan runs as a watermarked stream-stream join (the
+    reference has no joins at all, SURVEY.md §2.5); the time bound is
+    what lets Spark GC join state at scale."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    j = interval_join(clicks, purchases, within_minutes=30)
+    return j.select(
+        "l_event_id",
+        "r_event_id",
+        "l_key",
+        F.date_format("l_ts", _FMT).alias("l_ts_s"),
+        F.date_format("r_ts", _FMT).alias("r_ts_s"),
+        F.round("r_value", 2).alias("r_value"),
+    ).orderBy("l_event_id", "r_event_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup — batch twin (at-least-once replay repaired to exactly-once)
+# ---------------------------------------------------------------------------
+
+Q78_SQL = """
+WITH dup AS (
+  SELECT * FROM events
+  UNION ALL
+  SELECT * FROM events WHERE event_id % 7 = 0
+),
+ded AS (
+  SELECT DISTINCT * FROM dup
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM ded
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q78_dedup_replayed_events", Q78_SQL)
+def q78_dedup_replayed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/joins.py::dedup_within_watermark — an
+    at-least-once source replays ~1/7 of events; dedup by event_id
+    restores exactly-once counts (duplicate rows are full-row
+    identical, so DISTINCT * is a valid oracle for key-dedup)."""
+    e = load_table(spark, sf_dir, "events")
+    replayed = e.unionAll(e.filter(F.col("event_id") % 7 == 0))
+    ded = dedup_within_watermark(replayed)
+    return (
+        ded.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_type")
     )

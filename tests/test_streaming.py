@@ -384,3 +384,168 @@ def test_streaming_session_windows_close_and_match_batch(spark, tmp_path):
     # both of user 1's sessions were closed by the watermark and match batch
     assert got == want
     assert len(got) == 2
+
+
+def _write_mtime_ordered(d, batches):
+    """Write one jsonl file per batch with strictly increasing mtimes
+    (FileStreamSource orders batches by mtime)."""
+    import os
+    import time as _time
+
+    d.mkdir(exist_ok=True)
+    now = _time.time()
+    paths = []
+    for i, batch in enumerate(batches):
+        p = d / f"b{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in batch) + "\n")
+        os.utime(p, (now + i * 10, now + i * 10))
+        paths.append(p)
+    return paths
+
+
+def _ev(eid, ts, uid, etype, value):
+    return {"event_id": eid, "ts": ts, "user_id": uid, "event_type": etype, "value": value}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join: replaying both sides
+    through file sources yields exactly the batch join's rows."""
+    from ml_with_spark_streaming_spark.streaming.joins import interval_join
+
+    clicks = [
+        [_ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+         _ev(1, "2024-01-01 10:10:00", 2, "click", 1.0)],
+        [_ev(2, "2024-01-01 11:00:00", 1, "click", 1.0)],
+    ]
+    purchases = [
+        [_ev(10, "2024-01-01 10:05:00", 1, "purchase", 50.0),   # joins click 0
+         _ev(11, "2024-01-01 10:45:00", 2, "purchase", 60.0)],  # > 30 min after click 1: no
+        [_ev(12, "2024-01-01 11:20:00", 1, "purchase", 70.0),   # joins click 2
+         _ev(13, "2024-01-01 12:00:00", 3, "purchase", 80.0)],  # no click: no
+    ]
+    cd, pd_ = tmp_path / "clicks", tmp_path / "purch"
+    _write_mtime_ordered(cd, clicks)
+    _write_mtime_ordered(pd_, purchases)
+
+    joined = interval_join(
+        _read_event_stream(spark, str(cd)), _read_event_stream(spark, str(pd_))
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["l_event_id"], r["r_event_id"])
+            for r in spark.sql("select * from ssj_test").collect()
+        }
+    finally:
+        q.stop()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    want = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in interval_join(
+            spark.read.schema(schema).json(str(cd)),
+            spark.read.schema(schema).json(str(pd_)),
+        ).collect()
+    }
+    assert got == want == {(0, 10), (2, 12)}
+
+
+def test_streaming_dedup_suppresses_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate event_id replayed in
+    a LATER micro-batch (inside the watermark horizon) is suppressed."""
+    from ml_with_spark_streaming_spark.streaming.joins import dedup_within_watermark
+
+    batches = [
+        [_ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+         _ev(1, "2024-01-01 10:01:00", 1, "view", 2.0)],
+        [_ev(1, "2024-01-01 10:01:00", 1, "view", 2.0),   # exact replay of id 1
+         _ev(2, "2024-01-01 10:02:00", 2, "click", 3.0)],
+        [_ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),  # replay of id 0
+         _ev(3, "2024-01-01 10:03:00", 2, "view", 4.0)],
+    ]
+    d = tmp_path / "dup_in"
+    _write_mtime_ordered(d, batches)
+    ded = dedup_within_watermark(_read_event_stream(spark, str(d)))
+    q = (
+        ded.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ids = [r["event_id"] for r in spark.sql("select * from dedup_test").collect()]
+    finally:
+        q.stop()
+    assert sorted(ids) == [0, 1, 2, 3]  # each exactly once
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill + restart from checkpoint: the restarted query resumes the
+    watermark/window state and the file sink stays exactly-once — no
+    closed window is re-emitted, none is lost (the reference's
+    filesystem-pickle 'recovery' replays whole batches)."""
+    from ml_with_spark_streaming_spark.streaming.windows import tumbling_counts
+
+    d = tmp_path / "ckpt_in"
+    out = str(tmp_path / "ckpt_out")
+    ck = str(tmp_path / "ckpt_state")
+    phase1 = [
+        [_ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+         _ev(1, "2024-01-01 10:30:00", 1, "click", 1.0)],
+        # advances watermark to 11:50 → next batch closes [10:00, 11:00)
+        [_ev(2, "2024-01-01 12:00:00", 9, "view", 1.0)],
+        [_ev(3, "2024-01-01 12:05:00", 9, "view", 1.0)],
+    ]
+    paths1 = _write_mtime_ordered(d, phase1)
+
+    def run():
+        stream = tumbling_counts(_read_event_stream(spark, str(d)), minutes=60)
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+
+    q = run()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # phase 2: more files appear after the "crash"; restart from ckpt
+    import os
+    import time as _time
+
+    base = _time.time() + 1000
+    phase2 = [
+        [_ev(4, "2024-01-01 14:00:00", 9, "view", 1.0)],  # closes the 12:00 window
+        [_ev(5, "2024-01-01 16:00:00", 9, "view", 1.0)],  # closes the 14:00 window
+    ]
+    for i, batch in enumerate(phase2):
+        p = d / f"c{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in batch) + "\n")
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    q2 = run()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(out).collect()
+    emitted = sorted((str(r["window_start"]), r["event_type"], r["n"]) for r in rows)
+    # every closed window exactly once, across the restart boundary
+    assert emitted == [
+        ("2024-01-01 10:00:00", "click", 2),
+        ("2024-01-01 12:00:00", "view", 2),
+        ("2024-01-01 14:00:00", "view", 1),
+    ]
+    assert len(paths1) == 3
