@@ -242,6 +242,50 @@ def simhash_hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def mllib_minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """Fuzzy-dedup via MLlib's built-in ``MinHashLSH.approxSimilarityJoin``
+    — the alternate path to the hand-rolled md5 MinHash above
+    (minhash_candidates → jaccard_verify).
+
+    Token sets → binary HashingTF vectors → MinHashLSH; the approx
+    join buckets by hash tables (OR-amplified) and computes EXACT
+    Jaccard distance on candidates only, so values agree with
+    jaccard_pairs wherever both report a pair (asserted in tests).
+    Candidate recall is approximate by construction → rows-only check.
+    Columns: id1, id2, jaccard (rounded 4).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.array_remove(tokens_expr(clean_text_expr(text_col)), "")
+        ).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    feat = HashingTF(
+        inputCol="_toks", outputCol="_features", numFeatures=num_features, binary=True
+    ).transform(toks)
+    model = MinHashLSH(
+        inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=42
+    ).fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="_dist")
+    return (
+        pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id1"),
+            F.col(f"datasetB.{id_col}").alias("id2"),
+            F.round(1.0 - F.col("_dist"), 4).alias("jaccard"),
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id representative per key; one hash-shuffle.
     Columns: <id_col> (kept id), group_size."""

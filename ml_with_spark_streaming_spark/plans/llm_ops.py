@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ml_with_spark_streaming_spark.operators.dedup import (
     jaccard_pairs,
     minhash_candidates,
+    mllib_minhash_pairs,
     simhash_fingerprints,
 )
 from ml_with_spark_streaming_spark.operators.multimodal import (
@@ -130,6 +131,24 @@ def q52_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2", "hamming")
         .orderBy("id1", "id2")
     )
+
+
+# ---------------------------------------------------------------------------
+# MLlib MinHashLSH — built-in alternate to the md5 MinHash path
+# ---------------------------------------------------------------------------
+
+
+@query("q59_mllib_minhash_pairs")  # no oracle: LSH candidate recall is approximate
+def q59_mllib_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib ``MinHashLSH.approxSimilarityJoin`` fuzzy-dedup (the
+    built-in counterpart of q50/q58's hand-rolled pipeline). Jaccard
+    values on reported pairs are exact (tests cross-check them against
+    jaccard_pairs); which candidates surface is hash-dependent →
+    rows-only check. Threshold 0.9: the synthetic docs draw from a
+    small vocabulary, so ~74% of all pairs clear J>=0.5 — 0.9 keeps
+    the distance cut doing real work."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return mllib_minhash_pairs(d, "text", "doc_id", threshold=0.9).orderBy("id1", "id2")
 
 
 # ---------------------------------------------------------------------------

@@ -73,3 +73,20 @@ def test_exact_dedup_groups(docs):
     assert out[1] == 2  # docs 1 and 4 collapse, min-id representative kept
     assert out[2] == 1 and out[3] == 1
     assert 4 not in out
+
+
+def test_mllib_minhash_agrees_with_exact_jaccard(docs):
+    from ml_with_spark_streaming_spark.operators.dedup import mllib_minhash_pairs
+
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in mllib_minhash_pairs(docs, threshold=0.5, num_hash_tables=10).collect()
+    }
+    exact = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # the exact dup always survives every hash table; values are exact
+    assert (1, 4) in got and got[(1, 4)] == 1.0
+    for pair, j in got.items():
+        assert exact[pair] == pytest.approx(j, abs=1e-4)
