@@ -674,3 +674,92 @@ def q76_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("matched").alias("n_matched"))
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join — both-sided non-matches surfaced with COALESCE
+# ---------------------------------------------------------------------------
+
+Q79_SQL = """
+WITH l AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+r AS (
+  SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT
+  COALESCE(l.c_custkey, r.o_custkey) AS custkey,
+  l.c_custkey IS NOT NULL AS in_segment,
+  r.o_custkey IS NOT NULL AS has_orders,
+  COALESCE(r.n_orders, 0) AS n_orders,
+  COALESCE(r.spend, 0.0) AS spend
+FROM l FULL OUTER JOIN r ON l.c_custkey = r.o_custkey
+ORDER BY custkey
+"""
+
+
+@query("q79_full_outer_customer_orders", Q79_SQL)
+def q79_full_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER completes the join-type surface (inner q02, semi q04,
+    anti q05, as-of q29, range q30, null-safe q76): BUILDING customers
+    with no orders surface left-only, other segments' orders right-only.
+    Full outer can't broadcast — Catalyst picks sort-merge; both sides
+    shuffle on the key, which is the correct 100 TB plan."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_name")
+    r = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    j = l.join(r, l["c_custkey"] == r["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce(l["c_custkey"], r["o_custkey"]).alias("custkey"),
+        l["c_custkey"].isNotNull().alias("in_segment"),
+        r["o_custkey"].isNotNull().alias("has_orders"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("spend", F.lit(0.0)).alias("spend"),
+    ).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates: correlation, covariance, variance, regression
+# ---------------------------------------------------------------------------
+
+Q80_SQL = """
+SELECT
+  l_returnflag,
+  COUNT(*) AS n,
+  ROUND(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+  ROUND(covar_pop(l_quantity, l_extendedprice), 2)  AS covar_pop_qp,
+  ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_samp_qp,
+  ROUND(stddev_samp(l_quantity), 4)                 AS sd_qty,
+  ROUND(var_pop(l_quantity), 4)                     AS var_qty,
+  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+  ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q80_stats_aggregates", Q80_SQL)
+def q80_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-moment aggregates (corr/covar/var/regr): all single-pass,
+    map-side-combinable HashAggregates — one shuffle of 3-field
+    moment buffers per group, nothing data-sized moves."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_pop_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_samp_qp"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_pop("l_quantity"), 4).alias("var_qty"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
+        )
+        .orderBy("l_returnflag")
+    )
