@@ -44,6 +44,8 @@ HEADLINE = [
     "q53_cosine_topk",
     "q60_tumbling_counts",
     "q62_session_windows",
+    "q77_interval_join_attribution",
+    "q80_stats_aggregates",
 ]
 
 

@@ -103,3 +103,30 @@ def write_partitioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: tuple[str, ...],
+    num_buckets: int = 32,
+    sort_by: tuple[str, ...] = (),
+    path: str | None = None,
+) -> None:
+    """Bucketed managed-table sink — the co-located-join layout
+    primitive (SURVEY.md §2.5 'bucketing for co-located joins').
+
+    Rows are hash-distributed into ``num_buckets`` files per partition
+    by ``bucket_by``; Spark records the layout in the catalog. A join
+    or groupBy on the bucket key between tables bucketed the same way
+    then runs with NO Exchange — at 100 TB that deletes the dominant
+    shuffle of fact-to-fact joins (asserted on plans in
+    tests/test_sources.py). ``sort_by`` additionally pre-sorts within
+    buckets so sort-merge join skips its Sort.
+    """
+    writer = df.write.format("parquet").mode("overwrite").bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)

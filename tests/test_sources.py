@@ -43,3 +43,31 @@ def test_partitioned_write_prunes(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(l_returnflag" in plan  # pruned at planning
     assert back.count() == li.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_bucketed_join_and_agg_have_no_shuffle(spark, tmp_path):
+    """Tables bucketed on the join key co-locate: the join and a
+    groupBy on the bucket key must plan WITHOUT any Exchange (shuffle),
+    which is the point of bucketing at scale."""
+    from ml_with_spark_streaming_spark.sources.batch import write_bucketed
+
+    left = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 500).selectExpr("id AS k", "id * 3 AS b")
+    write_bucketed(left, "t_left_b", ("k",), num_buckets=8, sort_by=("k",), path=str(tmp_path / "lb"))
+    write_bucketed(right, "t_right_b", ("k",), num_buckets=8, sort_by=("k",), path=str(tmp_path / "rb"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_left_b").join(spark.table("t_right_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 500
+
+        g = spark.table("t_left_b").groupBy("k").count()
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in gplan, gplan
+        assert g.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_left_b")
+        spark.sql("DROP TABLE IF EXISTS t_right_b")
