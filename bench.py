@@ -42,6 +42,7 @@ HEADLINE = [
     "q48_tfidf_top_terms",
     "q50_minhash_candidates",
     "q53_cosine_topk",
+    "q81_cosine_topk_arrow",
     "q60_tumbling_counts",
     "q62_session_windows",
     "q77_interval_join_attribution",

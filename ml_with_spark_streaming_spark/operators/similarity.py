@@ -64,6 +64,63 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def brute_force_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul — the
+    vectorized twin of brute_force_topk (same results, same oracle).
+
+    The query set (bounded, dim-table-sized) is collected once and
+    broadcast; each corpus partition computes one BLAS matmul
+    (batch × dim) @ (dim × n_queries) per Arrow batch and emits only
+    its partial top-(3k) rows per query — a combine-style pushdown, so
+    the final window ranks |partitions|·3k rows per query instead of
+    the whole corpus. 3k slack makes rounding-boundary omissions at
+    the partial cut impossible in practice (final rank ties break on
+    ROUND(cos,4) then id, matching the oracle).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(q_id, q_vec).collect()
+    qids = np.array([r[q_id] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[q_vec], dtype=np.float64) for r in qrows])
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, qm))
+    keep = 3 * k
+
+    def part(batches):
+        qi, qn = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[c_vec]])
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ qn.T  # (batch, n_queries)
+            ids = pdf[c_id].to_numpy()
+            out = []
+            for j in range(len(qi)):
+                mask = ids != qi[j]
+                s, cid = sims[mask, j], ids[mask]
+                if len(s) > keep:
+                    sel = np.argpartition(-s, keep - 1)[:keep]
+                    s, cid = s[sel], cid[sel]
+                out.append(pd.DataFrame({q_id: qi[j], c_id: cid, "_cos": s}))
+            if out:
+                yield pd.concat(out)
+
+    partial = corpus.mapInPandas(part, f"{q_id} long, {c_id} long, _cos double")
+    scored = partial.select(q_id, c_id, F.round("_cos", 4).alias("cosine"))
+    w = W.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -25,6 +25,7 @@ from ml_with_spark_streaming_spark.operators.multimodal import (
 )
 from ml_with_spark_streaming_spark.operators.similarity import (
     brute_force_topk,
+    brute_force_topk_arrow,
     ivf_topk,
     neardup_pairs,
 )
@@ -185,6 +186,18 @@ def q53_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return brute_force_topk(queries, e, k=10).orderBy("q_id", "rank")
+
+
+@query("q81_cosine_topk_arrow", Q53_SQL)
+def q81_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q53's exact computation on the Arrow/BLAS path (numpy matmul in
+    mapInPandas with partial top-k pushdown) — same oracle SQL, so the
+    driver verifies both formulations agree bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return brute_force_topk_arrow(queries, e, k=10).orderBy("q_id", "rank")
 
 
 Q54_SQL = f"""

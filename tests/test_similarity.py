@@ -1,0 +1,77 @@
+"""Similarity-search operators: the HOF and Arrow/BLAS formulations
+must agree exactly (same oracle), and IVF recall is sane."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_with_spark_streaming_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_arrow,
+    ivf_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rnd = random.Random(7)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _queries(vectors):
+    return vectors.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+def test_arrow_topk_equals_hof_topk(vectors):
+    hof = {
+        (r["q_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(_queries(vectors), vectors, k=10).collect()
+    }
+    arrow = {
+        (r["q_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in brute_force_topk_arrow(_queries(vectors), vectors, k=10).collect()
+    }
+    assert hof == arrow
+    assert len(hof) == 50  # 5 queries × k=10
+
+
+def test_ivf_topk_overlaps_exact(vectors):
+    """IVF with all centroids probed degenerates to exact; with fewer
+    probes it must still recover most of the true top-k."""
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in brute_force_topk(_queries(vectors), vectors, k=10).collect()
+    }
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_topk(_queries(vectors), vectors, k=10, n_centroids=8, nprobe=8).collect()
+    }
+    # probing every bucket = exhaustive search
+    assert approx == exact
+    partial = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_topk(_queries(vectors), vectors, k=10, n_centroids=8, nprobe=4).collect()
+    }
+    recall = len(partial & exact) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_cosine_is_exact(vectors, spark):
+    """Spot-check one pair against driver-side math."""
+    rows = {r["vec_id"]: r["embedding"] for r in vectors.filter(F.col("vec_id") < 2).collect()}
+    a, b = rows[0], rows[1]
+    dot = sum(x * y for x, y in zip(a, b))
+    want = round(dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))), 4)
+    got = {
+        r["vec_id"]: r["cosine"]
+        for r in brute_force_topk_arrow(
+            _queries(vectors).filter(F.col("q_id") == 0), vectors.filter(F.col("vec_id") <= 1), k=1
+        ).collect()
+    }
+    assert got[1] == pytest.approx(want, abs=1e-4)
