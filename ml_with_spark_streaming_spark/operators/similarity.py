@@ -151,6 +151,94 @@ def neardup_pairs(
     )
 
 
+def signlsh_neardup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup at scale: random-hyperplane LSH gate + exact
+    verify — the bucketed replacement for neardup_pairs' all-pairs join.
+
+    sign(v·h) over ``n_planes`` seeded hyperplanes gives each vector a
+    bit signature; P(bit agrees) = 1 - angle/π, so near-identical
+    vectors share whole bands of bits. Pairs are generated only within
+    (band_idx, band_bits) buckets (same shape as the MinHash LSH path:
+    one shuffle, in-bucket fan-out, no self-join), then exact cosine
+    filters candidates. Recall is approximate by construction —
+    subset-of-exact is asserted in tests.
+
+    The hyperplane matrix is deterministic (seeded numpy) and tiny
+    (n_planes × dim), broadcast with the plan.
+    """
+    import numpy as np
+
+    dim = len(corpus.select(c_vec).first()[0])
+    rnd = np.random.RandomState(seed)
+    planes = rnd.standard_normal((n_planes, dim))
+    plane_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col(c_vec),
+                F.array(*[F.lit(float(x)) for x in planes[i]]),
+                lambda v, h: v.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        > 0
+        for i in range(n_planes)
+    ]
+    rows = n_planes // bands
+    band_cols = [
+        F.concat_ws(
+            "",
+            *[plane_cols[j * rows + r].cast("int").cast("string") for r in range(rows)],
+        )
+        for j in range(bands)
+    ]
+    sig = corpus.select(
+        F.col(c_id), F.col(c_vec).alias("_v"), norm_expr(F.col(c_vec)).alias("_n"),
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_bits"),
+    )
+    buckets = (
+        sig.groupBy("band_idx", "band_bits")
+        .agg(F.array_sort(F.collect_list(F.struct(c_id, "_v", "_n"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col(f"p.a.{c_id}").alias("id1"),
+            F.col("p.a._v").alias("v1"),
+            F.col("p.a._n").alias("n1"),
+            F.col(f"p.b.{c_id}").alias("id2"),
+            F.col("p.b._v").alias("v2"),
+            F.col("p.b._n").alias("n2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.withColumn(
+            "cosine", F.round(dot_expr(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 4)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

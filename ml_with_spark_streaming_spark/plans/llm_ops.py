@@ -28,6 +28,7 @@ from ml_with_spark_streaming_spark.operators.similarity import (
     brute_force_topk_arrow,
     ivf_topk,
     neardup_pairs,
+    signlsh_neardup,
 )
 from ml_with_spark_streaming_spark.plans.registry import query
 from ml_with_spark_streaming_spark.plans.text_ml import CLEAN_SQL
@@ -216,6 +217,16 @@ def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every vector at the correctness SF). Scale path: q55 IVF."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     return neardup_pairs(e, threshold=0.4).orderBy("id1", "id2")
+
+
+@query("q82_signlsh_neardup")  # no oracle: LSH recall is approximate
+def q82_signlsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q54's computation behind a random-hyperplane LSH gate — the
+    bucketed scale path (pairs form only inside sign-band buckets;
+    verified pairs are a subset of q54's exact result, asserted in
+    tests)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return signlsh_neardup(e, threshold=0.4).orderBy("id1", "id2")
 
 
 @query("q55_ivf_ann")  # no oracle: approximate by construction

@@ -75,3 +75,33 @@ def test_cosine_is_exact(vectors, spark):
         ).collect()
     }
     assert got[1] == pytest.approx(want, abs=1e-4)
+
+
+def test_signlsh_neardup_subset_of_exact_with_full_recall_on_clones(spark):
+    """Sign-LSH verified pairs ⊆ exact pairs, with exact cosines; a
+    jittered clone (cosine ≈ 1) must always be recovered — identical
+    signs across every band."""
+    from ml_with_spark_streaming_spark.operators.similarity import (
+        neardup_pairs,
+        signlsh_neardup,
+    )
+
+    rnd = random.Random(13)
+    base = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(100)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # ids 100.. = near-exact clones of ids 0..9
+    rows += [(100 + i, [x * 1.0001 + 1e-5 for x in base[i]]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in neardup_pairs(df, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in signlsh_neardup(df, threshold=0.9).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for i in range(10):
+        assert (i, 100 + i) in lsh  # clones share every sign bit
+        assert lsh[(i, 100 + i)] == exact[(i, 100 + i)]
