@@ -549,3 +549,36 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
         ("2024-01-01 14:00:00", "view", 1),
     ]
     assert len(paths1) == 3
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: each micro-batch joins against a static dim
+    table (broadcast — no stream-side state, re-planned per batch)."""
+    users = spark.createDataFrame(
+        [(1, "basic"), (2, "premium"), (9, "internal")], "user_id long, tier string"
+    )
+    batches = [
+        [_ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+         _ev(1, "2024-01-01 10:01:00", 2, "buy", 9.0)],
+        [_ev(2, "2024-01-01 10:02:00", 3, "click", 1.0)],  # unknown user
+    ]
+    d = tmp_path / "enrich_in"
+    _write_mtime_ordered(d, batches)
+    stream = _read_event_stream(spark, str(d))
+    enriched = stream.join(F.broadcast(users), "user_id", "left_outer").select(
+        "event_id", "user_id", F.coalesce("tier", F.lit("unknown")).alias("tier")
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["event_id"]: r["tier"] for r in spark.sql("select * from enrich_test").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {0: "basic", 1: "premium", 2: "unknown"}
