@@ -87,6 +87,81 @@ def lang_id_expr(text: Column | str) -> Column:
     return expr
 
 
+ROLL_BASE = 31
+ROLL_MOD = 2_147_483_647  # 2^31 - 1: (acc*31 + c) stays far inside int64
+
+
+def rolling_hash_expr(s: Column, k: int) -> Column:
+    """Rabin-Karp polynomial hash of the k-char string ``s``:
+    fold h = (h*31 + code(c)) mod (2^31-1), seeded with the first
+    char's codepoint (exactly DuckDB's ``list_reduce`` fold shape, so
+    the oracle reproduces it bit-for-bit)."""
+    init = F.ascii(F.substring(s, 1, 1)).cast("long")
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(k - 1)),
+        init,
+        lambda acc, j: (acc * ROLL_BASE + F.ascii(F.substring(s, j + 1, 1))) % ROLL_MOD,
+    )
+
+
+def winnowing_fingerprints(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+):
+    """MOSS-style winnowing fingerprints (the brief's 'rolling hash'
+    fingerprinting): hash every k-char window of the cleaned text,
+    then each window of ``w`` consecutive hashes selects its minimum —
+    the distinct selected hashes are the doc's fingerprint set.
+    Guarantees any shared substring of length ≥ k+w-1 yields a shared
+    fingerprint (Schleimer, Wilkerson, Aiken — SIGMOD'03).
+
+    Output: distinct ``(<id_col>, fp)`` rows (two docs sharing any
+    substring of length ≥ k+w-1 share ≥1 fp — the near-dup blocking
+    key). Docs shorter than k+w-1 chars have no complete window and
+    drop out. ``winnowing_summary`` aggregates this to the compact
+    oracle-checkable form.
+
+    Plan shape: positions explode (~len rows/doc) behind a
+    repartition barrier (CollapseProject would otherwise inline the
+    regex clean chain into the per-position projection — the q50
+    lesson), window-min partitioned by doc, then one hash-shuffle agg.
+    """
+    from pyspark.sql import Window as W
+
+    cleaned = df.select(F.col(id_col), clean_text_expr(text_col).alias("_c"))
+    cleaned = cleaned.repartition(id_col)
+    pos = cleaned.select(
+        F.col(id_col),
+        F.col("_c"),
+        F.explode(F.sequence(F.lit(1), F.greatest(F.length("_c") - (k - 1), F.lit(0)))).alias("i"),
+    )
+    hashed = pos.select(
+        F.col(id_col), "i", rolling_hash_expr(F.substring(F.col("_c"), F.col("i"), k), k).alias("h")
+    )
+    win = W.partitionBy(id_col).orderBy("i").rowsBetween(-(w - 1), 0)
+    return (
+        hashed.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("i") >= w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnowing_summary(df, text_col: str = "text", id_col: str = "doc_id", k: int = 8, w: int = 4):
+    """Per-doc fingerprint-set summary (count/min/max/sum over the
+    distinct set) — compact, order-free, oracle-checkable."""
+    fps = winnowing_fingerprints(df, text_col, id_col, k, w)
+    return fps.groupBy(id_col).agg(
+        F.count("*").alias("n_fp"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+        F.sum("fp").alias("fp_sum"),
+    )
+
+
 def fingerprint_expr(text: Column | str, prefix_tokens: int = 8) -> Column:
     """Document fingerprint: md5 of the first-k cleaned tokens.
 

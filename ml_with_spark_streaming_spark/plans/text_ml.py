@@ -284,3 +284,51 @@ def q48_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("t").alias("term"), "tfidf")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (rolling-hash) document fingerprints — MOSS-style
+# ---------------------------------------------------------------------------
+
+Q83_SQL = f"""
+WITH c AS (
+  SELECT doc_id, {CLEAN_SQL} AS s FROM documents
+),
+pos AS (
+  SELECT doc_id, i, substr(s, CAST(i AS INT), 8) AS wstr
+  FROM c, UNNEST(generate_series(1, greatest(length(s) - 7, 0))) AS t(i)
+),
+h AS (
+  SELECT doc_id, i,
+         list_reduce(
+           list_transform(generate_series(1, 8), j -> ord(substr(wstr, CAST(j AS INT), 1))),
+           (acc, ch) -> (CAST(acc AS BIGINT) * 31 + ch) % 2147483647
+         ) AS hh
+  FROM pos
+),
+fp AS (
+  SELECT DISTINCT doc_id, f FROM (
+    SELECT doc_id, i,
+           MIN(hh) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS f
+    FROM h
+  ) q WHERE i >= 4
+)
+SELECT doc_id, COUNT(*) AS n_fp, MIN(f) AS fp_min, MAX(f) AS fp_max, SUM(f) AS fp_sum
+FROM fp
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("q83_winnowing_fingerprints", Q83_SQL)
+def q83_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (Rabin-Karp) k-gram hashes + winnowing selection
+    (Schleimer et al., SIGMOD'03) — the brief's rolling-hash document
+    fingerprinting, distinct from q46's md5-prefix blocking key. The
+    fold arithmetic is pinned to int64 mod 2^31-1 so DuckDB reproduces
+    every fingerprint bit-for-bit."""
+    from ml_with_spark_streaming_spark.operators.textstats import winnowing_summary
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnowing_summary(d, "text", "doc_id", k=8, w=4).orderBy("doc_id")

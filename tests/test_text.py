@@ -55,3 +55,25 @@ def test_stem_udf_matches_python(spark):
         stem_tokens_udf(F.col("toks")).alias("s")
     ).head()["s"]
     assert out == [porter_stem(t) for t in toks]
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing invariant (Schleimer et al.): two docs sharing a
+    substring of length >= k+w-1 share at least one fingerprint;
+    identical docs share the whole set; disjoint docs share none."""
+    from ml_with_spark_streaming_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "the winnowing algorithm selects minima"  # 38 chars >= 8+4-1
+    rows = [
+        (1, f"prefix one {shared} suffix alpha"),
+        (2, f"another beginning {shared} other ending"),
+        (3, f"prefix one {shared} suffix alpha"),  # identical to 1
+        (4, "zzz qqq xxx completely disjoint characters vvv www"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnowing_fingerprints(df, "text", "doc_id", k=8, w=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] == fps[3]  # identical docs, identical sets
+    assert fps[1] & fps[2]  # shared 38-char substring -> shared fp
+    assert not (fps[1] & fps[4])  # disjoint text -> disjoint sets
