@@ -400,7 +400,7 @@ def q65_udtf_lateral_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (parsers, segmenters). Arrow-batched like any pandas UDF path."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="word string, pos int")
+    @udtf(returnType="word string, pos int", useArrow=True)
     class TokenizeWithPos:
         def eval(self, name: str):
             for i, w in enumerate((name or "").split(" "), start=1):
