@@ -255,8 +255,16 @@ def q48_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top TF-IDF term, computed with built-ins only (the MLlib
     IDF estimator produces hashed — unmappable — feature indices; this
     keeps terms readable AND the whole plan oracle-checkable).
-    Shuffles: tf groupBy, df groupBy, one term-keyed join; the 1-row
-    doc count broadcasts."""
+
+    Plan-shape note: deriving doc-frequency and corpus size from the
+    tf table as separate aggregate branches re-executes the
+    explode+clean lineage once PER BRANCH (three scans — ReuseExchange
+    can't fire because column pruning specializes each branch's
+    exchange). Instead: df as count() OVER (PARTITION BY t) — one
+    extra vocab-keyed exchange of the small tf table, single explode
+    lineage — and the 1-row corpus count from a cheap no-explode pass
+    over documents. Measured 1.7 s → 1.3 s at sf0.1; at 100 TB it is
+    one full tokenize pass instead of three."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
@@ -264,11 +272,16 @@ def q48_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens_expr(clean_text_expr("text"))).alias("t")
     ).filter(F.col("t") != "")
     tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
-    n = tf.agg(F.count_distinct("doc_id").alias("n"))
+    tfd = tf.withColumn("df", F.count("*").over(W.partitionBy("t")))
+    n = d.agg(
+        F.sum(
+            F.when(
+                F.exists(tokens_expr(clean_text_expr("text")), lambda x: x != ""), 1
+            ).otherwise(0)
+        ).alias("n")
+    )
     scored = (
-        tf.join(df, "t")
-        .crossJoin(F.broadcast(n))
+        tfd.crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "t",
