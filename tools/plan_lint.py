@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 import re
 import sys
+from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -81,6 +82,14 @@ def main() -> None:
             else:
                 print(f"LINT  {name}: {', '.join(BAD[h] for h in hits)}")
                 failures += 1
+        # duplicate-lineage smell: the same parquet file scanned 3+
+        # times in one plan usually means Catalyst re-planned a shared
+        # subtree per consumer (see q48's history) — warn, don't fail
+        # (legitimate multi-role scans exist, e.g. q58's LSH + verify)
+        paths = re.findall(r"InMemoryFileIndex\(\d+ paths?\)\[([^\]]+)\]", plan)
+        for p, cnt in Counter(paths).items():
+            if cnt >= 3:
+                print(f"warn  {name}: {os.path.basename(p)} scanned {cnt}x — shared lineage re-planned?")
         if SHOW_SCANS:
             for line in plan.splitlines():
                 if "Scan parquet" in line:
