@@ -1,0 +1,61 @@
+"""Deterministic, layout-independent sampling.
+
+``df.sample()`` / ``sampleBy()`` draw per-partition, so the selected
+rows change with partitioning, file order, and executor count — a
+reproducibility bug for training-data pipelines (and unusable under
+this repo's DuckDB-oracle gate). These operators sample by CONTENT:
+keep a row iff the first 8 hex chars of md5(key # salt) fall below a
+fraction-of-2^32 threshold.
+
+The comparison is done on the hex STRINGS: for fixed-width lowercase
+hex, lexicographic order equals numeric order ('0'-'9' < 'a'-'f' in
+ASCII), so the predicate is one md5 + one string compare — fully
+inside whole-stage codegen, identical in any engine with md5 (the
+DuckDB oracle runs the same expression verbatim).
+
+Properties: sampling is a pure function of (key, salt) — stable across
+reruns, partitionings, and engines; changing the salt draws a fresh
+independent sample; the same key is selected consistently in every
+table (correlated sampling across fact tables for free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_bucket(key: Column, salt: str) -> Column:
+    """First 32 bits of md5(key # salt), as 8 lowercase hex chars."""
+    return F.substring(
+        F.md5(F.encode(F.concat_ws("#", key.cast("string"), F.lit(salt)), "UTF-8")), 1, 8
+    )
+
+
+def fraction_threshold(fraction: float) -> str:
+    """The 8-hex-char threshold under which a 32-bit bucket falls with
+    probability ``fraction``."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * 2**32), 2**32 - 1), "08x")
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "sample") -> DataFrame:
+    """Keep ~``fraction`` of rows, selected deterministically by key."""
+    return df.filter(_hash_bucket(F.col(key_col), salt) < fraction_threshold(fraction))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    classes). Strata absent from ``fractions`` are dropped (threshold
+    '00000000'). One when-chain — still a single codegen'd predicate."""
+    thr = F.lit("00000000")
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(F.col(stratum_col) == stratum, F.lit(fraction_threshold(frac))).otherwise(thr)
+    return df.filter(_hash_bucket(F.col(key_col), salt) < thr)

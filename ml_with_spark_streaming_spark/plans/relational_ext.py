@@ -763,3 +763,95 @@ def q80_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (layout-independent, engine-portable)
+# ---------------------------------------------------------------------------
+
+Q84_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sampled_spend
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || '#' || 'sample'), 1, 8) < '19999999'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q84_hash_sample", Q84_SQL)
+def q84_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample of orders by key hash. Unlike
+    df.sample(), the selected set is a pure function of the key — the
+    same rows at any partitioning, executor count, or engine (the
+    oracle runs the identical md5-threshold predicate)."""
+    from ml_with_spark_streaming_spark.operators.sampling import hash_sample
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        hash_sample(o, "o_orderkey", 0.1)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sampled_spend"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q85_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || '#' || 'sample'), 1, 8) <
+      CASE o_orderpriority
+        WHEN '1-URGENT' THEN '80000000'
+        WHEN '5-LOW'    THEN '0ccccccc'
+        ELSE '00000000'
+      END
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q85_stratified_sample", Q85_SQL)
+def q85_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: keep 50% of URGENT, 5% of
+    LOW, drop everything else — the class-rebalancing primitive for
+    training-data pipelines, as one codegen predicate."""
+    from ml_with_spark_streaming_spark.operators.sampling import stratified_hash_sample
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        stratified_hash_sample(o, "o_orderkey", "o_orderpriority", {"1-URGENT": 0.5, "5-LOW": 0.05})
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# VariantType semi-structured access (Spark 4 parse_json)
+# ---------------------------------------------------------------------------
+
+Q86_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS INT) // 10 AS k_decade,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events
+GROUP BY k_decade
+ORDER BY k_decade
+"""
+
+
+@query("q86_variant_json", Q86_SQL)
+def q86_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VariantType
+    (parse_json → variant_get) rather than per-path string re-parsing
+    (q26's get_json_object): parse once, extract many — the open-table
+    semi-structured pattern."""
+    e = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select((F.floor(k / 10)).cast("int").alias("k_decade"), "value")
+        .groupBy("k_decade")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("k_decade")
+    )
