@@ -132,14 +132,24 @@ class StreamingTrainer:
                 f.write(",".join(keys) + "\n")
             f.write(",".join(str(row.get(k, "")) for k in keys) + "\n")
 
-    def attach(self, lines: DataFrame, trigger_seconds: int = 5, checkpoint: str | None = None) -> StreamingQuery:
+    def attach(
+        self,
+        lines: DataFrame,
+        trigger_seconds: int = 5,
+        checkpoint: str | None = None,
+        available_now: bool = False,
+    ) -> StreamingQuery:
         """Start the stream: 5 s processing-time trigger (reference
-        StreamingContext(sc, 5))."""
-        writer = (
-            lines.writeStream.foreachBatch(self.process_batch)
-            .trigger(processingTime=f"{trigger_seconds} seconds")
-            .outputMode("update")
-        )
+        StreamingContext(sc, 5)), or ``available_now=True`` for a
+        one-shot catch-up replay that processes everything currently
+        available in rate-limited batches and then terminates — the
+        backfill/cron-retrain mode the DStream design had no answer
+        for."""
+        writer = lines.writeStream.foreachBatch(self.process_batch).outputMode("update")
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
         if checkpoint:
             writer = writer.option("checkpointLocation", checkpoint)
         return writer.start()

@@ -582,3 +582,19 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     finally:
         q.stop()
     assert got == {0: "basic", 1: "premium", 2: "unknown"}
+
+
+def test_available_now_trigger_processes_all_then_terminates(spark, tmp_path):
+    """availableNow: the query drains every pending file in bounded
+    micro-batches and stops on its own (no manual stop) — the backfill
+    mode; the trained model matches the continuous-trigger result."""
+    path = _wire_files(tmp_path, n_files=3, per_file=60, seed=3)
+    reg = ModelRegistry(str(tmp_path / "models_an"))
+    trainer = StreamingTrainer(
+        model=IncrementalBernoulliNB(), registry=reg, key="nb_an", stem=False
+    )
+    lines = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(path)
+    q = trainer.attach(lines, checkpoint=str(tmp_path / "ck_an"), available_now=True)
+    assert q.awaitTermination(120)  # terminates by itself
+    assert len(trainer.history) == 3
+    assert trainer.history[-1]["f1"] == 1.0
