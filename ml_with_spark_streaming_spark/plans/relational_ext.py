@@ -855,3 +855,60 @@ def q86_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
         .orderBy("k_decade")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: correlated EXISTS + NOT EXISTS self-joins on the fact table
+# ---------------------------------------------------------------------------
+
+Q87_SQL = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS is_late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.is_late
+  AND EXISTS (SELECT 1 FROM late l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.is_late)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+"""
+
+
+@query("q87_waiting_suppliers", Q87_SQL)
+def q87_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (testdata lacks receipt/commit dates, so 'late'
+    = shipped >60 days after order date): the sole late supplier in a
+    multi-supplier finished order. Correlated EXISTS → left_semi with
+    an inequality condition; NOT EXISTS → left_anti — both shuffle on
+    l_orderkey, so at scale the three self-join legs co-partition and
+    the heavy fact table never broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late = li.join(o.select("o_orderkey", "o_orderdate"), li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add("o_orderdate", 60)).alias("is_late"),
+    )
+    l1 = late.filter("is_late")
+    l2 = late.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = late.filter("is_late").select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    cand = l1.join(l2, (l1["l_orderkey"] == l2["k2"]) & (l1["l_suppkey"] != l2["s2"]), "left_semi")
+    sole = cand.join(
+        l3, (cand["l_orderkey"] == l3["k3"]) & (cand["l_suppkey"] != l3["s3"]), "left_anti"
+    )
+    return (
+        sole.join(s, sole["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
