@@ -184,3 +184,22 @@ def q74_mllib_nb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = fit(train, "text", target)
     pred = model.transform(test)
     return _metrics_df(spark, binary_metrics(pred, label_col="target", pred_col="prediction"))
+
+
+@query("q88_sgd_train_eval")  # rows-only: iterative ML, not SQL-expressible
+def q88_sgd_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SGDC entry-point parity (reference SGDC/sgdc.py:154 —
+    sklearn.SGDClassifier.partial_fit): hinge-loss SGD with per-shard
+    sequential updates + parameter averaging, same harness as the PA
+    twin q73."""
+    feats = _labeled_feats(spark, sf_dir).persist()
+    try:
+        train = feats.filter(_is_train())
+        test = feats.filter(~_is_train())
+        sgd = IncrementalLinearClassifier(variant="sgd", lr=0.5)
+        for _ in range(6):
+            sgd.update(train)
+        pred = sgd.predict(test).join(test.select("row_id", "target").distinct(), "row_id")
+        return _metrics_df(spark, binary_metrics(pred))
+    finally:
+        feats.unpersist()
