@@ -57,16 +57,28 @@ def char_counts(text: Column | str) -> dict[str, Column]:
 
 def quality_score_expr(text: Column | str) -> Column:
     """Deterministic document-quality heuristic in [0,1]:
-    rewards alphabetic mass and mid-length docs, penalizes punctuation
-    soup. All integer-derived arithmetic → bit-identical across
-    engines."""
+    0.5·alpha_ratio + 0.3·min(words/50, 1) + 0.2·(1 − punct_ratio).
+
+    Evaluated as ONE exact rational — numerator
+    250·n_alpha + 100·(n − n_punct) + 3·min(words,50)·n over 500·n —
+    with the 4-decimal HALF-UP rounding done in INTEGER arithmetic:
+    floor((num·20000 + den) / (2·den)) / 10⁴. No ROUND(double) ever
+    runs, because that's where engines disagree: the weighted-sum form
+    hit a .00005 boundary at sf0.1 (terms associate differently:
+    0.8282 vs 0.8283), and even single-division doubles still tie when
+    the rational is exactly x.xxxx5 (0.7202 vs 0.7203 — Spark rounds
+    the exact BigDecimal of the double, DuckDB rounds via ·10⁴).
+    All intermediates < 2^53, so the one double division is exact-in,
+    correctly-rounded-out and identical everywhere."""
     cc = char_counts(text)
     total = cc["n_chars"]
-    alpha_ratio = F.when(total > 0, cc["n_alpha"] / total).otherwise(F.lit(0.0))
-    punct_ratio = F.when(total > 0, cc["n_punct"] / total).otherwise(F.lit(0.0))
     wc = whitespace_token_count_expr(text)
-    len_score = F.least(wc / F.lit(50.0), F.lit(1.0))
-    return F.round(0.5 * alpha_ratio + 0.3 * len_score + 0.2 * (1.0 - punct_ratio), 4)
+    wcap = F.least(wc, F.lit(50))
+    num = (250 * cc["n_alpha"] + 100 * (total - cc["n_punct"]) + 3 * wcap * total).cast("long")
+    den = (500 * total).cast("long")
+    q4 = F.floor((num * 20000 + den) / (2 * den))
+    # empty text: alpha/punct ratios define to 0 → 0.2 + 0.3·0 = 0.2
+    return F.when(total > 0, q4 / F.lit(10000.0)).otherwise(F.lit(0.2))
 
 
 def lang_hits_expr(tokens: Column, lexicon: list[str]) -> Column:

@@ -169,19 +169,23 @@ def q44_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q45_SQL = f"""
+Q45_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS na,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS np,
+         least(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END, 50) AS wcap
+  FROM documents
+)
 SELECT doc_id,
-  ROUND(
-    0.5 * (CASE WHEN length(text) > 0
-           THEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0 / length(text)
-           ELSE 0 END)
-  + 0.3 * least(
-      (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) / 50.0,
-      1.0)
-  + 0.2 * (1.0 - (CASE WHEN length(text) > 0
-           THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text)
-           ELSE 0 END)), 4) AS quality
-FROM documents
+       CASE WHEN n > 0
+            THEN FLOOR((CAST(250 * na + 100 * (n - np) + 3 * wcap * n AS BIGINT) * 20000
+                        + CAST(500 * n AS BIGINT))
+                       * 1.0 / (2 * CAST(500 * n AS BIGINT))) / 10000.0
+            ELSE 0.2 END AS quality
+FROM c
 ORDER BY doc_id
 """
 
