@@ -55,6 +55,27 @@ def char_counts(text: Column | str) -> dict[str, Column]:
     }
 
 
+def exact_round_div(num: Column, den: Column, decimals: int = 4) -> Column:
+    """num/den rounded HALF-UP to ``decimals`` via integer arithmetic:
+    floor((num·2·10^d + den) / (2·den)) / 10^d. Engine-exact — Spark
+    and DuckDB disagree on ROUND(double) when a small-denominator
+    rational ties at exactly half an ulp-of-decimal (see
+    quality_score_expr); this never rounds a double at all. Requires
+    num ≥ 0, den > 0, magnitudes < 2^53 / 2·10^d."""
+    scale = 10**decimals
+    n, d = num.cast("long"), den.cast("long")
+    return F.floor((n * (2 * scale) + d) / (2 * d)) / F.lit(float(scale))
+
+
+def exact_round_div_sql(num: str, den: str, decimals: int = 4) -> str:
+    """The DuckDB twin of exact_round_div, as a SQL fragment."""
+    scale = 10**decimals
+    return (
+        f"FLOOR((CAST({num} AS BIGINT) * {2 * scale} + CAST({den} AS BIGINT)) * 1.0"
+        f" / (2 * CAST({den} AS BIGINT))) / {scale}.0"
+    )
+
+
 def quality_score_expr(text: Column | str) -> Column:
     """Deterministic document-quality heuristic in [0,1]:
     0.5·alpha_ratio + 0.3·min(words/50, 1) + 0.2·(1 − punct_ratio).
@@ -74,11 +95,9 @@ def quality_score_expr(text: Column | str) -> Column:
     total = cc["n_chars"]
     wc = whitespace_token_count_expr(text)
     wcap = F.least(wc, F.lit(50))
-    num = (250 * cc["n_alpha"] + 100 * (total - cc["n_punct"]) + 3 * wcap * total).cast("long")
-    den = (500 * total).cast("long")
-    q4 = F.floor((num * 20000 + den) / (2 * den))
+    num = 250 * cc["n_alpha"] + 100 * (total - cc["n_punct"]) + 3 * wcap * total
     # empty text: alpha/punct ratios define to 0 → 0.2 + 0.3·0 = 0.2
-    return F.when(total > 0, q4 / F.lit(10000.0)).otherwise(F.lit(0.2))
+    return F.when(total > 0, exact_round_div(num, 500 * total)).otherwise(F.lit(0.2))
 
 
 def lang_hits_expr(tokens: Column, lexicon: list[str]) -> Column:

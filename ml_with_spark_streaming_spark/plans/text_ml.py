@@ -18,6 +18,8 @@ from ml_with_spark_streaming_spark.functions.text import (
     tokens_expr,
 )
 from ml_with_spark_streaming_spark.operators.textstats import (
+    exact_round_div,
+    exact_round_div_sql,
     LANG_LEXICONS,
     LANG_ORDER,
     TOKEN_PATTERN,
@@ -111,7 +113,7 @@ SELECT
   doc_id,
   len(list_filter(toks, t -> list_contains({_SW_LIST_SQL}, t))) AS n_stopwords,
   len(toks) AS n_tokens,
-  ROUND(len(list_filter(toks, t -> list_contains({_SW_LIST_SQL}, t))) * 1.0 / len(toks), 4) AS stopword_ratio
+  {exact_round_div_sql(f'len(list_filter(toks, t -> list_contains({_SW_LIST_SQL}, t)))', 'len(toks)')} AS stopword_ratio
 FROM (
   SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS toks
   FROM documents WHERE length({CLEAN_SQL}) > 0
@@ -132,7 +134,7 @@ def q43_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_stop.alias("n_stopwords"),
         F.size("toks").alias("n_tokens"),
-        F.round(n_stop * 1.0 / F.size("toks"), 4).alias("stopword_ratio"),
+        exact_round_div(n_stop, F.size("toks")).alias("stopword_ratio"),
     ).orderBy("doc_id")
 
 
@@ -169,7 +171,7 @@ def q44_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q45_SQL = """
+Q45_SQL = f"""
 WITH c AS (
   SELECT doc_id,
          length(text) AS n,
@@ -181,9 +183,7 @@ WITH c AS (
 )
 SELECT doc_id,
        CASE WHEN n > 0
-            THEN FLOOR((CAST(250 * na + 100 * (n - np) + 3 * wcap * n AS BIGINT) * 20000
-                        + CAST(500 * n AS BIGINT))
-                       * 1.0 / (2 * CAST(500 * n AS BIGINT))) / 10000.0
+            THEN {exact_round_div_sql('250 * na + 100 * (n - np) + 3 * wcap * n', '500 * n')}
             ELSE 0.2 END AS quality
 FROM c
 ORDER BY doc_id
