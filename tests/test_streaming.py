@@ -598,3 +598,51 @@ def test_available_now_trigger_processes_all_then_terminates(spark, tmp_path):
     assert q.awaitTermination(120)  # terminates by itself
     assert len(trainer.history) == 3
     assert trainer.history[-1]["f1"] == 1.0
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: a click with no purchase inside
+    its 30-min bound emits (click, null) — but only once the watermark
+    proves no matching purchase can still arrive."""
+    from ml_with_spark_streaming_spark.streaming.joins import interval_join
+
+    clicks = [
+        [_ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),   # will match
+         _ev(1, "2024-01-01 10:10:00", 2, "click", 1.0)],  # never matches
+        # left-side sentinels: the GLOBAL watermark is the min over
+        # both inputs, so the left stream must advance too before
+        # click 1's join window is provably closed
+        [_ev(2, "2024-01-01 13:00:00", 8, "click", 1.0)],
+        [_ev(3, "2024-01-01 13:10:00", 8, "click", 1.0)],
+    ]
+    purchases = [
+        [_ev(10, "2024-01-01 10:05:00", 1, "purchase", 50.0)],
+        [_ev(11, "2024-01-01 13:00:00", 9, "purchase", 1.0)],
+        [_ev(12, "2024-01-01 13:10:00", 9, "purchase", 1.0)],
+    ]
+    cd, pd_ = tmp_path / "lo_clicks", tmp_path / "lo_purch"
+    _write_mtime_ordered(cd, clicks)
+    _write_mtime_ordered(pd_, purchases)
+
+    joined = interval_join(
+        _read_event_stream(spark, str(cd)),
+        _read_event_stream(spark, str(pd_)),
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["l_event_id"], r["r_event_id"])
+            for r in spark.sql("select * from ssj_outer_test").collect()
+        }
+    finally:
+        q.stop()
+    assert (0, 10) in got          # matched pair
+    assert (1, None) in got        # unmatched left row emitted with nulls
+    assert len({p for p in got if p[0] == 1}) == 1  # exactly once
