@@ -255,10 +255,14 @@ def mllib_minhash_pairs(
     (minhash_candidates → jaccard_verify).
 
     Token sets → binary HashingTF vectors → MinHashLSH; the approx
-    join buckets by hash tables (OR-amplified) and computes EXACT
-    Jaccard distance on candidates only, so values agree with
-    jaccard_pairs wherever both report a pair (asserted in tests).
-    Candidate recall is approximate by construction → rows-only check.
+    join buckets by hash tables (OR-amplified) and computes Jaccard
+    distance on candidates only — exact over the HASHED feature sets,
+    which equals token-set Jaccard except when distinct tokens collide
+    into one of the ``num_features`` buckets (≈ vocab²/2^19 expected
+    colliding token pairs at the default 2^18; raise num_features for
+    big vocabularies). The tests cross-check values against
+    jaccard_pairs on a collision-free fixture. Candidate recall is
+    approximate by construction → rows-only check.
     Columns: id1, id2, jaccard (rounded 4).
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH

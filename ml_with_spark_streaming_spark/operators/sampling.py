@@ -33,11 +33,16 @@ def _hash_bucket(key: Column, salt: str) -> Column:
 
 
 def fraction_threshold(fraction: float) -> str:
-    """The 8-hex-char threshold under which a 32-bit bucket falls with
-    probability ``fraction``."""
+    """The threshold string under which an 8-hex-char bucket falls with
+    probability ``fraction``. fraction=1.0 returns "g" — greater than
+    every hex string — so a full sample keeps EVERY row (clamping to
+    'ffffffff' with a strict < would drop keys hashing exactly there)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return format(min(int(fraction * 2**32), 2**32 - 1), "08x")
+    bucket = int(fraction * 2**32)
+    if bucket >= 2**32:
+        return "g"
+    return format(bucket, "08x")
 
 
 def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "sample") -> DataFrame:

@@ -79,11 +79,14 @@ def brute_force_topk_arrow(
     The query set (bounded, dim-table-sized) is collected once and
     broadcast; each corpus partition computes one BLAS matmul
     (batch × dim) @ (dim × n_queries) per Arrow batch and emits only
-    its partial top-(3k) rows per query — a combine-style pushdown, so
-    the final window ranks |partitions|·3k rows per query instead of
-    the whole corpus. 3k slack makes rounding-boundary omissions at
-    the partial cut impossible in practice (final rank ties break on
-    ROUND(cos,4) then id, matching the oracle).
+    its partial top rows per query — a combine-style pushdown, so the
+    final window ranks O(|partitions|·k) rows per query instead of the
+    whole corpus. The partial cut operates on cosines ROUNDED to the
+    output's 4 decimals and keeps the ENTIRE tie tier at the k-th
+    value: the final ordering is (ROUND(cos,4) DESC, id ASC), so an
+    unrounded or tie-dropping cut could discard exactly the low-id
+    rows the final ranking needs (e.g. >k identical vectors in one
+    batch).
     """
     import numpy as np
     import pandas as pd
@@ -93,7 +96,6 @@ def brute_force_topk_arrow(
     qm = np.stack([np.asarray(r[q_vec], dtype=np.float64) for r in qrows])
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
     bq = corpus.sparkSession.sparkContext.broadcast((qids, qm))
-    keep = 3 * k
 
     def part(batches):
         qi, qn = bq.value
@@ -107,9 +109,11 @@ def brute_force_topk_arrow(
             out = []
             for j in range(len(qi)):
                 mask = ids != qi[j]
-                s, cid = sims[mask, j], ids[mask]
-                if len(s) > keep:
-                    sel = np.argpartition(-s, keep - 1)[:keep]
+                s, cid = np.round(sims[mask, j], 4), ids[mask]
+                if len(s) > k:
+                    # k-th largest ROUNDED value; keep every row tying it
+                    kth = np.partition(s, len(s) - k)[len(s) - k]
+                    sel = s >= kth
                     s, cid = s[sel], cid[sel]
                 out.append(pd.DataFrame({q_id: qi[j], c_id: cid, "_cos": s}))
             if out:
@@ -154,7 +158,7 @@ def neardup_pairs(
 def signlsh_neardup(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 16,
+    n_planes: int = 32,
     bands: int = 4,
     c_id: str = "vec_id",
     c_vec: str = "embedding",
@@ -166,17 +170,29 @@ def signlsh_neardup(
     sign(v·h) over ``n_planes`` seeded hyperplanes gives each vector a
     bit signature; P(bit agrees) = 1 - angle/π, so near-identical
     vectors share whole bands of bits. Pairs are generated only within
-    (band_idx, band_bits) buckets (same shape as the MinHash LSH path:
-    one shuffle, in-bucket fan-out, no self-join), then exact cosine
-    filters candidates. Recall is approximate by construction —
-    subset-of-exact is asserted in tests.
+    (band_idx, band_bits) buckets — and buckets carry ONLY ids (the
+    vectors re-join at verify time), so no aggregation row is ever
+    data-sized. Exact cosine then filters candidates. Recall is
+    approximate by construction — subset-of-exact is asserted in tests.
+
+    Band width is the scale knob: ``n_planes/bands`` bits per band
+    bound expected bucket occupancy at n/2^(bits) for random vectors —
+    size bits ≳ log2(n) as the corpus grows or buckets (and the
+    in-bucket quadratic pair fan-out) grow linearly with n. The
+    default 8-bit bands suit ~10^4 vectors; 1B vectors want ≥32-bit
+    bands (e.g. n_planes=128, bands=4).
 
     The hyperplane matrix is deterministic (seeded numpy) and tiny
     (n_planes × dim), broadcast with the plan.
     """
     import numpy as np
 
-    dim = len(corpus.select(c_vec).first()[0])
+    first = corpus.select(c_vec).first()
+    if first is None or first[0] is None:
+        return corpus.sparkSession.createDataFrame(
+            [], f"id1 long, id2 long, cosine double"
+        )
+    dim = len(first[0])
     rnd = np.random.RandomState(seed)
     planes = rnd.standard_normal((n_planes, dim))
     plane_cols = [
@@ -201,37 +217,37 @@ def signlsh_neardup(
         for j in range(bands)
     ]
     sig = corpus.select(
-        F.col(c_id), F.col(c_vec).alias("_v"), norm_expr(F.col(c_vec)).alias("_n"),
+        F.col(c_id),
         F.posexplode(F.array(*band_cols)).alias("band_idx", "band_bits"),
     )
     buckets = (
         sig.groupBy("band_idx", "band_bits")
-        .agg(F.array_sort(F.collect_list(F.struct(c_id, "_v", "_n"))).alias("ms"))
-        .filter(F.size("ms") > 1)
+        .agg(F.array_sort(F.collect_set(c_id)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
     pairs = F.flatten(
         F.transform(
-            F.col("ms"),
+            F.col("ids"),
             lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
             ),
         )
     )
     cand = (
         buckets.select(F.explode(pairs).alias("p"))
-        .select(
-            F.col(f"p.a.{c_id}").alias("id1"),
-            F.col("p.a._v").alias("v1"),
-            F.col("p.a._n").alias("n1"),
-            F.col(f"p.b.{c_id}").alias("id2"),
-            F.col("p.b._v").alias("v2"),
-            F.col("p.b._n").alias("n2"),
-        )
-        .dropDuplicates(["id1", "id2"])
+        .select(F.col("p.id1"), F.col("p.id2"))
+        .distinct()
     )
+    normed = corpus.select(
+        F.col(c_id), F.col(c_vec).alias("_v"), norm_expr(F.col(c_vec)).alias("_n")
+    )
+    a = normed.select(F.col(c_id).alias("id1"), F.col("_v").alias("v1"), F.col("_n").alias("n1"))
+    b = normed.select(F.col(c_id).alias("id2"), F.col("_v").alias("v2"), F.col("_n").alias("n2"))
     return (
-        cand.withColumn(
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .withColumn(
             "cosine", F.round(dot_expr(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 4)
         )
         .filter(F.col("cosine") >= threshold)

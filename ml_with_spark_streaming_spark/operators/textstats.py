@@ -92,10 +92,14 @@ def quality_score_expr(text: Column | str) -> Column:
     All intermediates < 2^53, so the one double division is exact-in,
     correctly-rounded-out and identical everywhere."""
     cc = char_counts(text)
-    total = cc["n_chars"]
-    wc = whitespace_token_count_expr(text)
-    wcap = F.least(wc, F.lit(50))
-    num = 250 * cc["n_alpha"] + 100 * (total - cc["n_punct"]) + 3 * wcap * total
+    # long BEFORE multiplying: 500·total etc. overflow 32-bit (ANSI
+    # error / silent wrap) on multi-MB documents
+    total = cc["n_chars"].cast("long")
+    n_alpha = cc["n_alpha"].cast("long")
+    n_punct = cc["n_punct"].cast("long")
+    wc = whitespace_token_count_expr(text).cast("long")
+    wcap = F.least(wc, F.lit(50).cast("long"))
+    num = 250 * n_alpha + 100 * (total - n_punct) + 3 * wcap * total
     # empty text: alpha/punct ratios define to 0 → 0.2 + 0.3·0 = 0.2
     return F.when(total > 0, exact_round_div(num, 500 * total)).otherwise(F.lit(0.2))
 
@@ -163,11 +167,15 @@ def winnowing_fingerprints(
     from pyspark.sql import Window as W
 
     cleaned = df.select(F.col(id_col), clean_text_expr(text_col).alias("_c"))
-    cleaned = cleaned.repartition(id_col)
+    # docs shorter than k have no complete window; without this filter
+    # Spark's sequence(1, len-k+1) would DESCEND ([1, 0] — default
+    # step -1 when start > stop) and hash out-of-range substrings the
+    # oracle's empty generate_series(1, 0) never produces
+    cleaned = cleaned.filter(F.length("_c") >= k).repartition(id_col)
     pos = cleaned.select(
         F.col(id_col),
         F.col("_c"),
-        F.explode(F.sequence(F.lit(1), F.greatest(F.length("_c") - (k - 1), F.lit(0)))).alias("i"),
+        F.explode(F.sequence(F.lit(1), F.length("_c") - (k - 1))).alias("i"),
     )
     hashed = pos.select(
         F.col(id_col), "i", rolling_hash_expr(F.substring(F.col("_c"), F.col("i"), k), k).alias("h")

@@ -747,7 +747,15 @@ ORDER BY l_returnflag
 def q80_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-moment aggregates (corr/covar/var/regr): all single-pass,
     map-side-combinable HashAggregates — one shuffle of 3-field
-    moment buffers per group, nothing data-sized moves."""
+    moment buffers per group, nothing data-sized moves.
+
+    Determinism note: these ROUND partition-order-dependent double
+    accumulations, which flakes only if a group's true value sits
+    within the engines' ~1e-12 accumulation difference of a rounding
+    boundary — unlike q43/q45's small-denominator rationals (which DID
+    land exactly on boundaries and now use exact_round_div), co-moment
+    values carry n-dependent irrational-ish denominators; verified
+    stable at sf0.01/sf0.1 × 7/32-way."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")

@@ -43,5 +43,13 @@ def test_stratified_sample_respects_per_stratum_fractions(spark):
 
 def test_fraction_threshold_edges():
     assert fraction_threshold(0.0) == "00000000"
-    assert fraction_threshold(1.0) == "ffffffff"
+    # "g" sorts above every hex string → fraction 1.0 keeps ALL rows
+    # (a 'ffffffff' threshold with strict < would drop keys hashing there)
+    assert fraction_threshold(1.0) == "g"
     assert fraction_threshold(0.5) == "80000000"
+    assert "ffffffff" < fraction_threshold(1.0)
+
+
+def test_full_fraction_keeps_every_row(spark):
+    df = spark.range(0, 5000)
+    assert hash_sample(df, "id", 1.0).count() == 5000

@@ -38,18 +38,20 @@ if args and os.path.isdir(args[0]):
     args = args[1:]
 ONLY = set(args)
 
-# query -> reason a pattern is acceptable there
-WAIVERS: dict[str, str] = {
+# query -> (waived patterns, reason): a waiver covers ONLY the named
+# patterns, so a different anti-pattern creeping into a waived query
+# still fails the lint
+WAIVERS: dict[str, tuple[frozenset[str], str]] = {
     # capped quadratic oracle paths: documented small-data twins of the
     # LSH/IVF scale paths (see their docstrings)
-    "q51_jaccard_pairs": "capped all-pairs oracle twin of q50/q58",
-    "q54_embedding_neardup": "capped all-pairs oracle twin of q55/q82",
+    "q51_jaccard_pairs": (frozenset({"CartesianProduct"}), "capped all-pairs oracle twin of q50/q58"),
+    "q54_embedding_neardup": (frozenset({"CartesianProduct"}), "capped all-pairs oracle twin of q55/q82"),
     # broadcast of a handful of query vectors against the corpus — the
     # cross join IS the computation and one side is broadcast-tiny
-    "q53_cosine_topk": "broadcast 10-query fan-out (BroadcastNestedLoopJoin)",
-    "q55_ivf_ann": "broadcast centroid/probe fan-out",
-    "q31_above_global_avg_parts": "broadcast 1-row scalar-subquery aggregate",
-    "q48_tfidf_top_terms": "broadcast 1-row corpus-size aggregate",
+    "q53_cosine_topk": (frozenset({"CartesianProduct"}), "broadcast 10-query fan-out (BroadcastNestedLoopJoin)"),
+    "q55_ivf_ann": (frozenset({"CartesianProduct"}), "broadcast centroid/probe fan-out"),
+    "q31_above_global_avg_parts": (frozenset({"CartesianProduct"}), "broadcast 1-row scalar-subquery aggregate"),
+    "q48_tfidf_top_terms": (frozenset({"CartesianProduct"}), "broadcast 1-row corpus-size aggregate"),
 }
 
 BAD = {
@@ -77,10 +79,13 @@ def main() -> None:
         # BroadcastNestedLoopJoin is fine; don't let its name shadow a
         # real CartesianProduct check
         if hits:
-            if name in WAIVERS:
-                print(f"waive {name}: {', '.join(hits)} — {WAIVERS[name]}")
-            else:
-                print(f"LINT  {name}: {', '.join(BAD[h] for h in hits)}")
+            waived_patterns, reason = WAIVERS.get(name, (frozenset(), ""))
+            waived = [h for h in hits if h in waived_patterns]
+            real = [h for h in hits if h not in waived_patterns]
+            if waived:
+                print(f"waive {name}: {', '.join(waived)} — {reason}")
+            if real:
+                print(f"LINT  {name}: {', '.join(BAD[h] for h in real)}")
                 failures += 1
         # duplicate-lineage smell: the same parquet file scanned 3+
         # times in one plan usually means Catalyst re-planned a shared
