@@ -63,10 +63,24 @@ def hashed_features(
 
     One narrow explode + one hash-shuffled count — the canonical
     sparse representation every learner here consumes.
+
+    Rows with NO valid tokens (empty text after cleaning, or all
+    stop-words) emit one sentinel row ``fi = -1`` instead of vanishing:
+    sklearn predicts such rows from the all-zero vector and counts them
+    in every metric denominator, so dropping them would silently skew
+    batchsize/accuracy/F1 versus the reference. Learners ignore fi=-1
+    in weight updates; scoring joins find no fi=-1 weight and fall back
+    to the bias/prior, which IS the zero-vector prediction.
     """
     keep = [F.col(id_col), *[F.col(c) for c in extra_cols]]
-    ex = df.select(*keep, F.explode(terms_col).alias("_t")).filter(F.col("_t") != "")
-    ex = ex.withColumn("fi", F.pmod(F.hash("_t"), F.lit(num_features)))
+    toks = F.array_remove(F.col(terms_col) if isinstance(terms_col, str) else terms_col, "")
+    ex = df.select(*keep, F.explode_outer(toks).alias("_t"))
+    ex = ex.withColumn(
+        "fi",
+        F.when(F.col("_t").isNull(), F.lit(-1)).otherwise(
+            F.pmod(F.hash("_t"), F.lit(num_features))
+        ),
+    )
     return ex.groupBy(id_col, *extra_cols, "fi").agg(F.count("*").alias("cnt"))
 
 
@@ -108,6 +122,7 @@ class IncrementalBernoulliNB:
         """
         presence = (
             feats.select(label_col, id_col, "fi")
+            .filter(F.col("fi") >= 0)  # fi=-1 sentinel: no feature present
             .groupBy(label_col, "fi")
             .agg(F.count_distinct(id_col).alias("n"))
         )
@@ -206,11 +221,10 @@ class IncrementalLinearClassifier:
         spark = feats.sparkSession
         wdf = _weights_df(spark, self.w, "w")
         cols = [id_col] + ([label_col] if label_col else [])
-        keys = [id_col] + ([label_col] if label_col else [])
         return (
             feats.select(*cols, "fi", "cnt")
             .join(F.broadcast(wdf), "fi", "left")
-            .groupBy(*keys)
+            .groupBy(*cols)
             .agg((F.coalesce(F.sum(F.col("cnt") * F.col("w")), F.lit(0.0)) + F.lit(self.b)).alias("score"))
         )
 
@@ -230,16 +244,20 @@ class IncrementalLinearClassifier:
                 y = 2.0 * float(grp[label_col].iloc[0]) - 1.0
                 fi = grp["fi"].to_numpy()
                 cnt = grp["cnt"].to_numpy(dtype=np.float64)
+                valid = fi >= 0  # fi=-1 sentinel (zero-vector row)
+                fi, cnt = fi[valid], cnt[valid]
                 margin = y * (float(w[fi] @ cnt) + b)
-                if margin < 1.0:
-                    if variant == "pa":
-                        tau = min(C, (1.0 - margin) / (float(cnt @ cnt) + 1.0))
-                        w[fi] += tau * y * cnt
-                        b += tau * y
-                    else:
-                        w *= 1.0 - lr * reg
+                if variant == "sgd":
+                    # sklearn SGD shrinks by the L2 penalty on EVERY
+                    # sample, not just margin violations
+                    w *= 1.0 - lr * reg
+                    if margin < 1.0:
                         w[fi] += lr * y * cnt
                         b += lr * y
+                elif margin < 1.0:
+                    tau = min(C, (1.0 - margin) / (float(cnt @ cnt) + 1.0))
+                    w[fi] += tau * y * cnt
+                    b += tau * y
             n = pdf[id_col].nunique()
             nz = np.nonzero(w)[0]
             return pd.DataFrame(
@@ -347,22 +365,33 @@ class MiniBatchKMeans:
         mini-batch update: c_j ← c_j + (1/N_j)·Σ(x − c_j) with N_j the
         cumulative count. Collects ≤ k × num_features sum rows."""
         if not self._initialized:
-            # seed centroids from k distinct docs (deterministic: lowest ids)
+            # seed centroids from k distinct docs (deterministic: lowest
+            # ids) — ONE filtered collect, not one scan per seed
             seed_ids = [
                 r[id_col]
                 for r in feats.select(id_col).distinct().orderBy(id_col).limit(self.k).collect()
             ]
-            for j, sid in enumerate(seed_ids):
-                for r in feats.filter(F.col(id_col) == sid).select("fi", "cnt").collect():
-                    self.centroids[j, int(r["fi"])] = float(r["cnt"])
+            seed_pos = {sid: j for j, sid in enumerate(seed_ids)}
+            seed_rows = (
+                feats.filter(F.col(id_col).isin(seed_ids) & (F.col("fi") >= 0))
+                .select(id_col, "fi", "cnt")
+                .collect()
+            )
+            for r in seed_rows:
+                self.centroids[seed_pos[r[id_col]], int(r["fi"])] = float(r["cnt"])
             self._initialized = True
-        assign = self._assignments(feats, id_col)
-        joined = feats.select(id_col, "fi", "cnt").join(assign, id_col)
-        sums = joined.groupBy("prediction", "fi").agg(F.sum("cnt").alias("s")).collect()
-        sizes = {
-            int(r["prediction"]): r["n"]
-            for r in assign.groupBy("prediction").agg(F.count("*").alias("n")).collect()
-        }
+        # persist: the assignment plan (broadcast join + k-column agg)
+        # backs BOTH the sums join and the sizes count below
+        assign = self._assignments(feats, id_col).persist()
+        try:
+            joined = feats.select(id_col, "fi", "cnt").filter(F.col("fi") >= 0).join(assign, id_col)
+            sums = joined.groupBy("prediction", "fi").agg(F.sum("cnt").alias("s")).collect()
+            sizes = {
+                int(r["prediction"]): r["n"]
+                for r in assign.groupBy("prediction").agg(F.count("*").alias("n")).collect()
+            }
+        finally:
+            assign.unpersist()
         batch_sum = np.zeros((self.k, self.num_features), dtype=np.float64)
         for r in sums:
             batch_sum[int(r["prediction"]), int(r["fi"])] = float(r["s"])

@@ -38,13 +38,24 @@ class StreamingScorer:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        clean, _ = split_quarantine(parse_wire(batch_df)) if "value" in batch_df.columns else (batch_df, None)
-        feats = prepare_batch(clean, stem=self.stem, num_features=self.num_features)
-        pred = self.model.predict(feats).join(
-            feats.select("row_id", "target").distinct(), "row_id"
+        clean, quarantine = (
+            split_quarantine(parse_wire(batch_df)) if "value" in batch_df.columns else (batch_df, None)
         )
-        m = binary_metrics(pred)
-        self.history.append({"batch_id": batch_id, "batchsize": m.n, **m.as_row()})
+        # persist: row_id comes from monotonically_increasing_id, so the
+        # two sides of the prediction↔target join MUST evaluate the same
+        # materialization or ids could diverge (train.py does the same)
+        feats = prepare_batch(clean, stem=self.stem, num_features=self.num_features).persist()
+        try:
+            pred = self.model.predict(feats).join(
+                feats.select("row_id", "target").distinct(), "row_id"
+            )
+            m = binary_metrics(pred)
+            row = {"batch_id": batch_id, "batchsize": m.n, **m.as_row()}
+            if quarantine is not None:
+                row["quarantined"] = quarantine.count()
+            self.history.append(row)
+        finally:
+            feats.unpersist()
 
     def attach(
         self, lines: DataFrame, trigger_seconds: int = 5, console: bool = False

@@ -34,7 +34,10 @@ from ml_with_spark_streaming_spark.ml.incremental import hashed_features
 from ml_with_spark_streaming_spark.ml.registry import ModelRegistry
 from ml_with_spark_streaming_spark.streaming.wire import parse_wire, split_quarantine
 
-METRICS_COLUMNS = "batch_id long, f1 double, maxf1 double, acc double, precision double, recall double, batchsize long, rmse double"
+_METRICS_KEYS = [
+    "batch_id", "f1", "maxf1", "acc", "precision", "recall",
+    "batchsize", "rmse", "agreement", "quarantined",
+]
 
 
 def prepare_batch(
@@ -87,7 +90,12 @@ class StreamingTrainer:
         DataFrame of (label, tweet) for tests."""
         if batch_df.isEmpty():  # reference crashes then swallows; we guard
             return
-        clean, _quarantine = split_quarantine(parse_wire(batch_df)) if "value" in batch_df.columns else (batch_df, None)
+        clean, quarantine = (
+            split_quarantine(parse_wire(batch_df)) if "value" in batch_df.columns else (batch_df, None)
+        )
+        # malformed records are COUNTED into the metrics row, not
+        # silently discarded (SURVEY.md §5: quarantine, don't drop)
+        n_quarantined = quarantine.count() if quarantine is not None else 0
         feats = prepare_batch(clean, stem=self.stem, num_features=self.num_features)
         feats = feats.persist()
         try:
@@ -109,6 +117,7 @@ class StreamingTrainer:
                 row = {"batch_id": batch_id, "batchsize": pred.count(), "agreement": f1}
             self.best_f1 = max(self.best_f1, f1)
             row["maxf1"] = self.best_f1
+            row["quarantined"] = n_quarantined
             self.history.append(row)
             self.registry.save(self.key, self.model.get_state(), meta=row)
             self.registry.save_if_best(self.key, self.model.get_state(), f1, meta=row)
@@ -126,11 +135,10 @@ class StreamingTrainer:
         column intent as the reference's *_stats_<bs>.csv)."""
         path = os.path.join(self.registry.root, f"{self.key}_stats.csv")
         new = not os.path.exists(path)
-        keys = ["batch_id", "f1", "maxf1", "acc", "precision", "recall", "batchsize", "rmse", "agreement"]
         with open(path, "a") as f:
             if new:
-                f.write(",".join(keys) + "\n")
-            f.write(",".join(str(row.get(k, "")) for k in keys) + "\n")
+                f.write(",".join(_METRICS_KEYS) + "\n")
+            f.write(",".join(str(row.get(k, "")) for k in _METRICS_KEYS) + "\n")
 
     def attach(
         self,

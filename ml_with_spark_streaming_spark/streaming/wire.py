@@ -75,7 +75,9 @@ def parse_jsonl(lines: DataFrame, value_col: str = "value") -> DataFrame:
         F.col("r.label").alias("label"),
         F.col("r.text").alias("tweet"),
         F.when(F.col("r").isNull() | F.col("r.text").isNull(), "bad_json").alias("error"),
-        F.when(F.col("r").isNull(), F.col("raw")).alias("raw"),
+        # preserve the original line on EVERY bad_json row — an object
+        # that parsed but lacks `text` is just as unrecoverable without it
+        F.when(F.col("r").isNull() | F.col("r.text").isNull(), F.col("raw")).alias("raw"),
     )
 
 

@@ -104,3 +104,31 @@ def test_registry_roundtrip(tmp_path, feats):
     assert not reg.save_if_best("nb_test", m.get_state(), 0.4)  # worse → rejected
     assert reg.save_if_best("nb_test", m.get_state(), 0.8)
     assert reg.meta("nb_test", best=True)["metric"] == 0.8
+
+
+def test_zero_token_rows_are_predicted_not_dropped(spark):
+    """A row whose text cleans to nothing must still appear in
+    predictions (sklearn scores the all-zero vector from the
+    bias/prior) instead of silently vanishing from the metrics."""
+    from ml_with_spark_streaming_spark.ml.incremental import (
+        IncrementalBernoulliNB,
+        IncrementalLinearClassifier,
+        hashed_features,
+    )
+
+    rows = [
+        (0, 1.0, ["good", "great"]),
+        (1, 0.0, ["bad", "awful"]),
+        (2, 1.0, []),            # empty after cleaning
+        (3, 0.0, ["", ""]),      # only empty-string tokens
+    ]
+    df = spark.createDataFrame(rows, "row_id long, target double, toks array<string>")
+    feats = hashed_features(df, "toks", "row_id", extra_cols=("target",))
+    got_ids = {r["row_id"] for r in feats.select("row_id").distinct().collect()}
+    assert got_ids == {0, 1, 2, 3}  # sentinel rows keep empty docs alive
+
+    for model in (IncrementalBernoulliNB(), IncrementalLinearClassifier(variant="pa")):
+        model.update(feats)
+        pred = {r["row_id"]: r["prediction"] for r in model.predict(feats).collect()}
+        assert set(pred) == {0, 1, 2, 3}  # all rows scored, incl. zero-vector
+        assert pred[0] == 1.0 and pred[1] == 0.0  # real rows still learn
