@@ -646,3 +646,44 @@ def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(spark, tm
     assert (0, 10) in got          # matched pair
     assert (1, None) in got        # unmatched left row emitted with nulls
     assert len({p for p in got if p[0] == 1}) == 1  # exactly once
+
+
+def test_fixture_gauntlet_full_edge_case_batch(spark, tmp_path):
+    """FIXTURES.md §1: every required edge-case row through the full
+    wire-parse → clean → featurize → train → metrics path in ONE batch —
+    nothing crashes, malformed rows are quarantined and counted, and
+    every parseable row lands in the batch size."""
+    records = [
+        "4,@user #tag &amp loves http://x.co THIS, really",  # mentions/urls/case/comma
+        "0,bad day 123 !!! émoji \t  spaced",            # digits/punct/non-ascii/ws
+        "4,the and of",                                       # stop-words only
+        "0,@only #tags http://u.rl 42",                       # empty after cleaning
+        "4,running runs run runner",                          # shared stems
+        "no comma at all",                                    # malformed record
+    ]
+    payload = json.dumps(records)
+    d = tmp_path / "gauntlet_in"
+    d.mkdir()
+    (d / "b0.json").write_text(payload + "\n" + "this line is not json\n")
+
+    reg = ModelRegistry(str(tmp_path / "models_g"))
+    trainer = StreamingTrainer(
+        model=IncrementalBernoulliNB(), registry=reg, key="nb_g", stem=True
+    )
+    lines = spark.readStream.format("text").load(str(d))
+    q = trainer.attach(lines, trigger_seconds=1, checkpoint=str(tmp_path / "ck_g"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(trainer.history) == 1
+    row = trainer.history[0]
+    # batchsize counts the held-out scored rows (~20% content-hash
+    # split of the 5 well-formed records, incl. the stop-word-only and
+    # empty-after-cleaning rows kept via the fi=-1 sentinel)
+    assert 1 <= row["batchsize"] <= 5
+    # 1 no-comma record + 1 non-JSON line quarantined, not dropped
+    assert row["quarantined"] == 2
+    stats = (tmp_path / "models_g" / "nb_g_stats.csv").read_text().splitlines()
+    assert "quarantined" in stats[0] and stats[1].endswith(",2")
