@@ -920,3 +920,43 @@ def q87_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): ancestor-chain walk
+# ---------------------------------------------------------------------------
+
+Q89_SQL = """
+WITH RECURSIVE chain(custkey, anc, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 200
+  UNION ALL
+  SELECT custkey, anc // 2, depth + 1 FROM chain WHERE anc > 1
+)
+SELECT depth, COUNT(*) AS n, SUM(anc) AS anc_sum
+FROM chain
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+@query("q89_recursive_hierarchy", Q89_SQL)
+def q89_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (new in Spark 4): walk the synthetic binary-tree
+    ancestry anc -> anc/2 from each customer key to the root —
+    per-level node counts + ancestor-key checksums. Iterative plans
+    (each recursion step is one more union leg) are the one SQL shape
+    the DataFrame API can't express declaratively."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_cust_for_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(custkey, anc, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM _cust_for_rec WHERE c_custkey <= 200
+          UNION ALL
+          SELECT custkey, anc DIV 2, depth + 1 FROM chain WHERE anc > 1
+        )
+        SELECT depth, COUNT(*) AS n, SUM(anc) AS anc_sum
+        FROM chain
+        GROUP BY depth
+        ORDER BY depth
+        """
+    )
