@@ -48,3 +48,19 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
         F.col("value").cast("string"),
     )
     return rate.select(F.to_json(F.array(rec)).alias("value"))
+
+
+def read_state(spark: SparkSession, checkpoint: str, **options: str) -> DataFrame:
+    """Read a streaming query's state store as a DataFrame (Spark 4
+    ``statestore`` source) — inspect live aggregation/join/dedup state
+    from its checkpoint without touching the running query. The
+    reference's only 'state' was opaque pickles on disk; here every
+    window count, join buffer, and dedup key is queryable.
+
+    Options pass through (e.g. ``batchId``, ``operatorId``,
+    ``storeName``, ``joinSide`` for stream-stream join state).
+    """
+    reader = spark.read.format("statestore")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(checkpoint)

@@ -687,3 +687,35 @@ def test_fixture_gauntlet_full_edge_case_batch(spark, tmp_path):
     assert row["quarantined"] == 2
     stats = (tmp_path / "models_g" / "nb_g_stats.csv").read_text().splitlines()
     assert "quarantined" in stats[0] and stats[1].endswith(",2")
+
+
+def test_statestore_reader_exposes_window_state(spark, tmp_path):
+    """Observability: the checkpoint's state store is queryable — the
+    open windows' partial aggregates are visible as rows."""
+    from ml_with_spark_streaming_spark.streaming.sources import read_state
+    from ml_with_spark_streaming_spark.streaming.windows import tumbling_counts
+
+    d = tmp_path / "ss_in"
+    _write_mtime_ordered(
+        d,
+        [[_ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+          _ev(1, "2024-01-01 10:30:00", 1, "view", 2.0)]],
+    )
+    ck = str(tmp_path / "ss_ck")
+    stream = tumbling_counts(_read_event_stream(spark, str(d)), minutes=60)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ss_state_test")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = {
+        (r["key"]["event_type"], r["value"]["count"], r["value"]["sum"])
+        for r in read_state(spark, ck).collect()
+    }
+    assert state == {("click", 1, 1.0), ("view", 1, 2.0)}
