@@ -8,7 +8,7 @@ Python, no UDF, no collect.
 Scale path: IVF — assign every corpus vector to its nearest centroid
 once (narrow), then probe only the closest `nprobe` centroid buckets
 per query: the candidate set shrinks by ~n_centroids/nprobe. Centroid
-choice here is deterministic (strided sample) so results are
+choice here is deterministic (content-hash sample) so results are
 reproducible; at 100 TB you'd fit KMeans centroids instead — the
 bucketing/probing plumbing is identical.
 """
@@ -33,8 +33,16 @@ def norm_expr(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda s, v: s + v))
 
 
+def safe_denom(n: Column) -> Column:
+    """Zero-norm guard: an all-zero embedding would make cosine NULL/NaN
+    (and NaN orders differently between numpy's partial top-k and
+    Spark's window sort). Dividing by 1 instead yields cosine 0 — the
+    zero vector is 'similar to nothing', and ranking stays total."""
+    return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    return dot_expr(a, b) / (safe_denom(norm_expr(a)) * safe_denom(norm_expr(b)))
 
 
 def brute_force_topk(
@@ -56,9 +64,11 @@ def brute_force_topk(
     scored = joined.select(
         q_id,
         c_id,
-        F.round(dot_expr(F.col(q_vec), F.col(c_vec)) / (F.col("_qn") * F.col("_cn")), 4).alias(
-            "cosine"
-        ),
+        F.round(
+            dot_expr(F.col(q_vec), F.col(c_vec))
+            / (safe_denom(F.col("_qn")) * safe_denom(F.col("_cn"))),
+            4,
+        ).alias("cosine"),
     )
     w = W.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -94,7 +104,8 @@ def brute_force_topk_arrow(
     qrows = queries.select(q_id, q_vec).collect()
     qids = np.array([r[q_id] for r in qrows], dtype=np.int64)
     qm = np.stack([np.asarray(r[q_vec], dtype=np.float64) for r in qrows])
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qnorm = np.linalg.norm(qm, axis=1, keepdims=True)
+    qm /= np.where(qnorm == 0, 1, qnorm)  # zero-norm guard, see safe_denom
     bq = corpus.sparkSession.sparkContext.broadcast((qids, qm))
 
     def part(batches):
@@ -103,7 +114,8 @@ def brute_force_topk_arrow(
             if not len(pdf):
                 continue
             cm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[c_vec]])
-            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            cnorm = np.linalg.norm(cm, axis=1, keepdims=True)
+            cm /= np.where(cnorm == 0, 1, cnorm)
             sims = cm @ qn.T  # (batch, n_queries)
             ids = pdf[c_id].to_numpy()
             out = []
@@ -148,7 +160,9 @@ def neardup_pairs(
             "id1",
             "id2",
             F.round(
-                dot_expr(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 4
+                dot_expr(F.col("v1"), F.col("v2"))
+                / (safe_denom(F.col("n1")) * safe_denom(F.col("n2"))),
+                4,
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
@@ -163,9 +177,14 @@ def signlsh_neardup(
     c_id: str = "vec_id",
     c_vec: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup at scale: random-hyperplane LSH gate + exact
     verify — the bucketed replacement for neardup_pairs' all-pairs join.
+
+    Pass ``dim`` (the embedding width) when known — otherwise a cheap
+    ``first()`` probe reads it from the data (array<float> schemas
+    don't carry the width statically).
 
     sign(v·h) over ``n_planes`` seeded hyperplanes gives each vector a
     bit signature; P(bit agrees) = 1 - angle/π, so near-identical
@@ -187,12 +206,13 @@ def signlsh_neardup(
     """
     import numpy as np
 
-    first = corpus.select(c_vec).first()
-    if first is None or first[0] is None:
-        return corpus.sparkSession.createDataFrame(
-            [], f"id1 long, id2 long, cosine double"
-        )
-    dim = len(first[0])
+    if dim is None:
+        first = corpus.select(c_vec).first()
+        if first is None or first[0] is None:
+            return corpus.sparkSession.createDataFrame(
+                [], "id1 long, id2 long, cosine double"
+            )
+        dim = len(first[0])
     rnd = np.random.RandomState(seed)
     planes = rnd.standard_normal((n_planes, dim))
     plane_cols = [
@@ -248,7 +268,12 @@ def signlsh_neardup(
         cand.join(a, "id1")
         .join(b, "id2")
         .withColumn(
-            "cosine", F.round(dot_expr(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 4)
+            "cosine",
+            F.round(
+                dot_expr(F.col("v1"), F.col("v2"))
+                / (safe_denom(F.col("n1")) * safe_denom(F.col("n2"))),
+                4,
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
@@ -266,19 +291,30 @@ def ivf_topk(
     c_id: str = "vec_id",
     c_vec: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: IVF with deterministic strided centroids.
+    """Approximate top-k: IVF with deterministic hash-sampled centroids.
 
-    1. centroids = every (n/n_centroids)-th corpus vector (broadcast);
+    1. centroids = the n_centroids corpus vectors with smallest
+       md5(id) — a content-hash sample: uniform-ish spread, fully
+       deterministic, independent of partition layout and of id
+       density (round-1 used id-stride, which assumed dense ids and
+       cost a full corpus.count() action — at 100 TB that is an extra
+       complete pass). orderBy+limit plans as TakeOrdered (per-partition
+       partial top-k, driver merge of n_centroids rows) — no full sort,
+       no count. At real scale fit sampled KMeans centroids instead;
+       the bucketing/probing plumbing below is identical.
     2. each corpus vector → nearest centroid (one narrow pass);
     3. each query probes its nprobe nearest centroids;
     4. exact cosine only within probed buckets → window top-k.
     """
-    n = corpus.count()
-    stride = max(n // n_centroids, 1)
     centroids = (
-        corpus.filter((F.col(c_id) % stride == 0))
-        .select(F.col(c_id).alias("cent_id"), F.col(c_vec).alias("cent_vec"))
+        corpus.select(
+            F.col(c_id).alias("cent_id"),
+            F.col(c_vec).alias("cent_vec"),
+            F.md5(F.col(c_id).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "cent_id")
         .limit(n_centroids)
+        .drop("_h")
     )
     # corpus → nearest centroid
     assigned = (

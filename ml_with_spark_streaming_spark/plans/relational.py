@@ -802,13 +802,13 @@ def q24_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q25_SQL = """
 SELECT
   l_orderkey, l_linenumber,
-  ROUND(ABS(l_extendedprice - 1000), 4)      AS abs_diff,
-  CEIL(l_quantity)                           AS qty_ceil,
-  FLOOR(l_quantity)                          AS qty_floor,
-  ROUND(SQRT(l_extendedprice), 6)            AS price_sqrt,
-  ROUND(LN(l_extendedprice + 1), 6)          AS price_ln,
-  ROUND(POWER(l_discount, 2), 6)             AS disc_sq,
-  l_linenumber % 3                           AS line_mod
+  CAST(ROUND(ABS(l_extendedprice - 1000) * 10000) AS BIGINT)  AS abs_diff_e4,
+  CAST(CEIL(l_quantity) AS BIGINT)                            AS qty_ceil,
+  CAST(FLOOR(l_quantity) AS BIGINT)                           AS qty_floor,
+  CAST(ROUND(SQRT(l_extendedprice) * 1000000) AS BIGINT)      AS price_sqrt_e6,
+  CAST(ROUND(LN(l_extendedprice + 1) * 1000000) AS BIGINT)    AS price_ln_e6,
+  CAST(ROUND(POWER(l_discount, 2) * 1000000) AS BIGINT)       AS disc_sq_e6,
+  l_linenumber % 3                                            AS line_mod
 FROM lineitem
 WHERE l_orderkey <= 100
 ORDER BY l_orderkey, l_linenumber
@@ -817,17 +817,28 @@ ORDER BY l_orderkey, l_linenumber
 
 @query("q25_math_functions", Q25_SQL)
 def q25_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math surface. All fractional outputs are surfaced as
+    SCALED BIGINTs (×10^4 / ×10^6): ROUND(double, k) produces doubles
+    whose last ulp differs between engines (Spark rounds the exact
+    BigDecimal of the double, DuckDB multiplies by 10^k), and DuckDB's
+    CEIL/FLOOR on DOUBLE stay DOUBLE while Spark's return BIGINT — both
+    killed the driver's hash in round 1. Integer surfacing removes the
+    float channel entirely."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
     return (
         li.select(
             "l_orderkey",
             "l_linenumber",
-            F.round(F.abs(F.col("l_extendedprice") - 1000), 4).alias("abs_diff"),
+            F.round(F.abs(F.col("l_extendedprice") - 1000) * 10000, 0)
+            .cast("long")
+            .alias("abs_diff_e4"),
             F.ceil("l_quantity").alias("qty_ceil"),
             F.floor("l_quantity").alias("qty_floor"),
-            F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
-            F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
-            F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+            F.round(F.sqrt("l_extendedprice") * 1000000, 0).cast("long").alias("price_sqrt_e6"),
+            F.round(F.log(F.col("l_extendedprice") + 1) * 1000000, 0)
+            .cast("long")
+            .alias("price_ln_e6"),
+            F.round(F.pow("l_discount", F.lit(2)) * 1000000, 0).cast("long").alias("disc_sq_e6"),
             (F.col("l_linenumber") % 3).alias("line_mod"),
         )
         .orderBy("l_orderkey", "l_linenumber")
@@ -837,8 +848,10 @@ def q25_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q26_SQL = """
 SELECT
   event_type,
-  SUM(CAST(json_extract(props, '$.k') AS INT))  AS sum_k,
-  ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k
+  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)  AS sum_k,
+  CAST(FLOOR((SUM(CAST(json_extract(props, '$.k') AS INT)) * 20000
+              + COUNT(json_extract(props, '$.k'))) * 1.0
+             / (2 * COUNT(json_extract(props, '$.k')))) AS BIGINT) AS avg_k_e4
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -847,11 +860,21 @@ ORDER BY event_type
 
 @query("q26_json_extract", Q26_SQL)
 def q26_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction + aggregation. sum_k is CAST to BIGINT in the
+    oracle because DuckDB SUM(INTEGER) returns HUGEINT (pandas turns it
+    into float64 → driver hash mismatch). avg_k is surfaced as a scaled
+    BIGINT (×10^4, HALF-UP in integer arithmetic) because ROUND(AVG,4)
+    is a small-denominator rational — exactly the tie case where Spark
+    and DuckDB ROUND(double) disagree."""
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
+    s, n = F.sum(k), F.count(k)
     return (
         e.groupBy("event_type")
-        .agg(F.sum(k).alias("sum_k"), F.round(F.avg(k), 4).alias("avg_k"))
+        .agg(
+            s.alias("sum_k"),
+            F.floor((s * 20000 + n) / (2 * n)).cast("long").alias("avg_k_e4"),
+        )
         .orderBy("event_type")
     )
 

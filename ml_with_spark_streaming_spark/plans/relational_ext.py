@@ -154,7 +154,7 @@ def q34_range_frame_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q35_SQL = """
 SELECT p_brand,
-       list_sort(list(DISTINCT p_size)) AS sizes,
+       array_to_string(list_sort(list(DISTINCT p_size)), ',') AS sizes,
        len(list_sort(list(DISTINCT p_size))) AS n_sizes
 FROM part
 GROUP BY p_brand
@@ -164,11 +164,20 @@ ORDER BY p_brand
 
 @query("q35_brand_size_arrays", Q35_SQL)
 def q35_brand_size_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array agg surfaced as a canonical ','-joined STRING: the driver's
+    comparator sorts result columns in pandas and crashes on ndarray
+    cells (round-1 q35/q36/q37 err), so no oracled query may return
+    array<T>. The array op itself (array_sort ∘ collect_set) is
+    unchanged — only the surfacing is scalar."""
     p = _t(spark, sf_dir, "part")
     return (
         p.groupBy("p_brand")
-        .agg(F.array_sort(F.collect_set("p_size")).alias("sizes"))
-        .withColumn("n_sizes", F.size("sizes"))
+        .agg(F.array_sort(F.collect_set("p_size")).alias("_sizes"))
+        .select(
+            "p_brand",
+            F.array_join(F.col("_sizes").cast("array<string>"), ",").alias("sizes"),
+            F.size("_sizes").alias("n_sizes"),
+        )
         .orderBy("p_brand")
     )
 
@@ -179,9 +188,10 @@ def q35_brand_size_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q36_SQL = """
 SELECT l_orderkey,
-       list(l_quantity ORDER BY l_linenumber, l_quantity) AS quantities,
-       ROUND(list_max(list(l_quantity ORDER BY l_linenumber, l_quantity)), 2) AS max_qty,
-       ROUND(list_sum(list(l_quantity ORDER BY l_linenumber, l_quantity)), 2) AS total_qty
+       array_to_string(list(CAST(l_quantity AS INT) ORDER BY l_linenumber, l_quantity), ',')
+         AS quantities,
+       CAST(MAX(l_quantity) AS BIGINT) AS max_qty,
+       CAST(SUM(l_quantity) AS BIGINT) AS total_qty
 FROM lineitem
 GROUP BY l_orderkey
 HAVING COUNT(*) >= 5
@@ -193,19 +203,25 @@ ORDER BY l_orderkey
 def q36_order_quantity_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive collect: sort_array over (linenumber, qty)
     structs then strip the key — deterministic without relying on
-    collect_list's undefined ordering."""
+    collect_list's undefined ordering. Surfaced driver-safe: the array
+    as a ','-joined string of ints (l_quantity is integral 1..50 in the
+    data), max/total as BIGINT — no array or raw-double output."""
     li = _t(spark, sf_dir, "lineitem")
     pairs = F.array_sort(F.collect_list(F.struct("l_linenumber", "l_quantity")))
     qty = F.transform(pairs, lambda s: s["l_quantity"])
     return (
         li.groupBy("l_orderkey")
-        .agg(qty.alias("quantities"), F.count("*").alias("_n"))
+        .agg(qty.alias("_quantities"), F.count("*").alias("_n"))
         .filter(F.col("_n") >= 5)
         .select(
             "l_orderkey",
-            "quantities",
-            F.round(F.array_max("quantities"), 2).alias("max_qty"),
-            F.round(F.aggregate("quantities", F.lit(0.0), lambda a, x: a + x), 2).alias("total_qty"),
+            F.array_join(
+                F.transform("_quantities", lambda x: x.cast("int").cast("string")), ","
+            ).alias("quantities"),
+            F.array_max("_quantities").cast("long").alias("max_qty"),
+            F.aggregate("_quantities", F.lit(0.0), lambda a, x: a + x)
+            .cast("long")
+            .alias("total_qty"),
         )
         .orderBy("l_orderkey")
     )
@@ -217,7 +233,7 @@ def q36_order_quantity_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q37_SQL = """
 SELECT p_partkey,
-       regexp_extract_all(p_name, '[a-z]+', 0) AS words,
+       array_to_string(regexp_extract_all(p_name, '[a-z]+', 0), ' ') AS words,
        len(regexp_extract_all(p_name, '[a-z]+', 0)) AS n_words
 FROM part
 WHERE p_partkey <= 500
@@ -227,13 +243,16 @@ ORDER BY p_partkey
 
 @query("q37_part_name_tokens", Q37_SQL)
 def q37_part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all surfaced as a ' '-joined string (driver's
+    comparator can't sort array cells — see q35)."""
     p = _t(spark, sf_dir, "part")
+    words = F.expr("regexp_extract_all(p_name, '[a-z]+', 0)")
     return (
         p.filter(F.col("p_partkey") <= 500)
         .select(
             "p_partkey",
-            F.expr("regexp_extract_all(p_name, '[a-z]+', 0)").alias("words"),
-            F.size(F.expr("regexp_extract_all(p_name, '[a-z]+', 0)")).alias("n_words"),
+            F.array_join(words, " ").alias("words"),
+            F.size(words).alias("n_words"),
         )
         .orderBy("p_partkey")
     )
@@ -646,8 +665,8 @@ r AS (
   FROM orders
 )
 SELECT COALESCE(l.pri, 'none') AS priority,
-       COUNT(*) AS n,
-       SUM(r.matched) AS n_matched
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(r.matched) AS BIGINT) AS n_matched
 FROM l JOIN r ON l.pri IS NOT DISTINCT FROM r.pri
 GROUP BY 1
 ORDER BY 1
@@ -895,10 +914,18 @@ ORDER BY numwait DESC, s.s_name
 def q87_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (testdata lacks receipt/commit dates, so 'late'
     = shipped >60 days after order date): the sole late supplier in a
-    multi-supplier finished order. Correlated EXISTS → left_semi with
-    an inequality condition; NOT EXISTS → left_anti — both shuffle on
-    l_orderkey, so at scale the three self-join legs co-partition and
-    the heavy fact table never broadcasts."""
+    multi-supplier finished order.
+
+    SINGLE-PASS rewrite (round-1 plan_lint flagged the literal
+    EXISTS/NOT-EXISTS form for scanning lineitem 3x — at 100 TB that is
+    three full fact scans): scan lineitem ONCE, aggregate per
+    (orderkey, suppkey) counting that supplier's late rows, then decide
+    both correlated predicates per order with window counts over the
+    already-shuffled slim table — EXISTS(other supplier) == n_supp >= 2,
+    NOT EXISTS(other LATE supplier) == n_late_supp == 1. The explicit
+    repartition(l_orderkey) makes one shuffle serve the groupBy AND the
+    window (HashPartitioning(orderkey) satisfies both distributions).
+    numwait stays lineitem-row-grained via sum(n_late_rows)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = _t(spark, sf_dir, "supplier")
@@ -907,17 +934,22 @@ def q87_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         (F.col("l_shipdate") > F.date_add("o_orderdate", 60)).alias("is_late"),
     )
-    l1 = late.filter("is_late")
-    l2 = late.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
-    l3 = late.filter("is_late").select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
-    cand = l1.join(l2, (l1["l_orderkey"] == l2["k2"]) & (l1["l_suppkey"] != l2["s2"]), "left_semi")
-    sole = cand.join(
-        l3, (cand["l_orderkey"] == l3["k3"]) & (cand["l_suppkey"] != l3["s3"]), "left_anti"
+    per_supp = (
+        late.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.col("is_late").cast("long")).alias("n_late_rows"))
     )
+    w = W.partitionBy("l_orderkey")
+    sole = per_supp.select(
+        "l_suppkey",
+        "n_late_rows",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum((F.col("n_late_rows") > 0).cast("long")).over(w).alias("n_late_supp"),
+    ).filter((F.col("n_late_rows") > 0) & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     return (
         sole.join(s, sole["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
 
@@ -932,7 +964,7 @@ WITH RECURSIVE chain(custkey, anc, depth) AS (
   UNION ALL
   SELECT custkey, anc // 2, depth + 1 FROM chain WHERE anc > 1
 )
-SELECT depth, COUNT(*) AS n, SUM(anc) AS anc_sum
+SELECT depth, COUNT(*) AS n, CAST(SUM(anc) AS BIGINT) AS anc_sum
 FROM chain
 GROUP BY depth
 ORDER BY depth

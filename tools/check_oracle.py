@@ -13,6 +13,8 @@ Usage:  python tools/check_oracle.py [sf_dir] [query-name ...]
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import os
 import sys
@@ -32,22 +34,53 @@ TABLES = (
 
 
 def canon(v):
+    """Driver-strict canonicalization.
+
+    The driver's comparator hashes pandas frames, where DuckDB HUGEINT
+    (SUM over INTEGER) becomes float64 while Spark's LONG stays int64 —
+    so int-vs-float must compare DISTINCT here (round-1 q25/q26/q76
+    regressions were masked by a shared %.9g format). Floats compare at
+    full repr precision: oracled queries must produce bit-identical
+    doubles (rounding is the query's job, via scaled-int surfacing)."""
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        # collapse -0.0 / 0.0 and represent at limited precision so that
-        # engine-side rounding to N decimals compares reliably
-        return f"{v + 0.0:.9g}"
+            return "f:NaN"
+        return f"f:{v + 0.0!r}"  # +0.0 collapses -0.0
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
-        return tuple(canon(x) for x in v)
     return str(v)
+
+
+def value_lint(v) -> str | None:
+    """Kinds the driver's comparator mis-handles or crashes on."""
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "array cell (driver pandas sort crashes: unhashable ndarray)"
+    if isinstance(v, dict):
+        return "map/struct cell (driver comparator unhashable)"
+    if isinstance(v, datetime.datetime):
+        return "timestamp cell (engine tz/precision canon differs — format as string)"
+    if isinstance(v, decimal.Decimal):
+        return "decimal cell (pandas dtype differs between engines)"
+    return None
 
 
 def rows_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return Counter(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def lint_rows(cols, rows, engine: str) -> list[str]:
+    problems = []
+    if rows:
+        for i, c in enumerate(cols):
+            bad = value_lint(rows[0][i])
+            if bad:
+                problems.append(f"{engine}.{c}: {bad}")
+    return problems
 
 
 def main() -> int:
@@ -94,6 +127,7 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        problems += lint_rows(scols, srows, "spark") + lint_rows(dcols, drows, "duckdb")
         if not problems:
             sm, dm = rows_multiset(scols, srows), rows_multiset(dcols, drows)
             if sm != dm:
