@@ -2,11 +2,11 @@
 
 The reference stems with NLTK's SnowballStemmer («english») inside a
 row-at-a-time Python UDF (reference: PAC/passiveAgressiveModel.py:64-66).
-NLTK is not available in this environment, so the engine ships its own
-implementation of the classic Porter algorithm — deterministic, no
-external deps. Snowball ("Porter2") differs from Porter on a small set
-of suffixes; the deviation is deliberate and documented (SURVEY.md §7
-"What's hard / risky": keep the update math in one audited module).
+NLTK is not available in this environment. The engine's production
+stemmer is now ``functions/snowball.py`` (Porter2 — the reference's
+actual algorithm); this classic 1980 Porter implementation is kept for
+comparison, and tests/test_text.py pins the words where the two must
+differ (dying, news, ties, quickly, geology, ...).
 
 Implemented from the published algorithm description
 (tartarus.org/martin/PorterStemmer — public reference), not from any

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ml_with_spark_streaming_spark.functions.porter import porter_stem
+from ml_with_spark_streaming_spark.functions.snowball import snowball_stem
 from ml_with_spark_streaming_spark.functions.text import (
     clean_text_expr,
     remove_stopwords_expr,
@@ -49,12 +50,69 @@ def test_porter_stem_basics():
     assert porter_stem("cats") == "cat"
 
 
+# NLTK SnowballStemmer("english") goldens, hand-derived from the
+# published Porter2 spec (snowballstem.org/algorithms/english) — the
+# reference pipeline's stemmer (PAC/passiveAgressiveModel.py:64-66).
+# Grouped by the algorithm feature they pin down.
+SNOWBALL_GOLDENS = {
+    # exceptional forms
+    "dying": "die", "lying": "lie", "tying": "tie", "skis": "ski",
+    "skies": "sky", "ugly": "ugli", "early": "earli", "only": "onli",
+    "singly": "singl", "news": "news", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes", "sky": "sky",
+    # invariant after step 1a
+    "inning": "inning", "proceed": "proceed", "exceed": "exceed",
+    "succeed": "succeed",
+    # step-1a plural semantics
+    "ties": "tie", "cries": "cri", "gas": "gas", "this": "this",
+    "gaps": "gap", "kiwis": "kiwi", "caresses": "caress", "ponies": "poni",
+    # step-1b + shortness
+    "running": "run", "hopping": "hop", "hoping": "hope",
+    "meeting": "meet", "agreed": "agre", "luxuriated": "luxuri",
+    # consonant-y marking
+    "boy": "boy", "say": "say", "cry": "cri", "by": "by",
+    "flying": "fli", "happy": "happi",
+    # Porter2-only step-2 rules (li-deletion, ogi, fulli)
+    "quickly": "quick", "geology": "geolog", "fully": "fulli",
+    "generously": "generous",
+    # R1/R2 regions through steps 2-5
+    "communication": "communic", "conditional": "condit",
+    "absorption": "absorpt", "happiness": "happi", "generate": "generat",
+    "argument": "argument", "agreement": "agreement",
+    "relational": "relat", "rational": "ration",
+}
+
+
+def test_snowball_stem_goldens():
+    got = {w: snowball_stem(w) for w in SNOWBALL_GOLDENS}
+    assert got == SNOWBALL_GOLDENS
+
+
+def test_snowball_diverges_from_porter_where_specified():
+    """The round-1 engine shipped original Porter; the reference uses
+    Snowball. Pin the words where the two algorithms MUST differ so a
+    regression back to Porter semantics is loud."""
+    for word, expected in {
+        "dying": "die",      # Porter: dy
+        "news": "news",      # Porter: new
+        "ties": "tie",       # Porter: ti
+        "gas": "gas",        # Porter: ga
+        "boy": "boy",        # Porter: boi
+        "quickly": "quick",  # Porter: quickli
+        "geology": "geolog", # Porter: geologi
+        "proceed": "proceed",  # Porter: procee
+        "communication": "communic",  # Porter: commun
+    }.items():
+        assert snowball_stem(word) == expected
+        assert porter_stem(word) != expected
+
+
 def test_stem_udf_matches_python(spark):
-    toks = ["running", "flies", "happily"]
+    toks = ["running", "flies", "happily", "dying", "quickly"]
     out = spark.createDataFrame([(toks,)], "toks array<string>").select(
         stem_tokens_udf(F.col("toks")).alias("s")
     ).head()["s"]
-    assert out == [porter_stem(t) for t in toks]
+    assert out == [snowball_stem(t) for t in toks]
 
 
 def test_winnowing_shared_substring_guarantee(spark):
