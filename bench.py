@@ -7,6 +7,17 @@
 Each query is materialized with the ``noop`` sink — full execution of
 every column, zero driver-side collection — so the timing measures the
 distributed plan, not Py4J row transfer.
+
+Extra recorded numbers (same JSON line):
+
+* ``streaming_records_per_sec`` — records/s through the full streaming
+  train path (wire parse → clean → tokenize → stopwords → stem →
+  HashingTF → NB partial_fit → predict → metrics), the reference's
+  ≥600 rec/s obligation (BASELINE.md) as a measured value.
+* ``sweep`` — the same headline set run once at a second scale factor
+  (default sf0.01) so round-over-round scaling (does wall time grow
+  ~linearly in SF?) is visible in BENCH history.  Set
+  ``SPARK_GRAFT_SWEEP=0`` to skip.
 """
 
 from __future__ import annotations
@@ -50,6 +61,53 @@ HEADLINE = [
 ]
 
 
+def _streaming_rate(spark) -> float:
+    """records/s through StreamingTrainer on a file stream (availableNow
+    micro-batches), stemming on — the full reference pipeline."""
+    import json as _json
+    import random
+    import shutil
+    import tempfile
+
+    from ml_with_spark_streaming_spark.ml.incremental import IncrementalBernoulliNB
+    from ml_with_spark_streaming_spark.ml.registry import ModelRegistry
+    from ml_with_spark_streaming_spark.streaming.train import StreamingTrainer
+
+    pos = ["good", "great", "love", "happy", "best"]
+    neg = ["bad", "awful", "hate", "sad", "worst"]
+    rnd = random.Random(7)
+    n_files, per_file = 3, 5000
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src = os.path.join(root, "in")
+        os.makedirs(src)
+        for fi in range(n_files):
+            recs = []
+            for i in range(per_file):
+                lab = "4" if i % 2 else "0"
+                words = " ".join((pos if lab == "4" else neg)[rnd.randrange(5)] for _ in range(6))
+                recs.append(f"{lab},{words} batch{fi} rec{i}")
+            with open(os.path.join(src, f"batch_{fi}.json"), "w") as f:
+                f.write(_json.dumps(recs) + "\n")
+        trainer = StreamingTrainer(
+            model=IncrementalBernoulliNB(),
+            registry=ModelRegistry(os.path.join(root, "models")),
+            key="bench_nb",
+            stem=True,
+        )
+        lines = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(src)
+        t0 = time.monotonic()
+        q = trainer.attach(lines, checkpoint=os.path.join(root, "ckpt"), available_now=True)
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        wall = time.monotonic() - t0
+        return round(n_files * per_file / wall, 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     from ml_with_spark_streaming_spark.session import get_spark
     from ml_with_spark_streaming_spark.plans import QUERIES
@@ -85,17 +143,30 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": round(total, 3),
+    out = {
+        "metric": "headline_query_wall_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    out["streaming_records_per_sec"] = _streaming_rate(spark)
+
+    if os.environ.get("SPARK_GRAFT_SWEEP", "1") != "0":
+        sweep_dir = os.environ.get("SPARK_GRAFT_SWEEP_SF_DIR", "/root/testdata/sf0.01")
+        if os.path.isdir(sweep_dir) and os.path.abspath(sweep_dir) != os.path.abspath(SF_DIR):
+            t0 = time.monotonic()
+            for name in HEADLINE:
+                QUERIES[name](spark, sweep_dir).write.format("noop").mode("overwrite").save()
+            sweep_base = os.path.basename(sweep_dir.rstrip("/"))
+            out["sweep"] = {
+                "sf": float(sweep_base[2:]) if sweep_base.startswith("sf") else None,
+                "value": round(time.monotonic() - t0, 3),
                 "unit": "sec",
-                "queries": timings,
-                "sf": sf,
             }
-        )
-    )
+
+    print(json.dumps(out))
     spark.stop()
 
 

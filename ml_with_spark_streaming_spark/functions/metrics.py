@@ -55,7 +55,16 @@ def binary_metrics(
     pred_col: str = "prediction",
     positive: float = 1.0,
 ) -> BinaryMetrics:
-    """All scalar metrics from one distributed aggregation."""
+    """All scalar metrics from one distributed aggregation.
+
+    Class-index deviation (documented): the reference reports
+    ``precision_score/recall_score(average=None)[0]`` — i.e. the metrics
+    of class **0** (PAC/passiveAgressiveModel.py:110-111), which is
+    almost certainly an indexing accident rather than intent. The engine
+    defaults to the conventional positive class (label 1.0); pass
+    ``positive=0.0`` to reproduce the reference's CSV values exactly in
+    a parity replay.
+    """
     cells = {
         (float(r[label_col]), float(r[pred_col])): r["n"]
         for r in confusion_matrix(pred_df, label_col, pred_col).collect()
