@@ -58,6 +58,8 @@ HEADLINE = [
     "q62_session_windows",
     "q77_interval_join_attribution",
     "q80_stats_aggregates",
+    "q90_dedup_clusters",
+    "q91_repetition_signals",
 ]
 
 

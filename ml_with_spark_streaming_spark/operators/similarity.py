@@ -259,8 +259,20 @@ def signlsh_neardup(
         .select(F.col("p.id1"), F.col("p.id2"))
         .distinct()
     )
-    normed = corpus.select(
-        F.col(c_id), F.col(c_vec).alias("_v"), norm_expr(F.col(c_vec)).alias("_n")
+    # Materialize the (small, LSH-bounded) candidate pairs, then
+    # semi-filter the normed-vector table down to candidate ids and
+    # materialize THAT — both verify-join sides otherwise re-plan the
+    # full corpus scan (same fix as dedup.jaccard_verify).
+    cand = cand.localCheckpoint(eager=True)
+    cids = (
+        cand.select(F.col("id1").alias(c_id))
+        .union(cand.select(F.col("id2").alias(c_id)))
+        .distinct()
+    )
+    normed = (
+        corpus.select(F.col(c_id), F.col(c_vec).alias("_v"), norm_expr(F.col(c_vec)).alias("_n"))
+        .join(cids, c_id, "left_semi")
+        .localCheckpoint(eager=True)
     )
     a = normed.select(F.col(c_id).alias("id1"), F.col("_v").alias("v1"), F.col("_n").alias("n1"))
     b = normed.select(F.col(c_id).alias("id2"), F.col("_v").alias("v2"), F.col("_n").alias("n2"))
@@ -315,6 +327,11 @@ def ivf_topk(
         .orderBy("_h", "cent_id")
         .limit(n_centroids)
         .drop("_h")
+        # n_centroids rows; materialized so the two downstream
+        # broadcasts (assign + probe) don't each re-run the
+        # TakeOrdered corpus pass — "centroids are fit once and
+        # persisted" is also the real-scale shape.
+        .localCheckpoint(eager=True)
     )
     # corpus → nearest centroid
     assigned = (

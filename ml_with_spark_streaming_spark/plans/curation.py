@@ -1,0 +1,378 @@
+"""Training-data curation queries: dedup clustering (connected
+components over verified near-dup pairs), Gopher-style repetition /
+quality signals, and PII detection + redaction.
+
+These extend the fuzzy-dedup stages in ``plans/llm_ops.py`` to the
+operations a 100 TB pretraining pipeline actually ships: a per-cluster
+keep-list (q90), per-document repetition filters (q91 — the
+"repetition" family of Gopher/MassiveText quality rules, Rae et al.
+2021, arXiv:2112.11446), and PII scrubbing (q92 — regex classes over
+text, as in public Common Crawl / BigScience pipelines).
+
+Oracle notes: every ratio is surfaced via exact integer HALF-UP
+rounding (``exact_round_div``) — no ROUND(double) crosses the engine
+boundary; counts are BIGINT on both sides; booleans are surfaced as
+INT (driver comparator treats bool/None canon inconsistently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ml_with_spark_streaming_spark.operators.dedup import (
+    jaccard_verify,
+    minhash_candidates,
+    shingles_expr,
+)
+from ml_with_spark_streaming_spark.operators.graph import connected_components
+from ml_with_spark_streaming_spark.operators.textstats import (
+    exact_round_div,
+    exact_round_div_sql,
+)
+from ml_with_spark_streaming_spark.functions.text import clean_text_expr, tokens_expr
+from ml_with_spark_streaming_spark.plans.registry import query
+from ml_with_spark_streaming_spark.plans.text_ml import CLEAN_SQL
+from ml_with_spark_streaming_spark.sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# q90 — near-dup clusters: LSH candidates → exact-Jaccard verify →
+# connected components → canonical keep-list
+# ---------------------------------------------------------------------------
+
+# The candidate/verify CTEs mirror Q58_SQL (same salted-md5 MinHash, so
+# DuckDB reproduces the pair set bit-for-bit); the component step is a
+# recursive min-label walk — bounded because verified clusters at
+# threshold 0.9 are tiny (largest component 3 at sf0.01).
+Q90_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                        i -> array_to_string(t[i:i+2], ' ')) AS s
+  FROM toks
+),
+shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+                        i -> list_min(list_transform(s, x -> substr(md5(x || '#' || CAST(i // 4 AS VARCHAR)), (i % 4) * 8 + 1, 8)))) AS sg
+  FROM shf
+),
+bands AS (
+  SELECT doc_id, j AS band_idx,
+         md5(array_to_string(sg[j*4+1:j*4+4], '|')) AS band_hash
+  FROM sig, UNNEST([0, 1, 2, 3]) AS t(j)
+),
+cand AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a
+  JOIN bands b ON a.band_hash = b.band_hash AND a.band_idx = b.band_idx AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+tsets AS (
+  SELECT doc_id, list_distinct(list_filter(string_split({CLEAN_SQL}, ' '), x -> x <> '')) AS ts
+  FROM documents
+),
+edges AS (
+  SELECT c.id1, c.id2
+  FROM cand c
+  JOIN tsets a ON a.doc_id = c.id1
+  JOIN tsets b ON b.doc_id = c.id2
+  WHERE ROUND(len(list_intersect(a.ts, b.ts)) * 1.0 /
+              (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) >= 0.9
+),
+sym AS (
+  SELECT id1 AS a, id2 AS b FROM edges
+  UNION
+  SELECT id2 AS a, id1 AS b FROM edges
+),
+walk(id, label) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.id
+),
+comp AS (SELECT id, MIN(label) AS component FROM walk GROUP BY id),
+assigned AS (
+  SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+),
+sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM assigned GROUP BY component)
+SELECT a.doc_id, a.component, s.cluster_size,
+       CAST(CASE WHEN a.doc_id = a.component THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+FROM assigned a JOIN sizes s ON s.component = a.component
+ORDER BY a.doc_id
+"""
+
+
+@query("q90_dedup_clusters", Q90_SQL)
+def q90_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: the fuzzy-dedup ENDGAME. LSH
+    candidates → exact-Jaccard verify (≥0.9) → connected components →
+    every doc labeled with its cluster representative (min doc_id),
+    cluster size, and a keep-list flag (is_canonical).
+
+    Scale: candidate/verify stages are the q58 pipeline (O(n·sig) +
+    O(candidates)); components converge in O(cluster diameter) join
+    rounds (see operators/graph.py). Docs outside any cluster are
+    singletons via LEFT JOIN + COALESCE — never materialized as edges.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidates(d, "text", "doc_id", k=16, bands=4)
+    edges = jaccard_verify(cands, d, "text", "doc_id", threshold=0.9).select("id1", "id2")
+    comp = connected_components(edges).withColumnRenamed("id", "doc_id")
+    assigned = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).cast("long").alias("component"),
+        )
+    )
+    sizes = assigned.groupBy("component").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        assigned.join(sizes, "component")
+        .select(
+            "doc_id",
+            "component",
+            "cluster_size",
+            (F.col("doc_id") == F.col("component")).cast("long").alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q91 — repetition / lexical-diversity signals (Gopher-style rules)
+# ---------------------------------------------------------------------------
+
+Q91_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+tc AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+ts AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(MAX(c) AS BIGINT) AS top_c
+  FROM tc GROUP BY 1
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> array_to_string(t[i:i+1], ' '))) AS b
+  FROM toks
+),
+bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+bs AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+  FROM bc GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(COALESCE(ts.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(ts.n_types, 0) AS BIGINT) AS n_types,
+  CASE WHEN ts.n_tokens IS NULL THEN 0.0
+       ELSE {exact_round_div_sql("ts.top_c", "ts.n_tokens")} END AS top_token_frac,
+  CASE WHEN ts.n_tokens IS NULL THEN 0.0
+       ELSE {exact_round_div_sql("ts.n_types", "ts.n_tokens")} END AS type_token_ratio,
+  CASE WHEN bs.n_bigrams IS NULL OR bs.n_bigrams = 0 THEN 0.0
+       ELSE {exact_round_div_sql("bs.n_bigrams - bs.n_distinct_bigrams", "bs.n_bigrams")} END AS dup_bigram_frac
+FROM documents d
+LEFT JOIN ts ON ts.doc_id = d.doc_id
+LEFT JOIN bs ON bs.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def repetition_signals(d: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc repetition signals used by MassiveText/Gopher-style
+    quality filters: top-token fraction, type-token ratio, duplicate
+    2-gram fraction.
+
+    Scale: one tokenize pass behind a repartition(id) barrier (the
+    CollapseProject-into-Generate trap — see operators/dedup.py), then
+    two explode→groupBy chains keyed by id; every aggregate combines
+    map-side. Ratios via exact integer rounding, so the output carries
+    no engine-divergent ROUND(double).
+    """
+    base = d.select(
+        F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("toks")
+    ).repartition(id_col)
+
+    # ONE explode carries both gram kinds (0 = unigram, 1 = bigram) —
+    # separate token/bigram explodes each push a different size-filter
+    # into their scan branch, which defeats ReuseExchange and runs the
+    # tokenize pass twice (measured: 3 scans → 2, one id-only).
+    tagged = F.concat(
+        F.transform(F.col("toks"), lambda t: F.struct(F.lit(0).alias("kind"), t.alias("v"))),
+        F.transform(
+            shingles_expr(F.col("toks"), 2),
+            lambda b: F.struct(F.lit(1).alias("kind"), b.alias("v")),
+        ),
+    )
+    counts = (
+        base.select(id_col, F.explode(tagged).alias("it"))
+        .groupBy(id_col, F.col("it.kind").alias("kind"), F.col("it.v").alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    kind_stats = counts.groupBy(id_col, "kind").agg(
+        F.sum("c").alias("n"), F.count("*").alias("nd"), F.max("c").alias("top")
+    )
+    per_doc = kind_stats.groupBy(id_col).agg(
+        F.max(F.when(F.col("kind") == 0, F.col("n"))).cast("long").alias("n_tokens"),
+        F.max(F.when(F.col("kind") == 0, F.col("nd"))).cast("long").alias("n_types"),
+        F.max(F.when(F.col("kind") == 0, F.col("top"))).cast("long").alias("top_c"),
+        F.max(F.when(F.col("kind") == 1, F.col("n"))).cast("long").alias("n_bigrams"),
+        F.max(F.when(F.col("kind") == 1, F.col("nd"))).cast("long").alias("n_distinct_bigrams"),
+    )
+
+    zero = F.lit(0.0)
+    return (
+        d.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+            F.when(F.col("n_tokens").isNull(), zero)
+            .otherwise(exact_round_div(F.col("top_c"), F.col("n_tokens")))
+            .alias("top_token_frac"),
+            F.when(F.col("n_tokens").isNull(), zero)
+            .otherwise(exact_round_div(F.col("n_types"), F.col("n_tokens")))
+            .alias("type_token_ratio"),
+            F.when(F.col("n_bigrams").isNull() | (F.col("n_bigrams") == 0), zero)
+            .otherwise(
+                exact_round_div(
+                    F.col("n_bigrams") - F.col("n_distinct_bigrams"), F.col("n_bigrams")
+                )
+            )
+            .alias("dup_bigram_frac"),
+        )
+    )
+
+
+@query("q91_repetition_signals", Q91_SQL)
+def q91_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters over the documents table — see
+    repetition_signals for the plan shape and scale notes."""
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_signals(d, "text", "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q92 — PII detection + redaction
+# ---------------------------------------------------------------------------
+
+# The slim TPC-H testdata carries no free-text PII columns, so the
+# query synthesizes a deterministic per-customer profile string (same
+# pattern as the multimodal asset synthesis in operators/multimodal.py)
+# and then runs the REAL detection/redaction machinery over it. The
+# patterns stay in the RE2 ∩ java.util.regex common subset so both
+# engines compile them identically.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PHONE_RE = r"555-[0-9]{4}"
+
+_PROFILE_SQL = (
+    "'contact ' || c_name || ' <' || replace(lower(c_name), '#', '') || '@example.com>'"
+    " || CASE WHEN c_custkey % 3 = 0"
+    "         THEN ' cc ops-' || CAST(c_custkey % 7 AS VARCHAR) || '@example.org' ELSE '' END"
+    " || ' from host 10.' || CAST(c_custkey % 200 AS VARCHAR)"
+    " || '.' || CAST((c_custkey // 3) % 250 AS VARCHAR)"
+    " || '.' || CAST(c_custkey % 250 AS VARCHAR)"
+    " || CASE WHEN c_custkey % 2 = 0"
+    "         THEN ' phone 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+Q92_SQL = f"""
+WITH profiles AS (
+  SELECT c_custkey, {_PROFILE_SQL} AS profile FROM customer
+)
+SELECT c_custkey,
+  CAST(len(regexp_extract_all(profile, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(profile, '{_IP_RE}')) AS BIGINT)    AS n_ips,
+  CAST(len(regexp_extract_all(profile, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(profile,
+      '{_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{_IP_RE}', '<IP>', 'g'),
+      '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM profiles
+ORDER BY c_custkey
+"""
+
+
+def pii_signals(df: DataFrame, text_col: str) -> DataFrame:
+    """Append PII counts + a fully-redacted text column.
+
+    One codegen projection — regex scans parallelize embarrassingly
+    and scale linearly with input bytes; the redaction order (emails →
+    IPs → phones) is fixed so patterns can't partially overlap."""
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, _EMAIL_RE, "<EMAIL>"),
+            _IP_RE,
+            "<IP>",
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        "*",
+        F.size(F.regexp_extract_all(c, F.lit(_EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(_IP_RE), F.lit(0))).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(c, F.lit(_PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+        redacted.alias("_redacted"),
+    )
+
+
+@query("q92_pii_scrub", Q92_SQL)
+def q92_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over synthesized customer profiles:
+    email / IPv4 / phone counts and an md5 of the redacted text (the
+    hash pins the exact redacted bytes cross-engine without shipping
+    the full string through the comparator)."""
+    c = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    profile = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" <"),
+        F.regexp_replace(F.lower("c_name"), "#", ""),
+        F.lit("@example.com>"),
+        F.when(
+            key % 3 == 0,
+            F.concat(F.lit(" cc ops-"), (key % 7).cast("string"), F.lit("@example.org")),
+        ).otherwise(F.lit("")),
+        F.lit(" from host 10."),
+        (key % 200).cast("string"),
+        F.lit("."),
+        ((key / 3).cast("long") % 250).cast("string"),
+        F.lit("."),
+        (key % 250).cast("string"),
+        F.when(
+            key % 2 == 0,
+            F.concat(
+                F.lit(" phone 555-"),
+                F.lpad((key % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    profiles = c.select("c_custkey", profile.alias("profile"))
+    return (
+        pii_signals(profiles, "profile")
+        .select(
+            "c_custkey",
+            "n_emails",
+            "n_ips",
+            "n_phones",
+            F.md5(F.col("_redacted")).alias("redacted_md5"),
+        )
+        .orderBy("c_custkey")
+    )

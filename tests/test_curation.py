@@ -1,0 +1,125 @@
+"""Curation operators: connected components, repetition signals, PII
+scrub, and the short-document shingle regression."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ml_with_spark_streaming_spark.operators.dedup import minhash_signatures, shingles_expr
+from ml_with_spark_streaming_spark.operators.graph import connected_components
+from ml_with_spark_streaming_spark.plans.curation import pii_signals, repetition_signals
+
+
+def _components(spark, edges):
+    df = spark.createDataFrame(edges, "id1: long, id2: long")
+    return dict(connected_components(df).collect())
+
+
+def test_cc_two_components_and_transitivity(spark):
+    got = _components(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_path_graph_deeper_than_one_hop(spark):
+    # diameter-6 chain: min label must walk the full path, not 1 hop
+    got = _components(spark, [(i, i + 1) for i in range(6)])
+    assert got == {i: 0 for i in range(7)}
+
+
+def test_cc_empty_edges(spark):
+    df = spark.createDataFrame([], "id1: long, id2: long")
+    assert connected_components(df).count() == 0
+
+
+def test_shingles_short_docs_yield_empty_not_crash(spark):
+    # sequence(1,0) descends in Spark; shingles_expr must guard it
+    df = spark.createDataFrame(
+        [(["a"],), (["a", "b"],), (["a", "b", "c"],), ([],)], "toks: array<string>"
+    )
+    rows = df.select(shingles_expr(F.col("toks"), 2).alias("sh")).collect()
+    assert [r.sh for r in rows] == [[], ["a b"], ["a b", "b c"], []]
+
+
+def test_minhash_drops_short_docs_without_error(spark):
+    df = spark.createDataFrame(
+        [(0, "one"), (1, "two words"), (2, "three word doc here")], "doc_id: long, text: string"
+    )
+    sig = minhash_signatures(df, "text", "doc_id", k=4)
+    assert [r.doc_id for r in sig.select("doc_id").collect()] == [2]
+
+
+def test_repetition_signals_hand_checked(spark):
+    # "a a a b": tokens 4, types 2, top 3/4, ttr 2/4
+    #            bigrams [a a, a a, a b]: 3 total, 2 distinct -> dup 1/3
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "x"), (2, "")], "doc_id: long, text: string"
+    )
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    r0 = got[0]
+    assert (r0.n_tokens, r0.n_types) == (4, 2)
+    assert r0.top_token_frac == 0.75
+    assert r0.type_token_ratio == 0.5
+    assert r0.dup_bigram_frac == 0.3333
+    r1 = got[1]  # single token: no bigrams
+    assert (r1.n_tokens, r1.n_types, r1.dup_bigram_frac) == (1, 1, 0.0)
+    r2 = got[2]  # empty doc: all zeros
+    assert (r2.n_tokens, r2.n_types, r2.top_token_frac) == (0, 0, 0.0)
+
+
+def test_pii_signals_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob@x.co or sue@y.org from 1.2.3.4 phone 555-1234"),
+            (1, "nothing sensitive here"),
+        ],
+        "id: long, profile: string",
+    )
+    got = {r.id: r for r in pii_signals(df, "profile").collect()}
+    assert (got[0].n_emails, got[0].n_ips, got[0].n_phones) == (2, 1, 1)
+    assert got[0]._redacted == "mail <EMAIL> or <EMAIL> from <IP> phone <PHONE>"
+    assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (0, 0, 0)
+    assert got[1]._redacted == "nothing sensitive here"
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    """Min-label propagation vs a Python union-find reference over a
+    batch of random graphs (one Spark job: graphs disambiguated by an
+    id offset so they ride one edge DataFrame)."""
+    import random
+
+    rnd = random.Random(20260813)
+    all_edges: list[tuple[int, int]] = []
+    expected: dict[int, int] = {}
+    for g in range(8):
+        off = g * 1000
+        n = rnd.randrange(2, 30)
+        m = rnd.randrange(1, 40)
+        edges = [
+            (off + rnd.randrange(n), off + rnd.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            edges = [(off, off + 1)]
+        all_edges += edges
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        nodes = {v for e in edges for v in e}
+        roots = {x: find(x) for x in nodes}
+        comp_min = {}
+        for x, r in roots.items():
+            comp_min[r] = min(comp_min.get(r, x), x)
+        expected.update({x: comp_min[r] for x, r in roots.items()})
+
+    df = spark.createDataFrame(all_edges, "id1: long, id2: long")
+    got = dict(connected_components(df).collect())
+    assert got == expected
