@@ -43,9 +43,9 @@ from ml_with_spark_streaming_spark.sources.batch import load_table
 # The candidate/verify CTEs mirror Q58_SQL (same salted-md5 MinHash, so
 # DuckDB reproduces the pair set bit-for-bit); the component step is a
 # recursive min-label walk — bounded because verified clusters at
-# threshold 0.9 are tiny (largest component 3 at sf0.01).
-Q90_SQL = f"""
-WITH RECURSIVE toks AS (
+# threshold 0.9 are tiny (largest component 3 at sf0.01). The chain is
+# a module constant so the composed pipeline (q93) reuses it verbatim.
+_DEDUP_COMPONENT_CTES = f"""toks AS (
   SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
   FROM documents WHERE length({CLEAN_SQL}) > 0
 ),
@@ -99,7 +99,10 @@ comp AS (SELECT id, MIN(label) AS component FROM walk GROUP BY id),
 assigned AS (
   SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
   FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-),
+)"""
+
+Q90_SQL = f"""
+WITH RECURSIVE {_DEDUP_COMPONENT_CTES},
 sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM assigned GROUP BY component)
 SELECT a.doc_id, a.component, s.cluster_size,
        CAST(CASE WHEN a.doc_id = a.component THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
@@ -108,23 +111,15 @@ ORDER BY a.doc_id
 """
 
 
-@query("q90_dedup_clusters", Q90_SQL)
-def q90_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster assignment: the fuzzy-dedup ENDGAME. LSH
-    candidates → exact-Jaccard verify (≥0.9) → connected components →
-    every doc labeled with its cluster representative (min doc_id),
-    cluster size, and a keep-list flag (is_canonical).
-
-    Scale: candidate/verify stages are the q58 pipeline (O(n·sig) +
-    O(candidates)); components converge in O(cluster diameter) join
-    rounds (see operators/graph.py). Docs outside any cluster are
-    singletons via LEFT JOIN + COALESCE — never materialized as edges.
-    """
-    d = load_table(spark, sf_dir, "documents")
+def dedup_components(d: DataFrame) -> DataFrame:
+    """(doc_id, component) for EVERY document: LSH candidates →
+    exact-Jaccard verify (≥0.9) → connected components; docs outside
+    any cluster are singletons via LEFT JOIN + COALESCE — never
+    materialized as edges."""
     cands = minhash_candidates(d, "text", "doc_id", k=16, bands=4)
     edges = jaccard_verify(cands, d, "text", "doc_id", threshold=0.9).select("id1", "id2")
     comp = connected_components(edges).withColumnRenamed("id", "doc_id")
-    assigned = (
+    return (
         d.select("doc_id")
         .join(comp, "doc_id", "left")
         .select(
@@ -132,6 +127,20 @@ def q90_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", F.col("doc_id")).cast("long").alias("component"),
         )
     )
+
+
+@query("q90_dedup_clusters", Q90_SQL)
+def q90_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: the fuzzy-dedup ENDGAME. Every
+    doc labeled with its cluster representative (min doc_id), cluster
+    size, and a keep-list flag (is_canonical).
+
+    Scale: candidate/verify stages are the q58 pipeline (O(n·sig) +
+    O(candidates)); components converge in O(cluster diameter) join
+    rounds (see operators/graph.py).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    assigned = dedup_components(d)
     sizes = assigned.groupBy("component").agg(F.count("*").cast("long").alias("cluster_size"))
     return (
         assigned.join(sizes, "component")
@@ -375,4 +384,119 @@ def q92_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("_redacted")).alias("redacted_md5"),
         )
         .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93 — the composed curation pipeline: quality × repetition × dedup
+# ---------------------------------------------------------------------------
+
+Q93_SQL = f"""
+WITH RECURSIVE {_DEDUP_COMPONENT_CTES},
+qc AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS na,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS np,
+         least(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END, 50) AS wcap
+  FROM documents
+),
+qual AS (
+  SELECT doc_id,
+         CASE WHEN n > 0
+              THEN {exact_round_div_sql('250 * na + 100 * (n - np) + 3 * wcap * n', '500 * n')}
+              ELSE 0.2 END AS quality
+  FROM qc
+),
+rtok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+rtc AS (SELECT doc_id, tk, COUNT(*) AS c FROM rtok GROUP BY 1, 2),
+rbg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> array_to_string(t[i:i+1], ' '))) AS b
+  FROM toks
+),
+rbc AS (SELECT doc_id, b, COUNT(*) AS c FROM rbg GROUP BY 1, 2),
+rbs AS (SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS n_distinct FROM rbc GROUP BY 1),
+flags AS (
+  SELECT d.doc_id, d.lang, d.source,
+         CASE WHEN a.doc_id = a.component THEN 1 ELSE 0 END AS canonical,
+         CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS quality_ok,
+         CASE WHEN rbs.n_bigrams IS NULL OR rbs.n_bigrams = 0 THEN 1
+              WHEN {exact_round_div_sql('rbs.n_bigrams - rbs.n_distinct', 'rbs.n_bigrams')} <= 0.2 THEN 1
+              ELSE 0 END AS rep_ok
+  FROM documents d
+  JOIN assigned a ON a.doc_id = d.doc_id
+  JOIN qual q ON q.doc_id = d.doc_id
+  LEFT JOIN rbs ON rbs.doc_id = d.doc_id
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(canonical) AS BIGINT) AS n_canonical,
+       CAST(SUM(quality_ok) AS BIGINT) AS n_quality_ok,
+       CAST(SUM(rep_ok) AS BIGINT) AS n_rep_ok,
+       CAST(SUM(canonical * quality_ok * rep_ok) AS BIGINT) AS n_kept,
+       {exact_round_div_sql('SUM(canonical * quality_ok * rep_ok)', 'COUNT(*)')} AS keep_frac
+FROM flags
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@query("q93_curation_pipeline", Q93_SQL)
+def q93_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled keep-list pipeline a pretraining corpus build
+    runs: per-(lang, source) counts of documents surviving each
+    curation gate — dedup canonicality (q90), quality score ≥ 0.5
+    (q45), duplicate-bigram fraction ≤ 0.2 (q91) — and the combined
+    keep rate.
+
+    Composition only: every stage is the already-oracled operator;
+    this query pins that they compose without re-deriving each other's
+    inputs (the tokenize pass feeds dedup and repetition from one
+    lineage)."""
+    from ml_with_spark_streaming_spark.operators.textstats import quality_score_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    assigned = dedup_components(d)
+    rep = repetition_signals(d, "text", "doc_id").select("doc_id", "dup_bigram_frac")
+    flags = (
+        # quality is a pure projection — computed inline with the
+        # metadata scan rather than as a separate scan + join
+        d.select(
+            "doc_id", "lang", "source", quality_score_expr("text").alias("quality")
+        )
+        .join(assigned, "doc_id")
+        .join(rep, "doc_id")
+        .select(
+            "lang",
+            "source",
+            (F.col("doc_id") == F.col("component")).cast("int").alias("canonical"),
+            (F.col("quality") >= 0.5).cast("int").alias("quality_ok"),
+            (F.col("dup_bigram_frac") <= 0.2).cast("int").alias("rep_ok"),
+        )
+    )
+    return (
+        flags.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("canonical").cast("long").alias("n_canonical"),
+            F.sum("quality_ok").cast("long").alias("n_quality_ok"),
+            F.sum("rep_ok").cast("long").alias("n_rep_ok"),
+            F.sum(F.col("canonical") * F.col("quality_ok") * F.col("rep_ok"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_canonical",
+            "n_quality_ok",
+            "n_rep_ok",
+            "n_kept",
+            exact_round_div(F.col("n_kept"), F.col("n_docs")).alias("keep_frac"),
+        )
+        .orderBy("lang", "source")
     )
