@@ -83,6 +83,21 @@ def lint_rows(cols, rows, engine: str) -> list[str]:
     return problems
 
 
+_BAD_SPARK_TYPES = ("array", "map", "struct", "timestamp", "decimal")
+
+
+def lint_spark_schema(sdf) -> list[str]:
+    """Schema-level twin of value_lint — catches driver-hostile column
+    types even when the first row is NULL (value_lint only inspects
+    row 0's cells)."""
+    problems = []
+    for f in sdf.schema:
+        t = f.dataType.simpleString()
+        if any(k in t for k in _BAD_SPARK_TYPES):
+            problems.append(f"spark.{f.name}: schema type {t} (driver comparator unsafe)")
+    return problems
+
+
 def main() -> int:
     import ml_with_spark_streaming_spark  # noqa: F401  (repo root on path)
     import __spark_entry__ as entry_mod
@@ -127,6 +142,7 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        problems += lint_spark_schema(sdf)
         problems += lint_rows(scols, srows, "spark") + lint_rows(dcols, drows, "duckdb")
         if not problems:
             sm, dm = rows_multiset(scols, srows), rows_multiset(dcols, drows)
