@@ -14,5 +14,6 @@ from ml_with_spark_streaming_spark.plans import llm_ops  # noqa: F401,E402
 from ml_with_spark_streaming_spark.plans import events_streaming  # noqa: F401,E402
 from ml_with_spark_streaming_spark.plans import ml_queries  # noqa: F401,E402
 from ml_with_spark_streaming_spark.plans import curation  # noqa: F401,E402
+from ml_with_spark_streaming_spark.plans import analytics  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,239 @@
+"""Product/time-series analytics queries: funnel steps, retention
+cohorts, gap-filled resampling.
+
+These are the classic event-analytics shapes (funnel, cohort
+retention, resample+fill) every warehouse/product-analytics engine
+ships; none needs more than windows + joins + conditional aggregation,
+so they stay entirely inside whole-stage codegen.
+
+Timestamp hygiene: every output time column is a formatted string
+(house rule — the driver comparator mishandles raw timestamps), and
+events are read via ``load_table`` (nanos-parquet handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ml_with_spark_streaming_spark.plans.registry import query
+from ml_with_spark_streaming_spark.sources.batch import load_table
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+# ---------------------------------------------------------------------------
+# q94 — funnel: view → click → purchase, per-user sequential milestones
+# ---------------------------------------------------------------------------
+
+Q94_SQL = """
+WITH s1 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t1,
+         ts, event_type
+  FROM events
+),
+s2 AS (
+  SELECT user_id, t1,
+         MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END) OVER (PARTITION BY user_id) AS t2,
+         ts, event_type
+  FROM s1
+),
+s3 AS (
+  SELECT user_id, t1, t2,
+         MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END) OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3 FROM s3 GROUP BY user_id)
+SELECT 'step1_view' AS step, CAST(COUNT(t1) AS BIGINT) AS n_users FROM u
+UNION ALL
+SELECT 'step2_click', CAST(COUNT(t2) AS BIGINT) FROM u
+UNION ALL
+SELECT 'step3_purchase', CAST(COUNT(t3) AS BIGINT) FROM u
+ORDER BY step
+"""
+
+
+@query("q94_funnel_steps", Q94_SQL)
+def q94_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (first view → first later click →
+    first later purchase) counted per user.
+
+    One shuffle: all three milestone columns are windows partitioned
+    by user_id, so Catalyst plans a single exchange with chained
+    Window operators — the sequential data dependency costs no extra
+    pass over events."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    s = (
+        e.select("user_id", "event_type", "ts")
+        .withColumn("t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+                )
+            ).over(w),
+        )
+    )
+    u = s.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    agg = u.agg(
+        F.count("t1").cast("long").alias("step1_view"),
+        F.count("t2").cast("long").alias("step2_click"),
+        F.count("t3").cast("long").alias("step3_purchase"),
+    )
+    return (
+        agg.unpivot([], ["step1_view", "step2_click", "step3_purchase"], "step", "n_users")
+        .select("step", F.col("n_users").cast("long").alias("n_users"))
+        .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — weekly retention cohorts
+# ---------------------------------------------------------------------------
+
+Q95_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7 AS BIGINT) AS week_offset
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q95_retention_cohorts", Q95_SQL)
+def q95_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by the week of their
+    first event; n_users active per (cohort, week-offset).
+
+    Two shuffles (per-user first-event agg, then the cohort
+    re-aggregation); the user→cohort table is user-count-sized and
+    joins back broadcast/shuffled by AQE's choice."""
+    e = load_table(spark, sf_dir, "events")
+    # cohort as a window over the single event scan — the groupBy+
+    # self-join formulation reads events twice
+    activity = (
+        e.select(
+            "user_id",
+            F.date_trunc("week", F.min("ts").over(W.partitionBy("user_id"))).alias(
+                "cohort_week"
+            ),
+            "ts",
+        )
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / F.lit(7)
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q96 — daily resample with gap fill (zero-fill + forward carry)
+# ---------------------------------------------------------------------------
+
+Q96_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1 FROM events
+),
+grid AS (
+  SELECT t.event_type, g.day
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL '1 day')) AS day FROM bounds) g
+),
+daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(g.day, '%Y-%m-%d') AS day, g.event_type,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
+       COALESCE(d.sum_value, 0.0) AS zero_filled,
+       COALESCE(LAST_VALUE(d.sum_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS carried
+FROM grid g LEFT JOIN daily d ON d.event_type = g.event_type AND d.day = g.day
+ORDER BY 1, 2
+"""
+
+
+@query("q96_gapfill_resample", Q96_SQL)
+def q96_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: daily per-type sums over a dense day grid
+    spanning [min(ts), max(ts)], with both fill policies surfaced —
+    zero-fill and forward-carry (LAST_VALUE IGNORE NULLS).
+
+    The grid is generated with ``sequence()`` from a 1-row bounds
+    aggregate (broadcast cross join — grid size = days × types, never
+    data-sized); the heavy side is one daily aggregation of events."""
+    e = load_table(spark, sf_dir, "events")
+    # one metadata pass yields bounds AND the (bounded-cardinality)
+    # type set — separate bounds/distinct scans read events twice more
+    meta = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+        F.array_sort(F.collect_set("event_type")).alias("types"),
+    )
+    grid = F.broadcast(
+        meta.select(F.explode("types").alias("event_type"), "d0", "d1").select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("zero_filled"),
+            F.coalesce(
+                F.last("sum_value", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("carried"),
+        )
+        .orderBy("day", "event_type")
+    )
