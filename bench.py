@@ -60,6 +60,8 @@ HEADLINE = [
     "q80_stats_aggregates",
     "q90_dedup_clusters",
     "q91_repetition_signals",
+    "q94_funnel_steps",
+    "q96_gapfill_resample",
 ]
 
 

@@ -72,7 +72,9 @@ def connected_components(
             F.col("label").alias("old"),
             F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
         )
-        merged = merged.localCheckpoint(eager=True)
+        # lazy: the changed-count job below both materializes the
+        # checkpoint AND returns the count — one job per round, not two
+        merged = merged.localCheckpoint(eager=False)
         changed = merged.filter(F.col("label") < F.col("old")).count()
         labels = merged.select("id", "label")
         if changed == 0:
