@@ -58,10 +58,10 @@ def q94_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential conversion funnel (first view → first later click →
     first later purchase) counted per user.
 
-    One shuffle: all three milestone columns are windows partitioned
-    by user_id, so Catalyst plans a single exchange with chained
-    Window operators — the sequential data dependency costs no extra
-    pass over events."""
+    One scan: all three milestone columns are windows partitioned by
+    user_id, planned as chained Window operators — the sequential
+    data dependency costs no extra pass over events (the follow-up
+    per-user groupBy reuses the window's hash partitioning)."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id")
     s = (
@@ -237,3 +237,91 @@ def q96_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q97 — table profile (data-quality summary per column)
+# ---------------------------------------------------------------------------
+
+Q97_SQL = """
+WITH p AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(COUNT(l_shipdate) AS BIGINT) AS sd_nn, CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS sd_nd,
+    strftime(MIN(l_shipdate), '%Y-%m-%d') AS sd_min, strftime(MAX(l_shipdate), '%Y-%m-%d') AS sd_max,
+    CAST(COUNT(l_quantity) AS BIGINT) AS q_nn, CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS q_nd,
+    CAST(MIN(l_quantity) AS VARCHAR) AS q_min, CAST(MAX(l_quantity) AS VARCHAR) AS q_max,
+    CAST(COUNT(l_returnflag) AS BIGINT) AS rf_nn, CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS rf_nd,
+    MIN(l_returnflag) AS rf_min, MAX(l_returnflag) AS rf_max,
+    CAST(COUNT(l_orderkey) AS BIGINT) AS ok_nn, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ok_nd,
+    CAST(MIN(l_orderkey) AS VARCHAR) AS ok_min, CAST(MAX(l_orderkey) AS VARCHAR) AS ok_max
+  FROM lineitem
+)
+SELECT col, n_rows, n_nulls, n_distinct, min_value, max_value FROM (
+  SELECT 'l_shipdate' AS col, n_rows, n_rows - sd_nn AS n_nulls, sd_nd AS n_distinct,
+         sd_min AS min_value, sd_max AS max_value FROM p
+  UNION ALL
+  SELECT 'l_quantity', n_rows, n_rows - q_nn, q_nd, q_min, q_max FROM p
+  UNION ALL
+  SELECT 'l_returnflag', n_rows, n_rows - rf_nn, rf_nd, rf_min, rf_max FROM p
+  UNION ALL
+  SELECT 'l_orderkey', n_rows, n_rows - ok_nn, ok_nd, ok_min, ok_max FROM p
+)
+ORDER BY col
+"""
+
+
+@query("q97_table_profile", Q97_SQL)
+def q97_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile (row count, nulls, exact
+    distinct, min/max) for a representative column set of lineitem —
+    the ANALYZE/profiling pass a pipeline runs before trusting a new
+    drop of data.
+
+    ONE scan, one aggregate: all per-column statistics are computed as
+    parallel aggregate expressions in a single pass (count-distinct
+    columns are planned via Expand — one shuffle, no per-column jobs);
+    values surfaced as strings so one long-format result can carry
+    heterogeneous column types. At real scale swap exact
+    COUNT(DISTINCT) for approx_count_distinct per column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("l_shipdate").cast("long").alias("sd_nn"),
+        F.count_distinct("l_shipdate").cast("long").alias("sd_nd"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("sd_min"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("sd_max"),
+        F.count("l_quantity").cast("long").alias("q_nn"),
+        F.count_distinct("l_quantity").cast("long").alias("q_nd"),
+        F.min("l_quantity").cast("string").alias("q_min"),
+        F.max("l_quantity").cast("string").alias("q_max"),
+        F.count("l_returnflag").cast("long").alias("rf_nn"),
+        F.count_distinct("l_returnflag").cast("long").alias("rf_nd"),
+        F.min("l_returnflag").alias("rf_min"),
+        F.max("l_returnflag").alias("rf_max"),
+        F.count("l_orderkey").cast("long").alias("ok_nn"),
+        F.count_distinct("l_orderkey").cast("long").alias("ok_nd"),
+        F.min("l_orderkey").cast("string").alias("ok_min"),
+        F.max("l_orderkey").cast("string").alias("ok_max"),
+    )
+    rows = []
+    for col, nn, nd, mn, mx in [
+        ("l_shipdate", "sd_nn", "sd_nd", "sd_min", "sd_max"),
+        ("l_quantity", "q_nn", "q_nd", "q_min", "q_max"),
+        ("l_returnflag", "rf_nn", "rf_nd", "rf_min", "rf_max"),
+        ("l_orderkey", "ok_nn", "ok_nd", "ok_min", "ok_max"),
+    ]:
+        rows.append(
+            p.select(
+                F.lit(col).alias("col"),
+                F.col("n_rows"),
+                (F.col("n_rows") - F.col(nn)).cast("long").alias("n_nulls"),
+                F.col(nd).alias("n_distinct"),
+                F.col(mn).alias("min_value"),
+                F.col(mx).alias("max_value"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("col")
