@@ -1,0 +1,79 @@
+"""Hand-checked semantics for the product-analytics queries (q94–q96).
+
+The DuckDB oracle pins Spark≡SQL equality but not intent — a mistake
+made identically on both sides passes the gate. These fixtures pin the
+intended semantics on crafted event streams."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from ml_with_spark_streaming_spark.plans.analytics import (
+    q94_funnel_steps,
+    q95_retention_cohorts,
+    q96_gapfill_resample,
+)
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    rows = [
+        # user 1: full funnel in order
+        (1, _ts(1, 1), 1, "view", 10.0, "{}"),
+        (2, _ts(1, 2), 1, "click", 10.0, "{}"),
+        (3, _ts(1, 3), 1, "purchase", 10.0, "{}"),
+        # user 2: click BEFORE first view must not count as step 2
+        (4, _ts(1, 1), 2, "click", 5.0, "{}"),
+        (5, _ts(1, 2), 2, "view", 5.0, "{}"),
+        (6, _ts(1, 3), 2, "purchase", 5.0, "{}"),
+        # user 3: purchase only — reaches no step
+        (7, _ts(1, 1), 3, "purchase", 2.0, "{}"),
+        # gap-fill material: type 'error' on day 1 and day 3 only
+        (8, _ts(1, 5), 1, "error", 1.5, "{}"),
+        (9, _ts(3, 5), 1, "error", 2.5, "{}"),
+        # retention material: user 3 active again two weeks later
+        # (error type so it doesn't disturb the funnel counts)
+        (10, _ts(15, 1), 3, "error", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double, props: string"
+    )
+    d = str(tmp_path_factory.mktemp("analytics"))
+    df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_funnel_sequencing(spark, events_dir):
+    got = {r.step: r.n_users for r in q94_funnel_steps(spark, events_dir).collect()}
+    # user1 and user2 saw a view; only user1 clicked AFTER viewing and
+    # purchased AFTER that click; user2's pre-view click is ignored
+    assert got == {"step1_view": 2, "step2_click": 1, "step3_purchase": 1}
+
+
+def test_gapfill_zero_vs_carry(spark, events_dir):
+    rows = q96_gapfill_resample(spark, events_dir).collect()
+    err = {r.day: (r.n, r.zero_filled, r.carried) for r in rows if r.event_type == "error"}
+    # days span the full observed range (Jan 1 .. Jan 15)
+    assert len(err) == 15
+    assert err["2024-01-01"] == (1, 1.5, 1.5)
+    assert err["2024-01-02"] == (0, 0.0, 1.5)  # zero-fill vs forward carry
+    assert err["2024-01-03"] == (1, 2.5, 2.5)
+    assert err["2024-01-04"] == (0, 0.0, 2.5)  # carry persists past the gap
+    # a type with no events before the grid start carries 0.0
+    view = {r.day: r.carried for r in rows if r.event_type == "purchase"}
+    assert view["2024-01-02"] == view["2024-01-01"]  # purchase day1 carried
+
+
+def test_retention_offsets(spark, events_dir):
+    rows = q95_retention_cohorts(spark, events_dir).collect()
+    # all users' first events are in the week of 2024-01-01 (Monday);
+    # user 3 is active again in week offset 2 (Jan 15 is a Monday)
+    got = {(r.cohort_week, r.week_offset): r.n_users for r in rows}
+    assert got == {("2024-01-01", 0): 3, ("2024-01-01", 2): 1}
