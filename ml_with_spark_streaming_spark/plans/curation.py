@@ -17,7 +17,7 @@ INT (driver comparator treats bool/None canon inconsistently).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ml_with_spark_streaming_spark.operators.dedup import (
@@ -500,3 +500,92 @@ def q93_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q98 — sequence packing: concat-and-chunk token offsets
+# ---------------------------------------------------------------------------
+
+_CTX = 2048  # training context length (tokens per packed sequence)
+_BUCKET = 256  # docs per prefix-sum bucket (scale knob, see docstring)
+
+Q98_SQL = f"""
+WITH nt AS (
+  SELECT doc_id,
+         CASE WHEN length({CLEAN_SQL}) = 0 THEN 0
+              ELSE len(string_split({CLEAN_SQL}, ' ')) END AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM nt
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens,
+       CASE WHEN n_tokens = 0 THEN NULL
+            ELSE CAST((cum - n_tokens) // {_CTX} AS BIGINT) END AS chunk_first,
+       CASE WHEN n_tokens = 0 THEN NULL
+            ELSE CAST((cum - 1) // {_CTX} AS BIGINT) END AS chunk_last
+FROM c
+ORDER BY doc_id
+"""
+
+
+@query("q98_sequence_packing", Q98_SQL)
+def q98_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing: documents laid end-to-end in
+    doc_id order, each assigned its [chunk_first, chunk_last] span of
+    fixed-length training sequences (ctx=2048 whitespace tokens).
+
+    The global running sum is computed as a TWO-PHASE distributed
+    prefix sum — per-bucket token totals, a tiny bucket-offset window
+    (n/256 rows), then within-bucket running sums — because a naive
+    ``SUM() OVER (ORDER BY doc_id)`` with no PARTITION BY drags every
+    row through ONE partition. The oracle uses the naive global window
+    (DuckDB is single-node anyway); results are exactly equal —
+    integer arithmetic, same total order. At 100 TB the bucket width
+    is the knob: buckets must be numerous enough to spread the
+    within-bucket windows, few enough that the offset table stays
+    driver-trivial (1e9 docs / 1e5-doc buckets = 1e4 offset rows).
+    """
+    from ml_with_spark_streaming_spark.operators.textstats import (
+        whitespace_token_count_expr,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    nt = d.select(
+        "doc_id",
+        whitespace_token_count_expr(clean_text_expr("text")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / _BUCKET).cast("long").alias("_b"),
+    )
+    bucket_sums = nt.groupBy("_b").agg(F.sum("n_tokens").alias("_bsum"))
+    w_prev = (
+        W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        "_b", F.coalesce(F.sum("_bsum").over(w_prev), F.lit(0)).alias("_boff")
+    )
+    w_in = W.partitionBy("_b").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    cum = (
+        nt.join(F.broadcast(offsets), "_b")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("_boff") + F.sum("n_tokens").over(w_in)).alias("cum"),
+        )
+    )
+    ctx = F.lit(_CTX)
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.col("cum").cast("long").alias("cum_tokens"),
+        F.when(F.col("n_tokens") == 0, F.lit(None).cast("long"))
+        .otherwise(F.floor((F.col("cum") - F.col("n_tokens")) / ctx))
+        .alias("chunk_first"),
+        F.when(F.col("n_tokens") == 0, F.lit(None).cast("long"))
+        .otherwise(F.floor((F.col("cum") - 1) / ctx))
+        .alias("chunk_last"),
+    ).orderBy("doc_id")
