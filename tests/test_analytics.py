@@ -77,3 +77,26 @@ def test_retention_offsets(spark, events_dir):
     # user 3 is active again in week offset 2 (Jan 15 is a Monday)
     got = {(r.cohort_week, r.week_offset): r.n_users for r in rows}
     assert got == {("2024-01-01", 0): 3, ("2024-01-01", 2): 1}
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    rows = [
+        (0, "w " * 3000, "en", "s", 6000),   # 3000 tokens: spans chunks 0..1
+        (1, "", "en", "s", 0),               # empty: no chunk span
+        (2, "x " * 100, "en", "s", 200),     # 100 tokens after 3000
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long")
+    d = str(tmp_path_factory.mktemp("packing"))
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_sequence_packing_chunk_boundaries(spark, docs_dir):
+    from ml_with_spark_streaming_spark.plans.curation import q98_sequence_packing
+
+    got = {r.doc_id: r for r in q98_sequence_packing(spark, docs_dir).collect()}
+    assert (got[0].n_tokens, got[0].cum_tokens) == (3000, 3000)
+    assert (got[0].chunk_first, got[0].chunk_last) == (0, 1)  # crosses the 2048 boundary
+    assert got[1].n_tokens == 0 and got[1].chunk_first is None
+    assert (got[2].cum_tokens, got[2].chunk_first, got[2].chunk_last) == (3100, 1, 1)
