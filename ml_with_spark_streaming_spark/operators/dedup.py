@@ -176,6 +176,10 @@ def jaccard_pairs(
         )
         .filter(F.col("t") != "")
         .distinct()
+        # callers cap the input (oracle path), so materializing the
+        # token table is cheap — and the four downstream consumers
+        # (a/b join sides, two size lookups) stop re-planning the scan
+        .localCheckpoint(eager=True)
     )
     sizes = dt.groupBy("id").agg(F.count("*").alias("n"))
     a = dt.select(F.col("id").alias("id1"), "t")

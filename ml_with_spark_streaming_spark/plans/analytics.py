@@ -304,6 +304,9 @@ def q97_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").cast("string").alias("ok_min"),
         F.max("l_orderkey").cast("string").alias("ok_max"),
     )
+    # ONE row — materialize it, or each long-format union branch below
+    # re-plans the whole aggregation from the scan (4 scans -> 1)
+    p = p.localCheckpoint(eager=True)
     rows = []
     for col, nn, nd, mn, mx in [
         ("l_shipdate", "sd_nn", "sd_nd", "sd_min", "sd_max"),
