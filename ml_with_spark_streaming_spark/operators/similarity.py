@@ -159,13 +159,17 @@ def neardup_pairs(
         .select(
             "id1",
             "id2",
-            F.round(
+            (
                 dot_expr(F.col("v1"), F.col("v2"))
-                / (safe_denom(F.col("n1")) * safe_denom(F.col("n2"))),
-                4,
-            ).alias("cosine"),
+                / (safe_denom(F.col("n1")) * safe_denom(F.col("n2")))
+            ).alias("_raw"),
         )
-        .filter(F.col("cosine") >= threshold)
+        # threshold on the RAW cosine — the oracle SQL (Q54/Q99) also
+        # compares unrounded, so the boundary decision is bit-identical;
+        # filtering the rounded value would include [t-5e-5, t) pairs
+        # the oracle excludes
+        .filter(F.col("_raw") >= threshold)
+        .select("id1", "id2", F.round("_raw", 4).alias("cosine"))
     )
 
 

@@ -589,3 +589,82 @@ def q98_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor((F.col("cum") - 1) / ctx))
         .alias("chunk_last"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q99 — embedding-modality dedup clusters (cosine pairs → components)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_sum(list_transform(generate_series(1, len({a})), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(generate_series(1, len({a})), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(generate_series(1, len({b})), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+)
+
+Q99_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
+  WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.4
+),
+sym AS (
+  SELECT id1 AS a, id2 AS b FROM edges
+  UNION
+  SELECT id2 AS a, id1 AS b FROM edges
+),
+walk(id, label) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.id
+),
+comp AS (SELECT id, MIN(label) AS component FROM walk GROUP BY id),
+assigned AS (
+  SELECT e.vec_id, CAST(COALESCE(c.component, e.vec_id) AS BIGINT) AS component
+  FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+  WHERE e.vec_id < 1000
+),
+sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM assigned GROUP BY component)
+SELECT a.vec_id, a.component, s.cluster_size,
+       CAST(CASE WHEN a.vec_id = a.component THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+FROM assigned a JOIN sizes s ON s.component = a.component
+ORDER BY a.vec_id
+"""
+
+
+@query("q99_embedding_dedup_clusters", Q99_SQL)
+def q99_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q90's cluster/keep-list endgame on the EMBEDDING modality:
+    cosine near-dup pairs (≥0.4, q54's capped oracle formulation) →
+    connected components → canonical representative per cluster
+    (SemDeDup-style semantic dedup, Abbas et al. 2023,
+    arXiv:2303.09540 — theirs clusters with k-means first; the
+    pair→component step is the same).
+
+    Scale: swap the capped all-pairs edge stage for the sign-LSH gate
+    (q82) exactly as q90 swaps q51 for q58 — the component step is
+    shared ``operators/graph.py`` either way."""
+    from ml_with_spark_streaming_spark.operators.similarity import neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    edges = neardup_pairs(e, threshold=0.4).select("id1", "id2")
+    comp = connected_components(edges).withColumnRenamed("id", "vec_id")
+    assigned = (
+        e.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).cast("long").alias("component"),
+        )
+    )
+    sizes = assigned.groupBy("component").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        assigned.join(sizes, "component")
+        .select(
+            "vec_id",
+            "component",
+            "cluster_size",
+            (F.col("vec_id") == F.col("component")).cast("long").alias("is_canonical"),
+        )
+        .orderBy("vec_id")
+    )
