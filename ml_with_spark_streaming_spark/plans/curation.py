@@ -556,11 +556,14 @@ def q98_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
+    # one corpus scan: checkpoint the 24-byte/doc length table so the
+    # bucket-totals branch and the offset join don't each re-tokenize
+    # the full text column (the DupFactScan lint)
     nt = d.select(
         "doc_id",
         whitespace_token_count_expr(clean_text_expr("text")).cast("long").alias("n_tokens"),
         (F.col("doc_id") / _BUCKET).cast("long").alias("_b"),
-    )
+    ).localCheckpoint(eager=False)
     bucket_sums = nt.groupBy("_b").agg(F.sum("n_tokens").alias("_bsum"))
     w_prev = (
         W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)

@@ -122,7 +122,11 @@ def q52_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-sum aggregates; pairs bucketed by the top-16-bit band
     before the hamming check (the scale path — no all-pairs xor)."""
     d = load_table(spark, sf_dir, "documents")
-    fp = simhash_fingerprints(d, "text", "doc_id")
+    # materialize the tiny (doc_id, simhash) table once: without this
+    # the self-join's a/b roles each re-plan the full explode+aggregate
+    # fingerprint pipeline from its own corpus scan (2x the dominant
+    # cost at 100 TB; 16 bytes/doc to checkpoint)
+    fp = simhash_fingerprints(d, "text", "doc_id").localCheckpoint(eager=False)
     banded = fp.withColumn("band", F.shiftrightunsigned("simhash", 48))
     a = banded.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"), "band")
     b = banded.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"), F.col("band").alias("band2"))

@@ -677,11 +677,18 @@ ORDER BY s_suppkey
 
 @query("q21_above_avg_suppliers", Q21_SQL)
 def q21_above_avg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table average as a broadcast 1-row aggregate (q31's
+    pattern): the windowed formulation (``SUM() OVER ()``) moves every
+    supplier row to ONE task — the GlobalWindow lint shape. The SQL
+    oracle keeps the window form (DuckDB is single-node); values are
+    identical."""
     s = _t(spark, sf_dir, "supplier")
-    w = W.partitionBy()
+    avg = s.agg(
+        (F.round(F.sum("s_acctbal"), 2) / F.count("*")).alias("_avg_bal")
+    )
     return (
-        s.withColumn("avg_bal", F.round(F.sum("s_acctbal").over(w), 2) / F.count("*").over(w))
-        .filter(F.col("s_acctbal") > F.col("avg_bal"))
+        s.crossJoin(F.broadcast(avg))
+        .filter(F.col("s_acctbal") > F.col("_avg_bal"))
         .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
         .orderBy("s_suppkey")
     )

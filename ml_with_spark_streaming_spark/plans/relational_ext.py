@@ -102,16 +102,75 @@ ORDER BY c_custkey
 
 @query("q33_acctbal_quartiles", Q33_SQL)
 def q33_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global-ORDER window: at scale this is the one window shape that
-    serializes onto a single task — acceptable for a ranked report
-    (output ≤ customers), flagged here deliberately."""
+    """Two-phase global ranking — the scale-correct replacement for a
+    partition-less window (which serializes every row through ONE task).
+
+    Phase 1: ``repartitionByRange`` on the total order key gives
+    range-disjoint partitions; per-partition local ``row_number`` runs
+    in parallel (window partitioned by ``spark_partition_id``).
+    Phase 2: per-partition counts (one tiny P-row table, P = shuffle
+    partitions) are prefix-summed into offsets; a broadcast join adds
+    each partition's offset to its local ranks, yielding the exact
+    global ``row_number`` without any global sort onto one task.
+
+    Because (c_acctbal, c_custkey) is a total order with no ties,
+    ``rank == row_number``, so NTILE / PERCENT_RANK / CUME_DIST are
+    closed-form in (rn, n) — assigned as a codegen projection:
+      ntile(4):      first (n%4) buckets get n/4+1 rows, rest n/4
+      percent_rank:  (rn-1)/(n-1)
+      cume_dist:     rn/n
+    The only remaining partition-less window runs over the P-row count
+    table (same shape as q98's bucket-offset table) — bounded by the
+    partition count, never by the data.
+    """
     c = _t(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    ranged = (
+        c.select("c_custkey", "c_acctbal")
+        .repartitionByRange(parts, "c_acctbal", "c_custkey")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # P-row side: per-range-partition counts -> exclusive prefix-sum
+    # offsets + grand total (window over <= `parts` rows)
+    w_pid = W.orderBy("_pid")
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"))
+        .select(
+            "_pid",
+            F.coalesce(
+                F.sum("_cnt").over(w_pid.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("_off"),
+            F.sum("_cnt")
+            .over(w_pid.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+            .alias("_n"),
+        )
+    )
+    w_local = W.partitionBy("_pid").orderBy("c_acctbal", "c_custkey")
+    rn = (F.col("_off") + F.row_number().over(w_local)).alias("_rn")
+    ranked = ranged.join(F.broadcast(offsets), "_pid").select("c_custkey", rn, "_n")
+    # closed-form ntile(4): base = n div 4, rem = n mod 4; the first
+    # `rem` buckets hold base+1 rows (Spark's and DuckDB's shared
+    # NTILE definition); ceil(a/b) = (a+b-1) div b in exact longs
+    n, r4 = F.col("_n"), F.col("_n") % 4
+    big = (F.floor(F.col("_n") / 4) + 1).cast("long")  # rows per early bucket
+    cut = r4 * big  # rows covered by the base+1-sized buckets
+    rn_c = F.col("_rn")
+    quartile = (
+        F.when(n < 4, rn_c)  # degenerate: fewer rows than buckets
+        .when(rn_c <= cut, F.floor((rn_c + big - 1) / big))
+        .otherwise(r4 + F.floor((rn_c - cut + F.floor(n / 4) - 1) / F.floor(n / 4)))
+        .cast("int")
+        .alias("quartile")
+    )
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        quartile,
+        F.round(
+            F.when(n > 1, (rn_c - 1).cast("double") / (n - 1).cast("double")).otherwise(0.0), 4
+        ).alias("pct_rank"),
+        F.round(rn_c.cast("double") / n.cast("double"), 4).alias("cume"),
     ).orderBy("c_custkey")
 
 

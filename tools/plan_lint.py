@@ -11,6 +11,19 @@ Flags:
                              fan-out that only works when one side is
                              tiny AND broadcast (BroadcastNestedLoopJoin
                              is the acceptable form)
+  * ``GlobalWindow``       — partition-less Window whose input is NOT
+                             bounded by an upstream aggregation: every
+                             row moves to ONE task (the q33 round-2
+                             finding). A partition-less window over an
+                             aggregate output (e.g. q98's P-row
+                             bucket-offset table) is bounded by group
+                             cardinality, not data, and passes.
+  * ``DupFactScan``        — a fact table (lineitem / orders / events /
+                             documents / embeddings) scanned more than
+                             once in a single plan: at 100 TB each scan
+                             is the dominant cost, so shared lineage
+                             must be materialized or the plan reshaped
+                             (waiver for documented multi-role scans).
   * parquet scan with zero pushed filters while the query filters on a
     scanned column is NOT detectable generically — instead we surface
     per-query scan lines so eyeballing stays cheap (``--scans``).
@@ -45,19 +58,122 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
     # capped quadratic oracle paths: documented small-data twins of the
     # LSH/IVF scale paths (see their docstrings)
     "q51_jaccard_pairs": (frozenset({"CartesianProduct"}), "capped all-pairs oracle twin of q50/q58"),
-    "q54_embedding_neardup": (frozenset({"CartesianProduct"}), "capped all-pairs oracle twin of q55/q82"),
+    "q54_embedding_neardup": (
+        frozenset({"CartesianProduct", "DupFactScan"}),
+        "capped all-pairs oracle twin of q55/q82 (a/b roles of embeddings)",
+    ),
     # broadcast of a handful of query vectors against the corpus — the
     # cross join IS the computation and one side is broadcast-tiny
-    "q53_cosine_topk": (frozenset({"CartesianProduct"}), "broadcast 10-query fan-out (BroadcastNestedLoopJoin)"),
-    "q55_ivf_ann": (frozenset({"CartesianProduct"}), "broadcast centroid/probe fan-out"),
+    "q53_cosine_topk": (
+        frozenset({"CartesianProduct", "DupFactScan"}),
+        "broadcast 10-query fan-out (BroadcastNestedLoopJoin); query side is a pruned LIMIT scan",
+    ),
+    "q55_ivf_ann": (
+        frozenset({"CartesianProduct", "DupFactScan"}),
+        "broadcast centroid/probe fan-out; centroid sample is a pruned TakeOrdered scan",
+    ),
     "q31_above_global_avg_parts": (frozenset({"CartesianProduct"}), "broadcast 1-row scalar-subquery aggregate"),
-    "q48_tfidf_top_terms": (frozenset({"CartesianProduct"}), "broadcast 1-row corpus-size aggregate"),
+    "q21_above_avg_suppliers": (frozenset({"CartesianProduct"}), "broadcast 1-row scalar-subquery aggregate"),
+    "q48_tfidf_top_terms": (
+        frozenset({"CartesianProduct", "DupFactScan"}),
+        "broadcast 1-row corpus-size count branch (metadata-only parquet count)",
+    ),
+    # --- DupFactScan waivers: two LOGICAL ROLES of one table, not a
+    # re-planned shared lineage. Each role pushes different filters /
+    # projections, so at scale they are genuinely different scans.
+    "q14_setop_intersect": (frozenset({"DupFactScan"}), "INTERSECT arms push different filters into each scan"),
+    "q15_setop_except": (frozenset({"DupFactScan"}), "EXCEPT arms push different filters into each scan"),
+    "q29_asof_purchase_view": (frozenset({"DupFactScan"}), "as-of join: view-role vs purchase-role events, disjoint pushed filters"),
+    "q52_simhash_neardup": (frozenset({"DupFactScan"}), "lint runs pre-materialization: a/b roles share the checkpointed fingerprint table at runtime"),
+    "q59_mllib_minhash_pairs": (frozenset({"DupFactScan"}), "MLlib approxSimilarityJoin datasetA/B roles of one corpus"),
+    "q76_null_safe_join": (frozenset({"DupFactScan"}), "null-safe self-join: two roles of orders"),
+    "q77_interval_join_attribution": (frozenset({"DupFactScan"}), "interval join: click-role vs purchase-role events"),
+    "q78_dedup_replayed_events": (frozenset({"DupFactScan"}), "replay union: original + replayed event roles"),
+    "q90_dedup_clusters": (frozenset({"DupFactScan"}), "two-pass LSH: signature pass + candidate-verify pass (verify side semi-filtered to candidate ids)"),
+    "q91_repetition_signals": (frozenset({"DupFactScan"}), "tagged gram-explode pass + per-doc base-stats pass: two aggregate lineages over text"),
+    "q93_curation_pipeline": (frozenset({"DupFactScan"}), "composed pipeline: dedup LSH pass, repetition pass, metadata pass are separate aggregate lineages; doc_id-only scans are column-pruned"),
+    "q96_gapfill_resample": (frozenset({"DupFactScan"}), "1-row ts-bounds + type-list grid branch; pruned scan"),
+    "q98_sequence_packing": (frozenset({"DupFactScan"}), "lint runs pre-materialization: bucket totals and offset join share the checkpointed length table at runtime"),
+    "q99_embedding_dedup_clusters": (frozenset({"DupFactScan"}), "edge stage a/b roles of embeddings"),
 }
 
 BAD = {
     "BatchEvalPython": "row-at-a-time Python UDF (use pandas_udf/mapInPandas)",
     "CartesianProduct": "unbroadcast cartesian product",
+    "GlobalWindow": "partition-less window over data-sized input (single-task sort)",
+    "DupFactScan": "fact table scanned >1x in one plan",
 }
+
+# tables whose 100 TB footprint makes a second scan the dominant cost;
+# dimension tables (region/nation/customer/supplier/part) stay warn-only
+FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+
+_AGG_RE = re.compile(r"HashAggregate|SortAggregate|ObjectHashAggregate")
+
+
+def _tree_depth(line: str) -> int:
+    """Visual depth of a physical-plan line (indent of its node name)."""
+    m = re.search(r"[A-Za-z*]", line)
+    return m.start() if m else len(line)
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level [...] group contents on a plan line (nested-safe)."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            depth += 1
+        elif ch == "]":
+            depth = max(depth - 1, 0)
+            if depth == 0:
+                groups.append("".join(buf))
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def _is_partitionless(window_line: str) -> bool:
+    """A physical Window prints ``[funcs], [part], [order]``. Two groups
+    is ambiguous: partition-less-but-ordered (``[funcs], [order]`` —
+    the single-task shape) vs partitioned-but-unordered
+    (``[funcs], [part]`` — parallel, fine). Order specs always carry
+    ASC/DESC direction markers; partition specs never do."""
+    groups = _bracket_groups(window_line)
+    if len(groups) >= 3:
+        return False
+    if len(groups) <= 1:
+        return True  # whole-table frame: no partition at all
+    return " ASC" in groups[-1] or " DESC" in groups[-1]
+
+
+def global_window_hits(plan: str) -> list[str]:
+    """Partition-less Window nodes whose subtree has NO aggregation
+    between the window and its scan — i.e. the window really sorts the
+    full data onto one task. A window over a groupBy output is bounded
+    by group cardinality and allowed (q33/q98 offset tables)."""
+    lines = plan.splitlines()
+    hits = []
+    for i, line in enumerate(lines):
+        stripped = line.lstrip(" :+-")
+        if not stripped.startswith("Window "):
+            continue
+        if not _is_partitionless(stripped):
+            continue
+        depth = _tree_depth(line)
+        bounded = False
+        for sub in lines[i + 1 :]:
+            if not sub.strip() or _tree_depth(sub) <= depth:
+                break
+            if _AGG_RE.search(sub):
+                bounded = True
+                break
+        if not bounded:
+            hits.append(stripped.split("],")[0][:80])
+    return hits
 
 
 def main() -> None:
@@ -75,9 +191,26 @@ def main() -> None:
             print(f"ERR   {name}: {type(e).__name__}: {e}")
             failures += 1
             continue
-        hits = [pat for pat in BAD if pat in plan]
+        hits = [pat for pat in ("BatchEvalPython", "CartesianProduct") if pat in plan]
         # BroadcastNestedLoopJoin is fine; don't let its name shadow a
         # real CartesianProduct check
+        gw = global_window_hits(plan)
+        if gw:
+            hits.append("GlobalWindow")
+        # duplicate-lineage: the same parquet file scanned 2+ times in
+        # one plan means Catalyst re-planned a shared subtree per
+        # consumer (see q48's history). Fact tables FAIL (waivable);
+        # dimension tables warn at 3+.
+        paths = re.findall(r"InMemoryFileIndex\(\d+ paths?\)\[([^\]]+)\]", plan)
+        dup_note = ""
+        for p, cnt in Counter(paths).items():
+            tbl = os.path.basename(p).removesuffix(".parquet")
+            if tbl in FACT_TABLES and cnt >= 2:
+                if "DupFactScan" not in hits:
+                    hits.append("DupFactScan")
+                dup_note += f" [{tbl} x{cnt}]"
+            elif cnt >= 3:
+                print(f"warn  {name}: {os.path.basename(p)} scanned {cnt}x — shared lineage re-planned?")
         if hits:
             waived_patterns, reason = WAIVERS.get(name, (frozenset(), ""))
             waived = [h for h in hits if h in waived_patterns]
@@ -85,16 +218,11 @@ def main() -> None:
             if waived:
                 print(f"waive {name}: {', '.join(waived)} — {reason}")
             if real:
-                print(f"LINT  {name}: {', '.join(BAD[h] for h in real)}")
+                detail = "; ".join(BAD[h] for h in real) + dup_note
+                if "GlobalWindow" in real:
+                    detail += " :: " + "; ".join(gw)
+                print(f"LINT  {name}: {detail}")
                 failures += 1
-        # duplicate-lineage smell: the same parquet file scanned 3+
-        # times in one plan usually means Catalyst re-planned a shared
-        # subtree per consumer (see q48's history) — warn, don't fail
-        # (legitimate multi-role scans exist, e.g. q58's LSH + verify)
-        paths = re.findall(r"InMemoryFileIndex\(\d+ paths?\)\[([^\]]+)\]", plan)
-        for p, cnt in Counter(paths).items():
-            if cnt >= 3:
-                print(f"warn  {name}: {os.path.basename(p)} scanned {cnt}x — shared lineage re-planned?")
         if SHOW_SCANS:
             for line in plan.splitlines():
                 if "Scan parquet" in line:
