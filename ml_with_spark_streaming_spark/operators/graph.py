@@ -14,10 +14,12 @@ Scale design:
 * Rounds = component diameter. Near-dup clusters produced by
   LSH-band overlap are dense (often cliques), so diameter is small
   (2–4) and the loop converges in a handful of rounds. For adversarial
-  long-chain graphs, alternating large-star/small-star (Kiveris et
-  al., "Connected Components in MapReduce and Beyond", SoCC'14 — the
-  same join+min dataflow per round) converges in O(log n) rounds;
-  swap it in if a workload ever shows deep chains.
+  long-chain graphs (diameter > ``max_iter``), the loop HANDS OFF to
+  alternating large-star/small-star contraction (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14 — the same
+  join+min dataflow per round) which converges in O(log n) rounds —
+  deep chains degrade to the logarithmic algorithm instead of
+  aborting.
 * ``localCheckpoint(eager=True)`` after every round truncates lineage:
   iterative DataFrame loops otherwise re-plan (and at 100 TB, re-run)
   the entire history each round and the plan grows without bound.
@@ -45,9 +47,12 @@ def connected_components(
     least one edge are returned — callers treat absent nodes as
     singletons (their own component).
 
-    Raises RuntimeError if the graph has not converged after
-    ``max_iter`` rounds (diameter larger than ``max_iter``): partial
-    labels are never returned silently.
+    Min-label propagation needs one round per unit of component
+    diameter; if the graph has not converged after ``max_iter`` rounds
+    (a deep-chain component), the remaining work is handed to
+    ``star_components`` — O(log n) rounds regardless of diameter — so
+    pathological chains converge instead of aborting. Partial labels
+    are never returned silently either way.
     """
     # Materialize the edge list BEFORE symmetrizing: the union's two
     # branches each re-run the (possibly expensive — e.g. MinHash+
@@ -79,4 +84,110 @@ def connected_components(
         labels = merged.select("id", "label")
         if changed == 0:
             return labels.withColumnRenamed("label", "component")
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # Deep-chain graph: contract every node to its current (partial)
+    # label — progress so far is kept — and finish the contracted
+    # graph with O(log n) star rounds, then map node -> label ->
+    # component.
+    la = labels.select(F.col("id").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("id").alias("b"), F.col("label").alias("lb"))
+    contracted = (
+        sym.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("id1"), F.col("lb").alias("id2"))
+        .distinct()
+    )
+    comp = star_components(contracted).withColumnRenamed("id", "label")
+    return labels.join(comp, "label", "left").select(
+        "id", F.coalesce("component", "label").alias("component")
+    )
+
+
+def star_components(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., SoCC'14): O(log n) rounds for ANY
+    graph shape, vs min-label's O(diameter).
+
+    Each round is two join+groupBy.min passes over the edge list —
+    the same shuffle-keyed, map-side-combined dataflow per round as
+    min-label, so the 100 TB story is unchanged; only the round count
+    improves on deep chains.
+
+    Invariant: edges are kept oriented (child > parent). Large-star
+    hangs every bigger neighbor of ``u`` onto ``min(N(u) + [u])``;
+    small-star re-hangs each node's smaller neighbors onto its local
+    minimum. At the fixpoint the edge list is a star forest rooted at
+    each component's minimum id.
+
+    Returns ``id, component`` for every node appearing in an edge.
+    Raises RuntimeError only if ``max_rounds`` (default 60 ≫
+    log2(any realistic n)) is exhausted.
+    """
+    e0 = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.greatest(F.col(src), F.col(dst)).alias("c"),
+            F.least(F.col(src), F.col(dst)).alias("p"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e0.select(F.col("c").alias("id"))
+        .union(e0.select(F.col("p").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = e0
+    prev_stats = None
+    for _ in range(max_rounds):
+        # large-star: neighbors of u from both orientations; hang each
+        # strictly-bigger neighbor v onto m = min(N(u) + [u])
+        nb = e.select(F.col("c").alias("u"), F.col("p").alias("v")).union(
+            e.select(F.col("p").alias("u"), F.col("c").alias("v"))
+        )
+        mins = (
+            nb.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("_mv", "u").alias("m"))
+        )
+        e = (
+            nb.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("c"), F.col("m").alias("p"))
+            .distinct()
+        )
+        # small-star: for each center c, m2 = min over its smaller
+        # neighbors; re-hang the center and every smaller neighbor
+        # (except m2 itself) onto m2
+        mins2 = e.groupBy("c").agg(F.min("p").alias("m2"))
+        hang_nbrs = (
+            e.join(mins2, "c")
+            .filter(F.col("p") != F.col("m2"))
+            .select(F.col("p").alias("c"), F.col("m2").alias("p"))
+        )
+        hang_center = mins2.select("c", F.col("m2").alias("p"))
+        e = hang_nbrs.union(hang_center).distinct().localCheckpoint(eager=False)
+        stats = e.agg(
+            F.count("*").alias("n"), F.sum(F.col("c") + F.col("p")).alias("s")
+        ).collect()[0]
+        stats = (stats["n"], stats["s"])
+        if stats == prev_stats:
+            # endpoint sums are non-increasing round over round, so a
+            # stable (count, sum) means no edge moved; confirm the
+            # star-forest shape (no parent is also a child) before
+            # declaring victory
+            if e.select("p").distinct().join(
+                e.select(F.col("c").alias("p")), "p", "left_semi"
+            ).isEmpty():
+                comp = e.select(F.col("c").alias("id"), F.col("p").alias("component"))
+                return nodes.join(comp, "id", "left").select(
+                    "id", F.coalesce("component", F.col("id")).alias("component")
+                )
+        prev_stats = stats
+    raise RuntimeError(f"star_components did not converge in {max_rounds} rounds")

@@ -644,13 +644,77 @@ def q99_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     arXiv:2303.09540 — theirs clusters with k-means first; the
     pair→component step is the same).
 
-    Scale: swap the capped all-pairs edge stage for the sign-LSH gate
-    (q82) exactly as q90 swaps q51 for q58 — the component step is
-    shared ``operators/graph.py`` either way."""
+    This is the capped-exact ORACLE TWIN (the q51 role): the all-pairs
+    edge stage is exhaustively correct on the ``vec_id < 1000`` slice
+    so DuckDB can replay it bit-for-bit. The UNCAPPED scale path is
+    q100, which runs the same component/canonical stages behind the
+    sign-LSH candidate gate (q82) instead of the quadratic join. A
+    lossless gate at this low threshold is impossible in principle —
+    cos 0.4 means P(hyperplane bit agrees) = 1 - acos(0.4)/pi = 0.63,
+    and any OR-amplification reaching ~100% recall needs bands so
+    narrow that in-bucket fan-out exceeds the all-pairs join itself —
+    which is exactly why the oracle twin stays capped-exact and the
+    gate's regime (production semantic-dedup thresholds >= 0.95, where
+    per-bit agreement is 0.9) is pinned by the planted-cluster fixture
+    test instead (tests/test_curation.py::test_q100_lsh_gate_matches_
+    exact_on_planted_clusters)."""
     from ml_with_spark_streaming_spark.operators.similarity import neardup_pairs
 
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     edges = neardup_pairs(e, threshold=0.4).select("id1", "id2")
+    comp = connected_components(edges).withColumnRenamed("id", "vec_id")
+    assigned = (
+        e.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).cast("long").alias("component"),
+        )
+    )
+    sizes = assigned.groupBy("component").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        assigned.join(sizes, "component")
+        .select(
+            "vec_id",
+            "component",
+            "cluster_size",
+            (F.col("vec_id") == F.col("component")).cast("long").alias("is_canonical"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q100 — embedding dedup at scale: sign-LSH gate → components (uncapped)
+# ---------------------------------------------------------------------------
+
+
+@query("q100_embedding_dedup_at_scale")  # no oracle: LSH candidate recall is approximate
+def q100_embedding_dedup_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q99's pipeline in its 100 TB shape: the FULL embeddings table
+    (no vec_id cap), near-dup edges from the sign-LSH candidate gate +
+    exact-cosine verify (q82's operator — banded bucket shuffle, never
+    all-pairs), then the shared connected-components / canonical-
+    representative stages.
+
+    Rows-only check: which candidate pairs the gate surfaces is
+    hash-dependent (recall < 1 by construction), but fully
+    deterministic — seeded hyperplanes, sorted bucket id-lists — so
+    row counts and values are stable across runs and partition
+    layouts. Exactness in the gate's design regime (clusters of
+    near-identical vectors, cosine >= 0.95 — the SemDeDup operating
+    point) is pinned by the planted-cluster fixture test, which
+    asserts gate-fed components == all-pairs-fed components.
+
+    Scale knobs (see signlsh_neardup docstring): n_planes/bands set
+    bits-per-band; production corpora want bits >= log2(n_vectors).
+    """
+    from ml_with_spark_streaming_spark.operators.similarity import signlsh_neardup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    edges = signlsh_neardup(
+        e, threshold=0.45, n_planes=64, bands=16, c_id="vec_id", c_vec="embedding"
+    ).select("id1", "id2")
     comp = connected_components(edges).withColumnRenamed("id", "vec_id")
     assigned = (
         e.select("vec_id")

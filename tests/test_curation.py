@@ -6,7 +6,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ml_with_spark_streaming_spark.operators.dedup import minhash_signatures, shingles_expr
-from ml_with_spark_streaming_spark.operators.graph import connected_components
+from ml_with_spark_streaming_spark.operators.graph import (
+    connected_components,
+    star_components,
+)
 from ml_with_spark_streaming_spark.plans.curation import pii_signals, repetition_signals
 
 
@@ -29,6 +32,76 @@ def test_cc_path_graph_deeper_than_one_hop(spark):
 def test_cc_empty_edges(spark):
     df = spark.createDataFrame([], "id1: long, id2: long")
     assert connected_components(df).count() == 0
+
+
+def test_star_components_matches_min_label(spark):
+    # random-ish graph with a clique, a chain, and singleton pairs:
+    # O(log n) star contraction must agree with min-label exactly
+    edges = (
+        [(1, 2), (2, 3), (1, 3)]          # clique
+        + [(i, i + 1) for i in range(20, 26)]  # chain
+        + [(100, 101), (200, 201)]        # pairs
+        + [(3, 20)]                        # clique-chain bridge
+    )
+    df = spark.createDataFrame(edges, "id1: long, id2: long")
+    assert dict(star_components(df).collect()) == dict(
+        connected_components(df).collect()
+    )
+
+
+def test_q100_lsh_gate_matches_exact_on_planted_clusters(spark):
+    """q100's pipeline (sign-LSH gate → components) must produce
+    EXACTLY the clusters of the all-pairs formulation in the gate's
+    design regime: planted groups of near-identical vectors (cosine
+    >= 0.95, per-bit agreement ~0.9) among random noise. This pins the
+    gate-vs-exact equivalence that q99's capped oracle cannot (a
+    lossless gate at q99's 0.4 threshold is impossible — see its
+    docstring)."""
+    import random as _random
+
+    from ml_with_spark_streaming_spark.operators.similarity import (
+        neardup_pairs,
+        signlsh_neardup,
+    )
+
+    rnd = _random.Random(99)
+    rows = []
+    vid = 0
+    # 5 planted clusters of 4 jittered copies each
+    for _ in range(5):
+        base = [rnd.gauss(0, 1) for _ in range(32)]
+        for _ in range(4):
+            rows.append((vid, [x * (1 + rnd.uniform(-1e-3, 1e-3)) for x in base]))
+            vid += 1
+    # 60 noise vectors (random 32-dim: pairwise cosine far below 0.95)
+    for _ in range(60):
+        rows.append((vid, [rnd.gauss(0, 1) for _ in range(32)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def clusters(edge_df):
+        comp = dict(connected_components(edge_df).collect())
+        groups = {}
+        for node, c in comp.items():
+            groups.setdefault(c, set()).add(node)
+        return sorted(sorted(g) for g in groups.values())
+
+    exact_edges = neardup_pairs(df, threshold=0.95).select("id1", "id2")
+    lsh_edges = signlsh_neardup(df, threshold=0.95).select("id1", "id2")
+    exact_clusters = clusters(exact_edges)
+    assert clusters(lsh_edges) == exact_clusters
+    # the 5 planted 4-cliques are all found
+    planted = [list(range(k * 4, k * 4 + 4)) for k in range(5)]
+    assert [c for c in exact_clusters if min(c) < 20] == planted
+
+
+def test_cc_deep_chain_falls_back_to_star(spark):
+    # diameter-80 chain with max_iter=4: min-label cannot converge, so
+    # the star-contraction handoff must finish the job (previously a
+    # hard RuntimeError)
+    df = spark.createDataFrame([(i, i + 1) for i in range(80)], "id1: long, id2: long")
+    got = dict(connected_components(df, max_iter=4).collect())
+    assert got == {i: 0 for i in range(81)}
 
 
 def test_shingles_short_docs_yield_empty_not_crash(spark):

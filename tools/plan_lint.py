@@ -95,6 +95,7 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
     "q96_gapfill_resample": (frozenset({"DupFactScan"}), "1-row ts-bounds + type-list grid branch; pruned scan"),
     "q98_sequence_packing": (frozenset({"DupFactScan"}), "lint runs pre-materialization: bucket totals and offset join share the checkpointed length table at runtime"),
     "q99_embedding_dedup_clusters": (frozenset({"DupFactScan"}), "edge stage a/b roles of embeddings"),
+    "q100_embedding_dedup_at_scale": (frozenset({"DupFactScan"}), "LSH stage scans vectors once; singleton-assignment base is a vec_id-only pruned scan"),
 }
 
 BAD = {
