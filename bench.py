@@ -65,9 +65,13 @@ HEADLINE = [
 ]
 
 
-def _streaming_rate(spark) -> float:
+def _streaming_rate(spark, per_file: int = 5000, n_files: int = 3) -> float:
     """records/s through StreamingTrainer on a file stream (availableNow
-    micro-batches), stemming on — the full reference pipeline."""
+    micro-batches), stemming on — the full reference pipeline.
+
+    ``per_file`` is the micro-batch payload size; the reference's own
+    experiments use batch sizes 1000–3000 (reference README), so the
+    bench records a rate CURVE across sizes, not a single point."""
     import json as _json
     import random
     import shutil
@@ -80,7 +84,6 @@ def _streaming_rate(spark) -> float:
     pos = ["good", "great", "love", "happy", "best"]
     neg = ["bad", "awful", "hate", "sad", "worst"]
     rnd = random.Random(7)
-    n_files, per_file = 3, 5000
     root = tempfile.mkdtemp(prefix="bench_stream_")
     try:
         src = os.path.join(root, "in")
@@ -132,19 +135,26 @@ def main() -> None:
         except ValueError:
             pass
 
-    # min of 2 runs per query: steady-state timing, robust to transient
-    # co-tenant load on the box
+    # n runs per query (default 5), reporting min AND p50: with n=2 a
+    # ±0.2 s co-tenant swing is indistinguishable from a real
+    # regression; min is the steady-state capability number, p50 shows
+    # whether min was an outlier
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     timings: dict[str, float] = {}
+    timings_p50: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = None
-        for _ in range(2):
+        runs = []
+        for _ in range(n_runs):
             t0 = time.monotonic()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
+            runs.append(time.monotonic() - t0)
+        runs.sort()
+        best = runs[0]
+        p50 = runs[len(runs) // 2] if n_runs % 2 else (runs[n_runs // 2 - 1] + runs[n_runs // 2]) / 2
         timings[name] = round(best, 3)
+        timings_p50[name] = round(p50, 3)
         total += best
 
     out = {
@@ -152,10 +162,18 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_p50": timings_p50,
+        "bench_runs": n_runs,
         "sf": sf,
     }
 
-    out["streaming_records_per_sec"] = _streaming_rate(spark)
+    # rate curve across micro-batch payload sizes (1000/3000 = the
+    # reference's own experiment range; 5000 = round-2 comparability)
+    rate_curve = {
+        str(size): _streaming_rate(spark, per_file=size) for size in (1000, 3000, 5000)
+    }
+    out["streaming_records_per_sec"] = rate_curve["5000"]
+    out["streaming_rate_by_batch_size"] = rate_curve
 
     if os.environ.get("SPARK_GRAFT_SWEEP", "1") != "0":
         sweep_dir = os.environ.get("SPARK_GRAFT_SWEEP_SF_DIR", "/root/testdata/sf0.01")

@@ -102,13 +102,16 @@ def q94_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 Q95_SQL = """
-WITH firsts AS (
-  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY user_id
+WITH ev AS (
+  SELECT user_id, ts FROM events WHERE ts IS NOT NULL
+),
+firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM ev GROUP BY user_id
 ),
 activity AS (
   SELECT DISTINCT e.user_id, f.cohort_week,
          CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7 AS BIGINT) AS week_offset
-  FROM events e JOIN firsts f ON f.user_id = e.user_id
+  FROM ev e JOIN firsts f ON f.user_id = e.user_id
 )
 SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
        CAST(COUNT(*) AS BIGINT) AS n_users
@@ -125,8 +128,10 @@ def q95_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two shuffles (per-user first-event agg, then the cohort
     re-aggregation); the user→cohort table is user-count-sized and
-    joins back broadcast/shuffled by AQE's choice."""
-    e = load_table(spark, sf_dir, "events")
+    joins back broadcast/shuffled by AQE's choice. NULL ts rows are
+    filtered explicitly so cohort semantics are pinned rather than
+    dependent on the testdata happening to be non-null."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     # cohort as a window over the single event scan — the groupBy+
     # self-join formulation reads events twice
     activity = (
@@ -166,25 +171,30 @@ def q95_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 Q96_SQL = """
-WITH bounds AS (
-  SELECT date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1 FROM events
+WITH ev AS (
+  SELECT ts, event_type, value FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+bounds AS (
+  SELECT date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1 FROM ev
 ),
 grid AS (
   SELECT t.event_type, g.day
-  FROM (SELECT DISTINCT event_type FROM events) t
+  FROM (SELECT DISTINCT event_type FROM ev) t
   CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL '1 day')) AS day FROM bounds) g
 ),
 daily AS (
   SELECT event_type, date_trunc('day', ts) AS day,
-         CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
-  FROM events GROUP BY 1, 2
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM ev GROUP BY 1, 2
 )
 SELECT strftime(g.day, '%Y-%m-%d') AS day, g.event_type,
        CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
-       COALESCE(d.sum_value, 0.0) AS zero_filled,
-       COALESCE(LAST_VALUE(d.sum_value IGNORE NULLS) OVER (
+       CAST(COALESCE(d.sum_cents, 0) AS BIGINT) AS zero_filled_cents,
+       CAST(COALESCE(LAST_VALUE(d.sum_cents IGNORE NULLS) OVER (
          PARTITION BY g.event_type ORDER BY g.day
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS carried
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS carried_cents
 FROM grid g LEFT JOIN daily d ON d.event_type = g.event_type AND d.day = g.day
 ORDER BY 1, 2
 """
@@ -198,8 +208,19 @@ def q96_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The grid is generated with ``sequence()`` from a 1-row bounds
     aggregate (broadcast cross join — grid size = days × types, never
-    data-sized); the heavy side is one daily aggregation of events."""
-    e = load_table(spark, sf_dir, "events")
+    data-sized); the heavy side is one daily aggregation of events.
+
+    Daily sums are surfaced as exact integer cents (per-row half-up
+    ``floor(value*100 + 0.5)`` — the same IEEE double ops on both
+    engines — summed as BIGINT): distributed SUM(double) order and
+    Spark-vs-DuckDB ROUND(double) algorithm differences must never
+    cross the engine boundary (house rule). NULL ts/event_type rows
+    are filtered explicitly on both sides (collect_set drops NULLs
+    while DISTINCT keeps them — pin the semantics instead)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    )
     # one metadata pass yields bounds AND the (bounded-cardinality)
     # type set — separate bounds/distinct scans read events twice more
     meta = e.agg(
@@ -217,7 +238,7 @@ def q96_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(
         F.count("*").cast("long").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("sum_cents"),
     )
     w = (
         W.partitionBy("event_type")
@@ -230,10 +251,12 @@ def q96_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             "event_type",
             F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-            F.coalesce("sum_value", F.lit(0.0)).alias("zero_filled"),
+            F.coalesce("sum_cents", F.lit(0)).cast("long").alias("zero_filled_cents"),
             F.coalesce(
-                F.last("sum_value", ignorenulls=True).over(w), F.lit(0.0)
-            ).alias("carried"),
+                F.last("sum_cents", ignorenulls=True).over(w), F.lit(0)
+            )
+            .cast("long")
+            .alias("carried_cents"),
         )
         .orderBy("day", "event_type")
     )

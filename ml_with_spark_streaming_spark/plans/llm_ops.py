@@ -253,7 +253,7 @@ SELECT doc_id AS asset_id,
        'image' AS modality,
        octet_length(encode(text)) AS n_bytes,
        ascii(substr(text, 1, 1)) AS first_byte,
-       list_sum(list_transform(generate_series(1, length(text)), i -> ascii(substr(text, i, 1)))) % 100000 AS byte_sum_mod
+       CAST(list_sum(list_transform(generate_series(1, length(text)), i -> ascii(substr(text, i, 1)))) % 100000 AS BIGINT) AS byte_sum_mod
 FROM documents
 ORDER BY asset_id
 """

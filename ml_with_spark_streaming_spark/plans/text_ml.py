@@ -331,7 +331,8 @@ fp AS (
     FROM h
   ) q WHERE i >= 4
 )
-SELECT doc_id, COUNT(*) AS n_fp, MIN(f) AS fp_min, MAX(f) AS fp_max, SUM(f) AS fp_sum
+SELECT doc_id, COUNT(*) AS n_fp, MIN(f) AS fp_min, MAX(f) AS fp_max,
+       CAST(SUM(f) AS BIGINT) AS fp_sum
 FROM fp
 GROUP BY doc_id
 ORDER BY doc_id

@@ -50,6 +50,11 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS) which Spark has no native
         # type for; read as long and convert in sources/batch.py
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # unadjusted-to-UTC parquet micros must surface as TIMESTAMP (LTZ,
+        # UTC session) not TIMESTAMP_NTZ: the whole engine + oracle suite
+        # is pinned to LTZ semantics, and a read-time NTZ->LTZ cast would
+        # break predicate pushdown on timestamp columns
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
@@ -75,6 +80,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     }.items():
         try:
             spark.conf.set(k, v)

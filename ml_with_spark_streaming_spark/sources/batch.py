@@ -39,6 +39,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # unadjusted parquet micros must read as TIMESTAMP (LTZ, UTC
+        # session), not NTZ — the engine + oracles are pinned to LTZ,
+        # and functions like unix_micros reject NTZ input
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -59,15 +59,20 @@ def test_funnel_sequencing(spark, events_dir):
 
 def test_gapfill_zero_vs_carry(spark, events_dir):
     rows = q96_gapfill_resample(spark, events_dir).collect()
-    err = {r.day: (r.n, r.zero_filled, r.carried) for r in rows if r.event_type == "error"}
-    # days span the full observed range (Jan 1 .. Jan 15)
+    err = {
+        r.day: (r.n, r.zero_filled_cents, r.carried_cents)
+        for r in rows
+        if r.event_type == "error"
+    }
+    # days span the full observed range (Jan 1 .. Jan 15); sums are
+    # exact integer cents (1.5 -> 150)
     assert len(err) == 15
-    assert err["2024-01-01"] == (1, 1.5, 1.5)
-    assert err["2024-01-02"] == (0, 0.0, 1.5)  # zero-fill vs forward carry
-    assert err["2024-01-03"] == (1, 2.5, 2.5)
-    assert err["2024-01-04"] == (0, 0.0, 2.5)  # carry persists past the gap
-    # a type with no events before the grid start carries 0.0
-    view = {r.day: r.carried for r in rows if r.event_type == "purchase"}
+    assert err["2024-01-01"] == (1, 150, 150)
+    assert err["2024-01-02"] == (0, 0, 150)  # zero-fill vs forward carry
+    assert err["2024-01-03"] == (1, 250, 250)
+    assert err["2024-01-04"] == (0, 0, 250)  # carry persists past the gap
+    # a type with no events before the grid start carries 0
+    view = {r.day: r.carried_cents for r in rows if r.event_type == "purchase"}
     assert view["2024-01-02"] == view["2024-01-01"]  # purchase day1 carried
 
 

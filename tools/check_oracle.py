@@ -74,16 +74,40 @@ def rows_multiset(cols, rows):
 
 
 def lint_rows(cols, rows, engine: str) -> list[str]:
+    """Scan EVERY row (not just row 0 — a cell that is NULL in the
+    first row but driver-hostile later must not slip past the lint);
+    reports the first offending row per column."""
     problems = []
-    if rows:
+    seen = set()
+    for ri, row in enumerate(rows):
         for i, c in enumerate(cols):
-            bad = value_lint(rows[0][i])
+            if c in seen or row[i] is None:
+                continue
+            bad = value_lint(row[i])
             if bad:
-                problems.append(f"{engine}.{c}: {bad}")
+                seen.add(c)
+                problems.append(f"{engine}.{c} (row {ri}): {bad}")
     return problems
 
 
 _BAD_SPARK_TYPES = ("array", "map", "struct", "timestamp", "decimal")
+
+# DuckDB-side twin: types pandas mangles in the driver's comparator.
+# HUGEINT (SUM over INTEGER) is the round-1 q25/q26 failure class —
+# fetchdf converts it to float64 while Spark's LONG stays int64.
+_BAD_DUCK_TYPES = ("[]", "LIST", "STRUCT", "MAP", "TIMESTAMP", "DECIMAL", "HUGEINT")
+
+
+def lint_duckdb_types(cols, types) -> list[str]:
+    """Schema-level lint of the ORACLE side, from relation metadata —
+    catches driver-hostile DuckDB column types even when every sampled
+    row happens to be NULL (mirrors lint_spark_schema)."""
+    problems = []
+    for c, t in zip(cols, types):
+        ts = str(t).upper()
+        if any(k in ts for k in _BAD_DUCK_TYPES):
+            problems.append(f"duckdb.{c}: schema type {t} (driver comparator unsafe)")
+    return problems
 
 
 def lint_spark_schema(sdf) -> list[str]:
@@ -129,9 +153,10 @@ def main() -> int:
             print(f"skip  {name}: no oracle ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = list(rel.types)
+            drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -143,6 +168,7 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
         problems += lint_spark_schema(sdf)
+        problems += lint_duckdb_types(dcols, dtypes)
         problems += lint_rows(scols, srows, "spark") + lint_rows(dcols, drows, "duckdb")
         if not problems:
             sm, dm = rows_multiset(scols, srows), rows_multiset(dcols, drows)
