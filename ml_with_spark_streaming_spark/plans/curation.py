@@ -735,3 +735,69 @@ def q100_embedding_dedup_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — benchmark-set decontamination (13-gram overlap vs eval set)
+# ---------------------------------------------------------------------------
+
+Q101_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(t) - 12, 0)),
+                                 i -> array_to_string(t[i:i+12], ' '))) AS g
+    FROM toks
+  )
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0),
+per_doc AS (
+  SELECT c.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+  FROM corpus c LEFT JOIN ev ON ev.g = c.g
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CAST(CASE WHEN COALESCE(p.n_contaminated, 0) = 0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+WHERE d.doc_id % 97 <> 0
+ORDER BY d.doc_id
+"""
+
+
+@query("q101_decontaminate", Q101_SQL)
+def q101_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-set decontamination — the GPT-3 appendix-C curation
+    stage (13-gram overlap against a held-out eval set; Brown et al.
+    2020): training documents sharing any 13-gram with an eval
+    document are flagged so benchmark numbers aren't inflated by
+    memorized test data. The reference has no decontamination; this is
+    part of the training-data-pipeline surface (SURVEY.md north star).
+
+    The eval set here is a deterministic slice of the corpus
+    (``doc_id % 97 == 0`` — benchmark-sized by construction) so both
+    engines derive it identically; in production it is a separate
+    benchmark table, same plan shape.
+
+    Scale shape: the eval n-gram set is deduplicated and BROADCAST;
+    the corpus streams through one explode + broadcast left join + one
+    per-doc aggregation (map-side combinable). The corpus is never
+    shuffled by n-gram and never self-joined — at 100 TB the only big
+    shuffle is the distinct on (doc_id, gram), keyed by doc id + gram."""
+    from ml_with_spark_streaming_spark.operators.decontaminate import (
+        contamination_counts,
+        eval_ngrams,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = eval_ngrams(d.filter(F.col("doc_id") % 97 == 0))
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_counts(corpus, ev).orderBy("doc_id")

@@ -196,3 +196,41 @@ def test_cc_random_graphs_match_union_find(spark):
     df = spark.createDataFrame(all_edges, "id1: long, id2: long")
     got = dict(connected_components(df).collect())
     assert got == expected
+
+
+def test_decontamination_flags_planted_overlap(spark, tmp_path):
+    """q101 semantics on a crafted corpus: a doc sharing a 13-gram
+    with an eval doc is flagged; clean and too-short docs keep."""
+    import os
+
+    from ml_with_spark_streaming_spark.plans.curation import q101_decontaminate
+
+    # alphabetic suffixes: the cleaning chain strips digits, which
+    # would collapse bench0..bench12 into 13 identical tokens
+    bench = " ".join(f"bench{chr(97 + i)}" for i in range(13))  # the eval 13-gram
+    clean = " ".join(f"clean{chr(97 + i)}" for i in range(20))
+    rows = [
+        # doc 0: eval slice (0 % 97 == 0) — the benchmark document
+        (0, f"intro words {bench} outro", "en", "s", 0),
+        # doc 1: corpus doc embedding the same 13 tokens mid-text
+        (1, f"leading text here {bench} trailing text", "en", "s", 0),
+        # doc 2: corpus doc, >=13 tokens, no overlap
+        (2, clean, "en", "s", 0),
+        # doc 3: corpus doc with < 13 tokens — no grams, clean by definition
+        (3, "too short to have any thirteen gram at all", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {r.doc_id: r for r in q101_decontaminate(spark, d).collect()}
+    assert set(got) == {1, 2, 3}  # eval doc 0 excluded from the corpus output
+    assert got[1].n_contaminated > 0 and got[1].keep == 0
+    # doc1 = 3 + 13 + 2 = 18 tokens -> 6 distinct 13-grams; exactly ONE
+    # (bencha..benchm) matches the eval set
+    assert got[1].n_grams == 6 and got[1].n_contaminated == 1
+    assert got[2].n_contaminated == 0 and got[2].keep == 1
+    assert got[2].n_grams == 20 - 12
+    assert (got[3].n_grams, got[3].n_contaminated, got[3].keep) == (0, 0, 1)

@@ -96,6 +96,12 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
     "q98_sequence_packing": (frozenset({"DupFactScan"}), "lint runs pre-materialization: bucket totals and offset join share the checkpointed length table at runtime"),
     "q99_embedding_dedup_clusters": (frozenset({"DupFactScan"}), "edge stage a/b roles of embeddings"),
     "q100_embedding_dedup_at_scale": (frozenset({"DupFactScan"}), "LSH stage scans vectors once; singleton-assignment base is a vec_id-only pruned scan"),
+    "q101_decontaminate": (
+        frozenset({"DupFactScan"}),
+        "eval set is derived from the corpus table only in testdata (doc_id % 97 slice); "
+        "in production it is a separate benchmark-sized table scanned once and broadcast. "
+        "Third scan is the doc_id-only join-back (column-pruned).",
+    ),
 }
 
 BAD = {
