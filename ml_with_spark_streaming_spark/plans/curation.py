@@ -509,6 +509,37 @@ def q93_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CTX = 2048  # training context length (tokens per packed sequence)
 _BUCKET = 256  # docs per prefix-sum bucket (scale knob, see docstring)
 
+def _pack_from_counts(nt: DataFrame) -> DataFrame:
+    """The two-phase-prefix-sum packing core, shared by q98 (whitespace
+    counts) and q103 (real BPE counts): ``nt`` must carry
+    ``(doc_id, n_tokens, _b)`` and SHOULD already be checkpointed so
+    the bucket-totals branch and the offset join don't re-derive the
+    count column (expensive for the BPE variant)."""
+    bucket_sums = nt.groupBy("_b").agg(F.sum("n_tokens").alias("_bsum"))
+    w_prev = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = bucket_sums.select(
+        "_b", F.coalesce(F.sum("_bsum").over(w_prev), F.lit(0)).alias("_boff")
+    )
+    w_in = W.partitionBy("_b").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    cum = nt.join(F.broadcast(offsets), "_b").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_boff") + F.sum("n_tokens").over(w_in)).alias("cum"),
+    )
+    ctx = F.lit(_CTX)
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.col("cum").cast("long").alias("cum_tokens"),
+        F.when(F.col("n_tokens") == 0, F.lit(None).cast("long"))
+        .otherwise(F.floor((F.col("cum") - F.col("n_tokens")) / ctx))
+        .alias("chunk_first"),
+        F.when(F.col("n_tokens") == 0, F.lit(None).cast("long"))
+        .otherwise(F.floor((F.col("cum") - 1) / ctx))
+        .alias("chunk_last"),
+    ).orderBy("doc_id")
+
+
 Q98_SQL = f"""
 WITH nt AS (
   SELECT doc_id,
@@ -564,34 +595,7 @@ def q98_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         whitespace_token_count_expr(clean_text_expr("text")).cast("long").alias("n_tokens"),
         (F.col("doc_id") / _BUCKET).cast("long").alias("_b"),
     ).localCheckpoint(eager=False)
-    bucket_sums = nt.groupBy("_b").agg(F.sum("n_tokens").alias("_bsum"))
-    w_prev = (
-        W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
-    )
-    offsets = bucket_sums.select(
-        "_b", F.coalesce(F.sum("_bsum").over(w_prev), F.lit(0)).alias("_boff")
-    )
-    w_in = W.partitionBy("_b").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-    cum = (
-        nt.join(F.broadcast(offsets), "_b")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("_boff") + F.sum("n_tokens").over(w_in)).alias("cum"),
-        )
-    )
-    ctx = F.lit(_CTX)
-    return cum.select(
-        "doc_id",
-        "n_tokens",
-        F.col("cum").cast("long").alias("cum_tokens"),
-        F.when(F.col("n_tokens") == 0, F.lit(None).cast("long"))
-        .otherwise(F.floor((F.col("cum") - F.col("n_tokens")) / ctx))
-        .alias("chunk_first"),
-        F.when(F.col("n_tokens") == 0, F.lit(None).cast("long"))
-        .otherwise(F.floor((F.col("cum") - 1) / ctx))
-        .alias("chunk_last"),
-    ).orderBy("doc_id")
+    return _pack_from_counts(nt)
 
 
 # ---------------------------------------------------------------------------
@@ -801,3 +805,37 @@ def q101_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = eval_ngrams(d.filter(F.col("doc_id") % 97 == 0))
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     return contamination_counts(corpus, ev).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q103 — sequence packing on REAL BPE token counts
+# ---------------------------------------------------------------------------
+
+
+@query("q103_sequence_packing_bpe")  # rows-only: BPE isn't SQL-expressible
+def q103_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q98's concat-and-chunk packing budgeted in REAL byte-level BPE
+    tokens (``functions/bpe.py`` — the published Sennrich/GPT-2
+    algorithm with a deterministic in-repo vocab) instead of the
+    whitespace proxy, so chunk offsets mean what a training loader
+    needs them to mean.
+
+    The count column is the only Python stage (Arrow-batched
+    ``pandas_udf``, LRU-cached per unique pre-token); it is computed
+    ONCE into the checkpointed 24-byte/doc count table, and the packing
+    core is the shared two-phase distributed prefix sum (see q98 for
+    the scale analysis). No SQL oracle — BPE is not expressible in
+    DuckDB; the packing arithmetic is pinned by the q98 oracle on the
+    same code path and the tokenizer by hand-verified merge fixtures
+    (tests/test_text.py)."""
+    from ml_with_spark_streaming_spark.functions.bpe import bpe_token_count_series
+
+    bpe_count = F.pandas_udf(bpe_token_count_series, "long")
+
+    d = load_table(spark, sf_dir, "documents")
+    nt = d.select(
+        "doc_id",
+        bpe_count("text").alias("n_tokens"),
+        (F.col("doc_id") / _BUCKET).cast("long").alias("_b"),
+    ).localCheckpoint(eager=False)
+    return _pack_from_counts(nt)

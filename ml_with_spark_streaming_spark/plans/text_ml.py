@@ -350,3 +350,40 @@ def q83_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return winnowing_summary(d, "text", "doc_id", k=8, w=4).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q102 — real BPE token counts (vs the q41 regex proxy)
+# ---------------------------------------------------------------------------
+
+
+@query("q102_bpe_token_counts")  # rows-only: BPE isn't SQL-expressible
+def q102_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document REAL byte-level BPE token counts next to the
+    whitespace count and the q41 regex proxy, plus the implied
+    tokens-per-100-chars rate — the number a training-data pipeline
+    actually budgets by.
+
+    The tokenizer is ``functions/bpe.py`` (published byte-level BPE,
+    deterministic in-repo vocab) behind an Arrow-batched
+    ``pandas_udf`` — the stemmer's pattern; everything else stays
+    codegen. No SQL oracle (BPE is not SQL-expressible — driver
+    records the rows-only check); the tokenizer itself is pinned by
+    hand-verified merge fixtures and a pure-Python cross-check over
+    real documents in tests/test_text.py."""
+    from ml_with_spark_streaming_spark.functions.bpe import bpe_token_count_series
+    from ml_with_spark_streaming_spark.operators.textstats import (
+        token_count_expr,
+        whitespace_token_count_expr,
+    )
+
+    bpe_count = F.pandas_udf(bpe_token_count_series, "long")
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count_expr(clean_text_expr("text")).cast("long").alias("n_ws_tokens"),
+        token_count_expr("text").cast("long").alias("n_bpe_tokens_proxy"),
+        bpe_count("text").alias("n_bpe_tokens_real"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
