@@ -168,7 +168,11 @@ def main() -> None:
     }
 
     # rate curve across micro-batch payload sizes (1000/3000 = the
-    # reference's own experiment range; 5000 = round-2 comparability)
+    # reference's own experiment range; 5000 = round-2 comparability).
+    # One discarded warm-up pass first: the first streaming query pays
+    # one-time machinery/Arrow/codegen init that would otherwise land
+    # entirely on whichever size runs first (~20 s skew, measured)
+    _streaming_rate(spark, per_file=200, n_files=1)
     rate_curve = {
         str(size): _streaming_rate(spark, per_file=size) for size in (1000, 3000, 5000)
     }

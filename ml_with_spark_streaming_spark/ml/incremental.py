@@ -115,24 +115,28 @@ class IncrementalBernoulliNB:
         self.feat_count = np.asarray(state["feat_count"], dtype=np.int64)
 
     def update(self, feats: DataFrame, id_col: str = "row_id", label_col: str = "target") -> None:
-        """One distributed pass: presence counts per (class, feature).
+        """ONE distributed pass: grouping sets ``((label, fi), (label))``
+        with a distinct-id count yield the per-(class, feature) presence
+        counts AND the per-class document counts from a single
+        aggregation job (they used to be two collects — half the
+        per-batch update latency on small streaming batches).
 
-        ``feats`` is the hashed_features triple table carrying the
-        label in ``label_col``. Collects ≤ 2 × num_features rows.
+        Correctness leans on two invariants of the triple table:
+        (row_id, fi) is unique (hashed_features groupBys on it), and
+        every doc has ≥1 row (the fi=-1 sentinel) — so the (label)-only
+        group's distinct-id count is exactly the doc count. Collects
+        ≤ 2 × num_features + 2 rows.
         """
-        presence = (
+        agg = (
             feats.select(label_col, id_col, "fi")
-            .filter(F.col("fi") >= 0)  # fi=-1 sentinel: no feature present
-            .groupBy(label_col, "fi")
+            .groupingSets([[label_col, "fi"], [label_col]], label_col, "fi")
             .agg(F.count_distinct(id_col).alias("n"))
         )
-        docs = feats.select(label_col, id_col).distinct().groupBy(label_col).agg(
-            F.count("*").alias("n")
-        )
-        for r in docs.collect():
-            self.class_count[int(r[label_col])] += r["n"]
-        for r in presence.collect():
-            self.feat_count[int(r[label_col]), int(r["fi"])] += r["n"]
+        for r in agg.collect():
+            if r["fi"] is None:  # the (label)-only grouping set: doc counts
+                self.class_count[int(r[label_col])] += r["n"]
+            elif int(r["fi"]) >= 0:  # fi=-1 sentinel: no feature present
+                self.feat_count[int(r[label_col]), int(r["fi"])] += r["n"]
 
     def _log_weights(self) -> tuple[np.ndarray, np.ndarray]:
         """Per-class smoothed log-odds weights and absence baselines.
