@@ -839,3 +839,94 @@ def q103_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") / _BUCKET).cast("long").alias("_b"),
     ).localCheckpoint(eager=False)
     return _pack_from_counts(nt)
+
+
+# ---------------------------------------------------------------------------
+# q104 — corpus mixing plan: per-language token budgets → repeat factors
+# ---------------------------------------------------------------------------
+
+# Target mixture weights (percent of the training token budget per
+# language) — the fixed "data recipe" a pretraining run declares up
+# front (the Pile / DoReMi-style mixing table, Gao et al. 2020
+# arXiv:2101.00027 §1, Xie et al. 2023 arXiv:2305.10429).
+_MIX_TARGETS = {"en": 50, "de": 15, "es": 15, "fr": 10, "zh": 10}
+
+_MIX_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGETS.items()
+) + " ELSE 0 END"
+
+Q104_SQL = f"""
+WITH nt AS (
+  SELECT lang,
+         CASE WHEN length({CLEAN_SQL}) = 0 THEN 0
+              ELSE len(string_split({CLEAN_SQL}, ' ')) END AS n_tokens
+  FROM documents
+),
+per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+  FROM nt GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM per_lang)
+SELECT p.lang, p.n_docs, p.lang_tokens,
+       {exact_round_div_sql('p.lang_tokens', 't.total_tokens')} AS natural_frac,
+       CAST({_MIX_CASE_SQL.replace('lang', 'p.lang')} AS BIGINT) AS target_pct,
+       {exact_round_div_sql(f'({_MIX_CASE_SQL.replace("lang", "p.lang")}) * t.total_tokens', '100 * p.lang_tokens')} AS repeat_factor
+FROM per_lang p CROSS JOIN tot t
+ORDER BY p.lang
+"""
+
+
+@query("q104_corpus_mixing", Q104_SQL)
+def q104_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-recipe planning table a pretraining run derives before
+    sampling: per language, its document/token inventory, its natural
+    share of the corpus, the declared target share (``_MIX_TARGETS``),
+    and the repeat factor (epochs over that subset) that realizes the
+    target mix at a fixed total token budget —
+    ``repeat = target% · total_tokens / (100 · lang_tokens)``.
+
+    One scan → one 5-group aggregation; the grand total joins back as
+    a broadcast 1-row aggregate (q21/q31's scalar-subquery pattern —
+    never a global window). All ratios are exact_round_div integer
+    rationals, so no double crosses the engine boundary. At 100 TB
+    this is a metadata query: cost is the token-count scan, already
+    computed by q41/q98 in a real pipeline run."""
+    from ml_with_spark_streaming_spark.operators.textstats import (
+        whitespace_token_count_expr,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        d.select(
+            "lang",
+            whitespace_token_count_expr(clean_text_expr("text")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("lang_tokens"),
+        )
+        # 5 rows — materialize, or the grand-total branch re-plans the
+        # whole token-count scan (q97's fan-out rule)
+        .localCheckpoint(eager=True)
+    )
+    tot = per_lang.agg(F.sum("lang_tokens").cast("long").alias("total_tokens"))
+    target = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _MIX_TARGETS.items()],
+        F.lit(0),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            exact_round_div(F.col("lang_tokens"), F.col("total_tokens")).alias("natural_frac"),
+            target.cast("long").alias("target_pct"),
+            exact_round_div(
+                target * F.col("total_tokens"), 100 * F.col("lang_tokens")
+            ).alias("repeat_factor"),
+        )
+        .orderBy("lang")
+    )

@@ -234,3 +234,32 @@ def test_decontamination_flags_planted_overlap(spark, tmp_path):
     assert got[2].n_contaminated == 0 and got[2].keep == 1
     assert got[2].n_grams == 20 - 12
     assert (got[3].n_grams, got[3].n_contaminated, got[3].keep) == (0, 0, 1)
+
+
+def test_corpus_mixing_hand_checked(spark, tmp_path):
+    """q104 arithmetic on a corpus small enough to mix by hand:
+    en = 8 tokens of 10 total (natural 0.8), de = 2 of 10 (0.2);
+    targets en 50% / de 15% give repeat factors 50*10/(100*8)=0.625
+    and 15*10/(100*2)=0.75."""
+    import os
+
+    from ml_with_spark_streaming_spark.plans.curation import q104_corpus_mixing
+
+    rows = [
+        (0, "alpha beta gamma delta", "en", "s", 0),
+        (1, "alpha beta gamma delta", "en", "s", 0),
+        (2, "xray yankee", "de", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {r.lang: r for r in q104_corpus_mixing(spark, d).collect()}
+    assert (got["en"].n_docs, got["en"].lang_tokens) == (2, 8)
+    assert (got["de"].n_docs, got["de"].lang_tokens) == (1, 2)
+    assert got["en"].natural_frac == 0.8 and got["de"].natural_frac == 0.2
+    assert got["en"].target_pct == 50 and got["de"].target_pct == 15
+    assert got["en"].repeat_factor == 0.625
+    assert got["de"].repeat_factor == 0.75
