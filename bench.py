@@ -62,6 +62,10 @@ HEADLINE = [
     "q91_repetition_signals",
     "q94_funnel_steps",
     "q96_gapfill_resample",
+    "q101_decontaminate",
+    "q102_bpe_token_counts",
+    "q103_sequence_packing_bpe",
+    "q104_corpus_mixing",
 ]
 
 

@@ -32,20 +32,29 @@ DEFAULT_NGRAM = 13  # GPT-3 appendix-C decontamination width
 
 def _doc_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """Distinct (id, n-gram) pairs per document; docs shorter than n
-    tokens contribute nothing (and are 'clean' by definition)."""
-    toks = tokens_expr(clean_text_expr(text_col))
+    tokens contribute nothing (and are 'clean' by definition).
+
+    Tokenization is materialized behind a repartition barrier BEFORE
+    the shingle explode — minhash_signatures' fix for the
+    CollapseProject-into-Generate trap, where the 4-regex cleaning
+    chain is otherwise inlined into the shingle lambda and re-evaluated
+    once per n-gram (measured here: 17 s → 2.5 s at sf0.1)."""
+    toks = df.select(F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_toks"))
+    toks = toks.repartition(id_col)
     return (
-        df.select(F.col(id_col), F.explode(shingles_expr(toks, n)).alias("gram"))
+        toks.select(F.col(id_col), F.explode(shingles_expr(F.col("_toks"), n)).alias("gram"))
         .distinct()
     )
 
 
 def eval_ngrams(eval_df: DataFrame, text_col: str = "text", n: int = DEFAULT_NGRAM) -> DataFrame:
     """The deduplicated n-gram set of the eval/benchmark corpus — the
-    small side; callers broadcast it."""
-    toks = tokens_expr(clean_text_expr(text_col))
+    small side; callers broadcast it. Same explode barrier as
+    ``_doc_ngrams`` (per-element re-evaluation hits any shingle fan-out)."""
+    toks = eval_df.select(tokens_expr(clean_text_expr(text_col)).alias("_toks"))
+    toks = toks.repartition(8)  # benchmark-sized side: barrier cost is trivial
     return (
-        eval_df.select(F.explode(shingles_expr(toks, n)).alias("gram"))
+        toks.select(F.explode(shingles_expr(F.col("_toks"), n)).alias("gram"))
         .distinct()
     )
 
