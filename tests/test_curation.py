@@ -263,3 +263,40 @@ def test_corpus_mixing_hand_checked(spark, tmp_path):
     assert got["en"].target_pct == 50 and got["de"].target_pct == 15
     assert got["en"].repeat_factor == 0.625
     assert got["de"].repeat_factor == 0.75
+
+
+def test_incremental_dedup_planted_batch(spark, tmp_path):
+    """q105 on a crafted ingest: new docs (doc_id % 10 == 9) against
+    the existing corpus — one exact dup, one near dup, one novel."""
+    import os
+
+    from ml_with_spark_streaming_spark.plans.curation import q105_incremental_dedup
+
+    import string
+
+    # 60 unique alpha tokens; the near-dup changes ONLY the first token,
+    # so its 8-token-prefix fingerprint differs (exact_dup must be 0)
+    # while token-set Jaccard = 59/61 = 0.967 >= 0.9 (near_dup must be 1)
+    words = [f"w{a}{b}" for a in string.ascii_lowercase[:8] for b in string.ascii_lowercase[:8]]
+    base = " ".join(words[:60])
+    near = " ".join(["zzz"] + words[1:60])
+    rows = [
+        # existing corpus
+        (0, base, "en", "s", 0),
+        (1, "completely different existing text about other things entirely", "en", "s", 0),
+        # new batch (ids ending in 9)
+        (9, base, "en", "s", 0),                    # exact dup of doc 0
+        (19, near, "en", "s", 0),                   # near-only dup
+        (29, "novel new document with fresh words never seen before anywhere", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {r.doc_id: r for r in q105_incremental_dedup(spark, d).collect()}
+    assert set(got) == {9, 19, 29}
+    assert (got[9].exact_dup, got[9].near_dup, got[9].keep) == (1, 1, 0)
+    assert (got[19].exact_dup, got[19].near_dup, got[19].keep) == (0, 1, 0)
+    assert (got[29].exact_dup, got[29].near_dup, got[29].keep) == (0, 0, 1)

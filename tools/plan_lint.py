@@ -96,6 +96,13 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
     "q98_sequence_packing": (frozenset({"DupFactScan"}), "lint runs pre-materialization: bucket totals and offset join share the checkpointed length table at runtime"),
     "q99_embedding_dedup_clusters": (frozenset({"DupFactScan"}), "edge stage a/b roles of embeddings"),
     "q100_embedding_dedup_at_scale": (frozenset({"DupFactScan"}), "LSH stage scans vectors once; singleton-assignment base is a vec_id-only pruned scan"),
+    "q105_incremental_dedup": (
+        frozenset({"DupFactScan"}),
+        "incremental-ingest shape: fingerprint role, signature role, verify token-set "
+        "role, and the new-batch id spine are SEPARATE aggregate lineages over documents; "
+        "at scale the corpus-side fingerprint/band tables are precomputed index artifacts "
+        "of previous ingests (see docstring), so only the NEW slice is scanned per drop.",
+    ),
     "q101_decontaminate": (
         frozenset({"DupFactScan"}),
         "eval set is derived from the corpus table only in testdata (doc_id % 97 slice); "
