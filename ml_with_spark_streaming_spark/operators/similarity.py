@@ -296,6 +296,34 @@ def signlsh_neardup(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    c_vec: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Real KMeans centroids for IVF (the production fit, vs the
+    hash-sample default): MLlib KMeans over the corpus vectors, centers
+    returned as the same ``(cent_id, cent_vec)`` table ``ivf_topk``
+    consumes. The model state is k x dim floats — driver-trivial; at
+    100 TB the fit runs on a sampled slice (pass a pre-sampled corpus)
+    and is persisted as an index artifact, exactly like the hash
+    sample. Deterministic for a fixed seed + input."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    train = corpus.select(
+        array_to_vector(F.col(c_vec).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(centers, "cent_id int, cent_vec array<double>")
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -306,6 +334,7 @@ def ivf_topk(
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: IVF with deterministic hash-sampled centroids.
 
@@ -322,22 +351,10 @@ def ivf_topk(
     3. each query probes its nprobe nearest centroids;
     4. exact cosine only within probed buckets → window top-k.
     """
-    centroids = (
-        corpus.select(
-            F.col(c_id).alias("cent_id"),
-            F.col(c_vec).alias("cent_vec"),
-            F.md5(F.col(c_id).cast("string")).alias("_h"),
-        )
-        .orderBy("_h", "cent_id")
-        .limit(n_centroids)
-        .drop("_h")
-        # n_centroids rows; materialized so the two downstream
-        # broadcasts (assign + probe) don't each re-run the
-        # TakeOrdered corpus pass — "centroids are fit once and
-        # persisted" is also the real-scale shape.
-        .localCheckpoint(eager=True)
-    )
-    # corpus → nearest centroid
+    if centroids is None:
+        centroids = _hash_sample_centroids(corpus, n_centroids, c_id, c_vec)
+    centroids = centroids.localCheckpoint(eager=True)
+    # corpus -> nearest centroid
     assigned = (
         corpus.crossJoin(F.broadcast(centroids))
         .select(c_id, c_vec, "cent_id", cosine_expr(F.col(c_vec), F.col("cent_vec")).alias("sim"))
@@ -345,7 +362,7 @@ def ivf_topk(
         .filter(F.col("rn") == 1)
         .select(c_id, c_vec, "cent_id")
     )
-    # query → nprobe nearest centroids
+    # query -> nprobe nearest centroids
     probes = (
         queries.crossJoin(F.broadcast(centroids))
         .select(q_id, q_vec, "cent_id", cosine_expr(F.col(q_vec), F.col("cent_vec")).alias("sim"))
@@ -360,3 +377,20 @@ def ivf_topk(
     )
     w = W.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hash_sample_centroids(
+    corpus: DataFrame, n_centroids: int, c_id: str, c_vec: str
+) -> DataFrame:
+    """The deterministic content-hash centroid sample (ivf_topk's
+    default; see its docstring for why TakeOrdered, not count)."""
+    return (
+        corpus.select(
+            F.col(c_id).alias("cent_id"),
+            F.col(c_vec).alias("cent_vec"),
+            F.md5(F.col(c_id).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "cent_id")
+        .limit(n_centroids)
+        .drop("_h")
+    )

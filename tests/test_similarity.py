@@ -105,3 +105,47 @@ def test_signlsh_neardup_subset_of_exact_with_full_recall_on_clones(spark):
     for i in range(10):
         assert (i, 100 + i) in lsh  # clones share every sign bit
         assert lsh[(i, 100 + i)] == exact[(i, 100 + i)]
+
+
+def test_ivf_kmeans_recall_on_planted_clusters(spark):
+    """IVF with REAL KMeans centroids (q106's path): members of a
+    planted near-identical cluster always land in the same KMeans
+    bucket, so probing must recover ALL in-cluster neighbors — exact
+    in-cluster recall, not an approximate overlap bound."""
+    import random as _random
+
+    from ml_with_spark_streaming_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rnd = _random.Random(7)
+    rows = []
+    vid = 0
+    # 10 planted clusters of 5 jittered copies
+    for _ in range(10):
+        base = [rnd.gauss(0, 1) for _ in range(16)]
+        for _ in range(5):
+            rows.append((vid, [x * (1 + rnd.uniform(-1e-3, 1e-3)) for x in base]))
+            vid += 1
+    # noise
+    for _ in range(100):
+        rows.append((vid, [rnd.gauss(0, 1) for _ in range(16)]))
+        vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = kmeans_centroids(corpus, n_centroids=8, c_vec="embedding", seed=42)
+    # one query per planted cluster: its first member
+    queries = corpus.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 50)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = (
+        ivf_topk(queries, corpus, k=4, n_centroids=8, nprobe=2, centroids=cents)
+        .collect()
+    )
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.q_id, set()).add(r.vec_id)
+    for q in range(0, 50, 5):
+        mates = {q + 1, q + 2, q + 3, q + 4}
+        assert mates <= by_q.get(q, set()), (q, by_q.get(q))

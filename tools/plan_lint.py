@@ -96,6 +96,13 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
     "q98_sequence_packing": (frozenset({"DupFactScan"}), "lint runs pre-materialization: bucket totals and offset join share the checkpointed length table at runtime"),
     "q99_embedding_dedup_clusters": (frozenset({"DupFactScan"}), "edge stage a/b roles of embeddings"),
     "q100_embedding_dedup_at_scale": (frozenset({"DupFactScan"}), "LSH stage scans vectors once; singleton-assignment base is a vec_id-only pruned scan"),
+    "q106_ivf_kmeans_ann": (
+        frozenset({"CartesianProduct", "DupFactScan"}),
+        "broadcast centroid/probe fan-out (q55's waived shape); the second embeddings "
+        "scan is the corpus-assignment role vs the query-slice role — the KMeans fit "
+        "itself is a separate MLlib job whose centroids arrive as a checkpointed "
+        "k-row table (at scale a persisted index artifact).",
+    ),
     "q105_incremental_dedup": (
         frozenset({"DupFactScan"}),
         "incremental-ingest shape: fingerprint role, signature role, verify token-set "
