@@ -1071,3 +1071,108 @@ def q105_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q107 — mixture realization: the q104 plan applied as per-doc copy counts
+# ---------------------------------------------------------------------------
+
+Q107_SQL = f"""
+WITH nt AS (
+  SELECT lang,
+         CASE WHEN length({CLEAN_SQL}) = 0 THEN 0
+              ELSE len(string_split({CLEAN_SQL}, ' ')) END AS n_tokens
+  FROM documents
+),
+per_lang AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens FROM nt GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM per_lang),
+pl AS (
+  SELECT p.lang,
+         CASE WHEN p.lang_tokens = 0 THEN 0.0
+              ELSE {exact_round_div_sql(f'({_MIX_CASE_SQL.replace("lang", "p.lang")}) * t.total_tokens', '100 * p.lang_tokens')}
+         END AS rf
+  FROM per_lang p CROSS JOIN tot t
+)
+SELECT d.doc_id, d.lang,
+       CAST(FLOOR(pl.rf)
+            + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || 'mix'), 1, 8)
+                        < printf('%08x', CAST(FLOOR((pl.rf - FLOOR(pl.rf)) * 4294967296) AS BIGINT))
+                   THEN 1 ELSE 0 END
+            AS BIGINT) AS n_copies
+FROM documents d JOIN pl ON pl.lang = d.lang
+ORDER BY d.doc_id
+"""
+
+
+@query("q107_mixture_realization", Q107_SQL)
+def q107_mixture_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q104's data recipe REALIZED: every document assigned its copy
+    count for the training run — ``floor(repeat_factor)`` full epochs
+    plus one more iff the doc's content hash falls under the
+    fractional epoch (q84's deterministic md5-bucket sampling, so the
+    realized mix is a pure function of (doc_id, recipe): stable across
+    reruns, partitionings, and engines — Spark and DuckDB emit
+    identical copy counts, which the oracle hash verifies).
+
+    The fractional threshold is computed IN-QUERY (``%08x`` of
+    floor(frac·2^32) — format_string/printf exist in both engines;
+    fixed-width lowercase hex compares lexicographically = numerically)
+    because the repeat factor is data-dependent, unlike
+    ``operators/sampling.py``'s driver-side constant threshold. One
+    token-count scan + one broadcast join of the 5-row plan onto the
+    doc spine; scales as a pure projection."""
+    from ml_with_spark_streaming_spark.operators.textstats import (
+        whitespace_token_count_expr,
+    )
+
+    per_lang = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            whitespace_token_count_expr(clean_text_expr("text")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").cast("long").alias("lang_tokens"))
+        .localCheckpoint(eager=True)  # 5 rows; grand-total branch must not rescan
+    )
+    tot = per_lang.agg(F.sum("lang_tokens").cast("long").alias("total_tokens"))
+    target = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _MIX_TARGETS.items()],
+        F.lit(0),
+    )
+    plan = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.when(F.col("lang_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            exact_round_div(target * F.col("total_tokens"), 100 * F.col("lang_tokens"))
+        )
+        .alias("rf"),
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    bucket = F.substring(
+        F.md5(
+            F.encode(F.concat_ws("#", F.col("doc_id").cast("string"), F.lit("mix")), "UTF-8")
+        ),
+        1,
+        8,
+    )
+    frac = F.col("rf") - F.floor("rf")
+    thr = F.format_string(
+        "%08x", F.floor(frac * F.lit(float(2**32))).cast("long")
+    )
+    return (
+        d.join(F.broadcast(plan), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.floor("rf").cast("long")
+                + F.when(bucket < thr, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_copies"),
+        )
+        .orderBy("doc_id")
+    )

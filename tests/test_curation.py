@@ -300,3 +300,36 @@ def test_incremental_dedup_planted_batch(spark, tmp_path):
     assert (got[9].exact_dup, got[9].near_dup, got[9].keep) == (1, 1, 0)
     assert (got[19].exact_dup, got[19].near_dup, got[19].keep) == (0, 1, 0)
     assert (got[29].exact_dup, got[29].near_dup, got[29].keep) == (0, 0, 1)
+
+
+def test_mixture_realization_matches_hand_hash(spark, tmp_path):
+    """q107 copy counts cross-checked against an independent Python
+    md5 computation of the same content-hash rule (rf_en = 0.625,
+    rf_de = 0.75 from the q104 fixture arithmetic)."""
+    import hashlib
+    import math
+    import os
+
+    from ml_with_spark_streaming_spark.plans.curation import q107_mixture_realization
+
+    rows = [
+        (0, "alpha beta gamma delta", "en", "s", 0),
+        (1, "alpha beta gamma delta", "en", "s", 0),
+        (2, "xray yankee", "de", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {r.doc_id: r.n_copies for r in q107_mixture_realization(spark, d).collect()}
+
+    rf = {"en": 0.625, "de": 0.75}
+    want = {}
+    for doc_id, _, lang, _, _ in rows:
+        frac = rf[lang] - math.floor(rf[lang])
+        bucket = hashlib.md5(f"{doc_id}#mix".encode()).hexdigest()[:8]
+        thr = format(math.floor(frac * 2**32), "08x")
+        want[doc_id] = math.floor(rf[lang]) + (1 if bucket < thr else 0)
+    assert got == want
