@@ -30,9 +30,18 @@ from ml_with_spark_streaming_spark.operators.dedup import shingles_expr
 DEFAULT_NGRAM = 13  # GPT-3 appendix-C decontamination width
 
 
+def _gram_key(gram: Column) -> Column:
+    """A 13-gram is ~90 chars; its comparison key for the distinct /
+    join shuffles is the 16-hex-char md5 prefix — ~5x narrower
+    exchanges at identical join semantics (64-bit collision odds are
+    negligible, and both engines compute the same md5 so the oracle
+    replays it exactly; fixed-width hex needs no numeric conversion)."""
+    return F.substring(F.md5(F.encode(gram, "UTF-8")), 1, 16)
+
+
 def _doc_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """Distinct (id, n-gram) pairs per document; docs shorter than n
-    tokens contribute nothing (and are 'clean' by definition).
+    """Distinct (id, n-gram-key) pairs per document; docs shorter than
+    n tokens contribute nothing (and are 'clean' by definition).
 
     Tokenization is materialized behind a repartition barrier BEFORE
     the shingle explode — minhash_signatures' fix for the
@@ -42,19 +51,22 @@ def _doc_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     toks = df.select(F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_toks"))
     toks = toks.repartition(id_col)
     return (
-        toks.select(F.col(id_col), F.explode(shingles_expr(F.col("_toks"), n)).alias("gram"))
+        toks.select(F.col(id_col), F.explode(shingles_expr(F.col("_toks"), n)).alias("_g"))
+        .select(F.col(id_col), _gram_key(F.col("_g")).alias("gram"))
         .distinct()
     )
 
 
 def eval_ngrams(eval_df: DataFrame, text_col: str = "text", n: int = DEFAULT_NGRAM) -> DataFrame:
-    """The deduplicated n-gram set of the eval/benchmark corpus — the
-    small side; callers broadcast it. Same explode barrier as
-    ``_doc_ngrams`` (per-element re-evaluation hits any shingle fan-out)."""
+    """The deduplicated n-gram KEY set of the eval/benchmark corpus —
+    the small side; callers broadcast it. Same explode barrier as
+    ``_doc_ngrams`` (per-element re-evaluation hits any shingle
+    fan-out), same md5-prefix key."""
     toks = eval_df.select(tokens_expr(clean_text_expr(text_col)).alias("_toks"))
     toks = toks.repartition(8)  # benchmark-sized side: barrier cost is trivial
     return (
-        toks.select(F.explode(shingles_expr(F.col("_toks"), n)).alias("gram"))
+        toks.select(F.explode(shingles_expr(F.col("_toks"), n)).alias("_g"))
+        .select(_gram_key(F.col("_g")).alias("gram"))
         .distinct()
     )
 

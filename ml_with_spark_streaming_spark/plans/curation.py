@@ -751,7 +751,9 @@ WITH toks AS (
   FROM documents WHERE length({CLEAN_SQL}) > 0
 ),
 grams AS (
-  SELECT DISTINCT doc_id, g FROM (
+  -- join/distinct key is the 16-hex md5 prefix of the gram (the
+  -- engine's narrow-shuffle key — see operators/decontaminate.py)
+  SELECT DISTINCT doc_id, substr(md5(g), 1, 16) AS g FROM (
     SELECT doc_id,
            unnest(list_transform(generate_series(1, greatest(len(t) - 12, 0)),
                                  i -> array_to_string(t[i:i+12], ' '))) AS g
