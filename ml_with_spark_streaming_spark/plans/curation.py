@@ -853,9 +853,19 @@ def q103_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arXiv:2101.00027 §1, Xie et al. 2023 arXiv:2305.10429).
 _MIX_TARGETS = {"en": 50, "de": 15, "es": 15, "fr": 10, "zh": 10}
 
-_MIX_CASE_SQL = "CASE lang " + " ".join(
-    f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGETS.items()
-) + " ELSE 0 END"
+def _mix_case_sql(col: str = "lang") -> str:
+    """The target-weight lookup as a SQL CASE over an explicit column
+    reference (parameterized — a textual .replace() on the column name
+    would also rewrite any value that happened to contain it)."""
+    return (
+        f"CASE {col} "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGETS.items())
+        + " ELSE 0 END"
+    )
+
+
+_MIX_CASE_SQL = _mix_case_sql()
+_TARGET_P = _mix_case_sql("p.lang")  # the per-row target weight in the plan CTEs
 
 Q104_SQL = f"""
 WITH nt AS (
@@ -872,8 +882,8 @@ per_lang AS (
 tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM per_lang)
 SELECT p.lang, p.n_docs, p.lang_tokens,
        {exact_round_div_sql('p.lang_tokens', 't.total_tokens')} AS natural_frac,
-       CAST({_MIX_CASE_SQL.replace('lang', 'p.lang')} AS BIGINT) AS target_pct,
-       {exact_round_div_sql(f'({_MIX_CASE_SQL.replace("lang", "p.lang")}) * t.total_tokens', '100 * p.lang_tokens')} AS repeat_factor
+       CAST({_TARGET_P} AS BIGINT) AS target_pct,
+       {exact_round_div_sql(f'({_TARGET_P}) * t.total_tokens', '100 * p.lang_tokens')} AS repeat_factor
 FROM per_lang p CROSS JOIN tot t
 ORDER BY p.lang
 """
@@ -1093,7 +1103,7 @@ tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM per_lang),
 pl AS (
   SELECT p.lang,
          CASE WHEN p.lang_tokens = 0 THEN 0.0
-              ELSE {exact_round_div_sql(f'({_MIX_CASE_SQL.replace("lang", "p.lang")}) * t.total_tokens', '100 * p.lang_tokens')}
+              ELSE {exact_round_div_sql(f'({_TARGET_P}) * t.total_tokens', '100 * p.lang_tokens')}
          END AS rf
   FROM per_lang p CROSS JOIN tot t
 )
