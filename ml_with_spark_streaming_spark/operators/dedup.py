@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ml_with_spark_streaming_spark.functions.text import clean_text_expr, tokens_expr
+from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
 
 
 def shingles_expr(tokens: Column, n: int = 3) -> Column:
@@ -176,11 +177,11 @@ def jaccard_pairs(
         )
         .filter(F.col("t") != "")
         .distinct()
-        # callers cap the input (oracle path), so materializing the
-        # token table is cheap — and the four downstream consumers
-        # (a/b join sides, two size lookups) stop re-planning the scan
-        .localCheckpoint(eager=True)
     )
+    # callers cap the input (oracle path), so materializing the
+    # token table is cheap — and the four downstream consumers
+    # (a/b join sides, two size lookups) stop re-planning the scan
+    dt = maybe_checkpoint(dt)
     sizes = dt.groupBy("id").agg(F.count("*").alias("n"))
     a = dt.select(F.col("id").alias("id1"), "t")
     b = dt.select(F.col("id").alias("id2"), F.col("t").alias("t2"))
@@ -216,7 +217,7 @@ def jaccard_verify(
     candidate ids before being materialized and probed from both join
     sides — otherwise each side re-plans the full-corpus tokenize scan
     (measured 7.2 s → 4.4 s for the q90 edge stage at sf0.1)."""
-    cand = candidates.localCheckpoint(eager=True)
+    cand = maybe_checkpoint(candidates)
     ids = (
         cand.select(F.col("id1").alias("_jid"))
         .union(cand.select(F.col("id2").alias("_jid")))
@@ -226,7 +227,7 @@ def jaccard_verify(
         F.col(id_col).alias("_jid"),
         F.array_distinct(F.array_remove(tokens_expr(clean_text_expr(text_col)), "")).alias("_jt"),
     ).join(ids, "_jid", "left_semi")
-    tok_sets = tok_sets.localCheckpoint(eager=True)
+    tok_sets = maybe_checkpoint(tok_sets)
     candidates = cand
     a = tok_sets.select(F.col("_jid").alias("id1"), F.col("_jt").alias("t1"))
     b = tok_sets.select(F.col("_jid").alias("id2"), F.col("_jt").alias("t2"))

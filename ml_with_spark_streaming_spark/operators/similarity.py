@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision (deterministic left-fold order)."""
@@ -267,16 +269,15 @@ def signlsh_neardup(
     # semi-filter the normed-vector table down to candidate ids and
     # materialize THAT — both verify-join sides otherwise re-plan the
     # full corpus scan (same fix as dedup.jaccard_verify).
-    cand = cand.localCheckpoint(eager=True)
+    cand = maybe_checkpoint(cand)
     cids = (
         cand.select(F.col("id1").alias(c_id))
         .union(cand.select(F.col("id2").alias(c_id)))
         .distinct()
     )
-    normed = (
+    normed = maybe_checkpoint(
         corpus.select(F.col(c_id), F.col(c_vec).alias("_v"), norm_expr(F.col(c_vec)).alias("_n"))
         .join(cids, c_id, "left_semi")
-        .localCheckpoint(eager=True)
     )
     a = normed.select(F.col(c_id).alias("id1"), F.col("_v").alias("v1"), F.col("_n").alias("n1"))
     b = normed.select(F.col(c_id).alias("id2"), F.col("_v").alias("v2"), F.col("_n").alias("n2"))
@@ -302,6 +303,8 @@ def kmeans_centroids(
     c_vec: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    c_id: str = "vec_id",
+    fit_partitions: int = 16,
 ) -> DataFrame:
     """Real KMeans centroids for IVF (the production fit, vs the
     hash-sample default): MLlib KMeans over the corpus vectors, centers
@@ -309,13 +312,23 @@ def kmeans_centroids(
     consumes. The model state is k x dim floats — driver-trivial; at
     100 TB the fit runs on a sampled slice (pass a pre-sampled corpus)
     and is persisted as an index artifact, exactly like the hash
-    sample. Deterministic for a fixed seed + input."""
+    sample.
+
+    Deterministic for a fixed seed + input CONTENT: MLlib's k-means||
+    init and center averaging are partition-layout dependent, so the
+    fit input is pinned to a content-determined layout first —
+    ``repartition(fit_partitions, c_id)`` + ``sortWithinPartitions``
+    makes the layout a pure function of the ids, independent of the
+    upstream file/partition order (verified by the layout-stability
+    test)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
-    train = corpus.select(
-        array_to_vector(F.col(c_vec).cast("array<double>")).alias("features")
+    train = (
+        corpus.repartition(fit_partitions, F.col(c_id))
+        .sortWithinPartitions(c_id)
+        .select(array_to_vector(F.col(c_vec).cast("array<double>")).alias("features"))
     )
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
     centers = [
@@ -353,7 +366,7 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = _hash_sample_centroids(corpus, n_centroids, c_id, c_vec)
-    centroids = centroids.localCheckpoint(eager=True)
+    centroids = maybe_checkpoint(centroids)
     # corpus -> nearest centroid
     assigned = (
         corpus.crossJoin(F.broadcast(centroids))

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
 from ml_with_spark_streaming_spark.plans.registry import query
 from ml_with_spark_streaming_spark.sources.batch import load_table
 
@@ -329,7 +330,7 @@ def q97_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ONE row — materialize it, or each long-format union branch below
     # re-plans the whole aggregation from the scan (4 scans -> 1)
-    p = p.localCheckpoint(eager=True)
+    p = maybe_checkpoint(p)
     rows = []
     for col, nn, nd, mn, mx in [
         ("l_shipdate", "sd_nn", "sd_nd", "sd_min", "sd_max"),

@@ -31,6 +31,7 @@ from ml_with_spark_streaming_spark.operators.textstats import (
     exact_round_div_sql,
 )
 from ml_with_spark_streaming_spark.functions.text import clean_text_expr, tokens_expr
+from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
 from ml_with_spark_streaming_spark.plans.registry import query
 from ml_with_spark_streaming_spark.plans.text_ml import CLEAN_SQL
 from ml_with_spark_streaming_spark.sources.batch import load_table
@@ -594,7 +595,8 @@ def q98_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         whitespace_token_count_expr(clean_text_expr("text")).cast("long").alias("n_tokens"),
         (F.col("doc_id") / _BUCKET).cast("long").alias("_b"),
-    ).localCheckpoint(eager=False)
+    )
+    nt = maybe_checkpoint(nt, eager=False)
     return _pack_from_counts(nt)
 
 
@@ -839,7 +841,8 @@ def q103_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         bpe_count("text").alias("n_tokens"),
         (F.col("doc_id") / _BUCKET).cast("long").alias("_b"),
-    ).localCheckpoint(eager=False)
+    )
+    nt = maybe_checkpoint(nt, eager=False)
     return _pack_from_counts(nt)
 
 
@@ -867,8 +870,19 @@ def _mix_case_sql(col: str = "lang") -> str:
 _MIX_CASE_SQL = _mix_case_sql()
 _TARGET_P = _mix_case_sql("p.lang")  # the per-row target weight in the plan CTEs
 
-Q104_SQL = f"""
-WITH nt AS (
+# Shared CTE chain for the mixing plan (q104 + q107): per-language
+# token inventory, grand total, and the GUARDED repeat factor — a
+# language whose documents all clean to empty text (plausible for
+# non-Latin scripts under the [^A-Za-z] cleaner) has lang_tokens = 0
+# and must plan 0.0 epochs, not a NULL from a zero-denominator
+# division. The realization (q107) consumes the same CTE, so the plan
+# and its realization cannot disagree.
+_RF_SQL = (
+    "CASE WHEN p.lang_tokens = 0 THEN 0.0 ELSE "
+    + exact_round_div_sql(f"({_TARGET_P}) * t.total_tokens", "100 * p.lang_tokens")
+    + " END"
+)
+_MIX_PLAN_CTES = f"""nt AS (
   SELECT lang,
          CASE WHEN length({CLEAN_SQL}) = 0 THEN 0
               ELSE len(string_split({CLEAN_SQL}, ' ')) END AS n_tokens
@@ -879,13 +893,21 @@ per_lang AS (
          CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
   FROM nt GROUP BY lang
 ),
-tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM per_lang)
-SELECT p.lang, p.n_docs, p.lang_tokens,
-       {exact_round_div_sql('p.lang_tokens', 't.total_tokens')} AS natural_frac,
-       CAST({_TARGET_P} AS BIGINT) AS target_pct,
-       {exact_round_div_sql(f'({_TARGET_P}) * t.total_tokens', '100 * p.lang_tokens')} AS repeat_factor
-FROM per_lang p CROSS JOIN tot t
-ORDER BY p.lang
+tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM per_lang),
+pl AS (
+  SELECT p.lang, p.n_docs, p.lang_tokens, t.total_tokens,
+         CASE WHEN t.total_tokens = 0 THEN 0.0
+              ELSE {exact_round_div_sql('p.lang_tokens', 't.total_tokens')} END AS natural_frac,
+         CAST({_TARGET_P} AS BIGINT) AS target_pct,
+         {_RF_SQL} AS repeat_factor
+  FROM per_lang p CROSS JOIN tot t
+)"""
+
+Q104_SQL = f"""
+WITH {_MIX_PLAN_CTES}
+SELECT lang, n_docs, lang_tokens, natural_frac, target_pct, repeat_factor
+FROM pl
+ORDER BY lang
 """
 
 
@@ -904,6 +926,18 @@ def q104_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationals, so no double crosses the engine boundary. At 100 TB
     this is a metadata query: cost is the token-count scan, already
     computed by q41/q98 in a real pipeline run."""
+    return _mixing_plan(spark, sf_dir).select(
+        "lang", "n_docs", "lang_tokens", "natural_frac", "target_pct", "repeat_factor"
+    ).orderBy("lang")
+
+
+def _mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The language-level mixing plan shared by q104 (reported as-is)
+    and q107 (realized per doc): token inventory, natural share,
+    target share, and the zero-guarded repeat factor. Defined ONCE so
+    the plan and its realization cannot disagree (the guard lives
+    here: lang_tokens = 0 → 0.0 epochs, never a NULL from a
+    zero-denominator division)."""
     from ml_with_spark_streaming_spark.operators.textstats import (
         whitespace_token_count_expr,
     )
@@ -919,28 +953,29 @@ def q104_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("lang_tokens"),
         )
-        # 5 rows — materialize, or the grand-total branch re-plans the
-        # whole token-count scan (q97's fan-out rule)
-        .localCheckpoint(eager=True)
     )
+    # 5 rows — materialize, or the grand-total branch re-plans the
+    # whole token-count scan (q97's fan-out rule)
+    per_lang = maybe_checkpoint(per_lang)
     tot = per_lang.agg(F.sum("lang_tokens").cast("long").alias("total_tokens"))
     target = F.coalesce(
         *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _MIX_TARGETS.items()],
         F.lit(0),
     )
-    return (
-        per_lang.crossJoin(F.broadcast(tot))
-        .select(
-            "lang",
-            "n_docs",
-            "lang_tokens",
-            exact_round_div(F.col("lang_tokens"), F.col("total_tokens")).alias("natural_frac"),
-            target.cast("long").alias("target_pct"),
-            exact_round_div(
-                target * F.col("total_tokens"), 100 * F.col("lang_tokens")
-            ).alias("repeat_factor"),
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        "total_tokens",
+        F.when(F.col("total_tokens") == 0, F.lit(0.0))
+        .otherwise(exact_round_div(F.col("lang_tokens"), F.col("total_tokens")))
+        .alias("natural_frac"),
+        target.cast("long").alias("target_pct"),
+        F.when(F.col("lang_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            exact_round_div(target * F.col("total_tokens"), 100 * F.col("lang_tokens"))
         )
-        .orderBy("lang")
+        .alias("repeat_factor"),
     )
 
 
@@ -1048,7 +1083,7 @@ def q105_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     banded = lsh_bands(minhash_signatures(d, "text", "doc_id", k=16), "doc_id", 16, 4)
-    banded = banded.localCheckpoint(eager=True)  # one signature pass feeds both roles
+    banded = maybe_checkpoint(banded)  # one signature pass feeds both roles
     cand = (
         banded.filter(is_new)
         .select(F.col("doc_id").alias("id1"), "band_idx", "band_hash")
@@ -1090,27 +1125,11 @@ def q105_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 Q107_SQL = f"""
-WITH nt AS (
-  SELECT lang,
-         CASE WHEN length({CLEAN_SQL}) = 0 THEN 0
-              ELSE len(string_split({CLEAN_SQL}, ' ')) END AS n_tokens
-  FROM documents
-),
-per_lang AS (
-  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens FROM nt GROUP BY lang
-),
-tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM per_lang),
-pl AS (
-  SELECT p.lang,
-         CASE WHEN p.lang_tokens = 0 THEN 0.0
-              ELSE {exact_round_div_sql(f'({_TARGET_P}) * t.total_tokens', '100 * p.lang_tokens')}
-         END AS rf
-  FROM per_lang p CROSS JOIN tot t
-)
+WITH {_MIX_PLAN_CTES}
 SELECT d.doc_id, d.lang,
-       CAST(FLOOR(pl.rf)
+       CAST(FLOOR(pl.repeat_factor)
             + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || 'mix'), 1, 8)
-                        < printf('%08x', CAST(FLOOR((pl.rf - FLOOR(pl.rf)) * 4294967296) AS BIGINT))
+                        < printf('%08x', CAST(FLOOR((pl.repeat_factor - FLOOR(pl.repeat_factor)) * 4294967296) AS BIGINT))
                    THEN 1 ELSE 0 END
             AS BIGINT) AS n_copies
 FROM documents d JOIN pl ON pl.lang = d.lang
@@ -1135,32 +1154,8 @@ def q107_mixture_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/sampling.py``'s driver-side constant threshold. One
     token-count scan + one broadcast join of the 5-row plan onto the
     doc spine; scales as a pure projection."""
-    from ml_with_spark_streaming_spark.operators.textstats import (
-        whitespace_token_count_expr,
-    )
-
-    per_lang = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "lang",
-            whitespace_token_count_expr(clean_text_expr("text")).cast("long").alias("n_tokens"),
-        )
-        .groupBy("lang")
-        .agg(F.sum("n_tokens").cast("long").alias("lang_tokens"))
-        .localCheckpoint(eager=True)  # 5 rows; grand-total branch must not rescan
-    )
-    tot = per_lang.agg(F.sum("lang_tokens").cast("long").alias("total_tokens"))
-    target = F.coalesce(
-        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _MIX_TARGETS.items()],
-        F.lit(0),
-    )
-    plan = per_lang.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        F.when(F.col("lang_tokens") == 0, F.lit(0.0))
-        .otherwise(
-            exact_round_div(target * F.col("total_tokens"), 100 * F.col("lang_tokens"))
-        )
-        .alias("rf"),
+    plan = _mixing_plan(spark, sf_dir).select(
+        "lang", F.col("repeat_factor").alias("rf")
     )
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     bucket = F.substring(

@@ -30,6 +30,7 @@ from ml_with_spark_streaming_spark.operators.similarity import (
     neardup_pairs,
     signlsh_neardup,
 )
+from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
 from ml_with_spark_streaming_spark.plans.registry import query
 from ml_with_spark_streaming_spark.plans.text_ml import CLEAN_SQL
 from ml_with_spark_streaming_spark.sources.batch import load_table
@@ -126,7 +127,7 @@ def q52_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the self-join's a/b roles each re-plan the full explode+aggregate
     # fingerprint pipeline from its own corpus scan (2x the dominant
     # cost at 100 TB; 16 bytes/doc to checkpoint)
-    fp = simhash_fingerprints(d, "text", "doc_id").localCheckpoint(eager=False)
+    fp = maybe_checkpoint(simhash_fingerprints(d, "text", "doc_id"), eager=False)
     banded = fp.withColumn("band", F.shiftrightunsigned("simhash", 48))
     a = banded.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"), "band")
     b = banded.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"), F.col("band").alias("band2"))

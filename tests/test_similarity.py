@@ -149,3 +149,28 @@ def test_ivf_kmeans_recall_on_planted_clusters(spark):
     for q in range(0, 50, 5):
         mates = {q + 1, q + 2, q + 3, q + 4}
         assert mates <= by_q.get(q, set()), (q, by_q.get(q))
+
+
+def test_kmeans_centroids_layout_stable(spark):
+    """The centroid fit must be a pure function of the corpus CONTENT:
+    identical vectors arriving at different partition counts/orders
+    must produce identical centers (MLlib alone is layout-dependent —
+    kmeans_centroids pins the layout before fitting)."""
+    import random as _random
+
+    from ml_with_spark_streaming_spark.operators.similarity import kmeans_centroids
+
+    rnd = _random.Random(3)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    a = kmeans_centroids(df.repartition(2), n_centroids=5, c_vec="embedding", seed=42)
+    b = kmeans_centroids(
+        df.repartition(13).sortWithinPartitions(F.col("vec_id").desc()),
+        n_centroids=5,
+        c_vec="embedding",
+        seed=42,
+    )
+    ca = {r.cent_id: tuple(r.cent_vec) for r in a.collect()}
+    cb = {r.cent_id: tuple(r.cent_vec) for r in b.collect()}
+    assert ca == cb
