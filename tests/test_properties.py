@@ -78,3 +78,33 @@ def test_wire_roundtrip_generated_payloads(spark):
     parsed = parse_wire(df).filter(F.col("error").isNull())
     got = sorted((r["label"], r["tweet"]) for r in parsed.collect())
     assert got == sorted(payload_records)
+
+
+def test_bpe_properties_on_generated_text():
+    """Byte-level BPE invariants over generated inputs (pure Python —
+    the UDF twin is pinned against this implementation in
+    test_text.py): encode is lossless (chunks re-concatenate to the
+    input), count == len(encode), and token count never exceeds the
+    byte count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ml_with_spark_streaming_spark.functions.bpe import count_tokens, encode
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.sampled_from(
+                string.ascii_letters + string.digits + " .,!?'\"-:;()/@#&\n\t"
+            ),
+            max_size=400,
+        )
+    )
+    def check(s: str) -> None:
+        chunks = encode(s)
+        assert b"".join(chunks).decode("utf-8") == s
+        assert count_tokens(s) == len(chunks)
+        assert count_tokens(s) <= len(s.encode("utf-8"))
+        assert all(len(c) >= 1 for c in chunks)
+
+    check()
