@@ -1183,3 +1183,81 @@ def q107_mixture_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — sliding token-window chunking (context-window splitter)
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN = 64  # tokens per chunk (testdata-scaled; production: 512+)
+_CHUNK_STRIDE = 48  # window stride -> 16-token overlap
+
+Q108_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+ch AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t), {_CHUNK_STRIDE})) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST((start - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS chunk_start,
+       CAST(least({_CHUNK_LEN}, len(t) - start + 1) AS BIGINT) AS chunk_len,
+       substr(md5(array_to_string(t[start:start+{_CHUNK_LEN - 1}], ' ')), 1, 16) AS chunk_fp
+FROM ch
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@query("q108_token_chunks", Q108_SQL)
+def q108_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunking — the splitter every RAG /
+    long-context training pipeline runs: each document becomes
+    overlapping windows of ``_CHUNK_LEN`` tokens at ``_CHUNK_STRIDE``
+    spacing, emitted as (doc_id, chunk_idx, start, length, content
+    fingerprint). The fingerprint (16-hex md5 prefix) stands in for
+    the chunk text so results stay driver-narrow; a consumer slices
+    the same windows from the token array.
+
+    Plan: tokenize behind the repartition barrier (the
+    CollapseProject-into-Generate rule — the regex chain must run once
+    per DOC, the per-chunk work is just an array slice of the already-
+    materialized token column), explode the stride positions, one
+    codegen projection. No shuffle except the presentation sort;
+    chunk count scales with corpus tokens / stride, each output row a
+    fixed ~40 bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", tokens_expr(clean_text_expr("text")).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    toks = toks.repartition("doc_id")
+    ch = toks.select(
+        "doc_id",
+        "_toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("_toks"), F.lit(_CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    return (
+        ch.select(
+            "doc_id",
+            F.floor((F.col("start") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("chunk_start"),
+            F.least(F.lit(_CHUNK_LEN), F.size("_toks") - F.col("start") + 1)
+            .cast("long")
+            .alias("chunk_len"),
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat_ws(" ", F.slice("_toks", F.col("start"), _CHUNK_LEN)),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                16,
+            ).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

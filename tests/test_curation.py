@@ -333,3 +333,41 @@ def test_mixture_realization_matches_hand_hash(spark, tmp_path):
         thr = format(math.floor(frac * 2**32), "08x")
         want[doc_id] = math.floor(rf[lang]) + (1 if bucket < thr else 0)
     assert got == want
+
+
+def test_token_chunks_boundaries_and_fingerprints(spark, tmp_path):
+    """q108 window arithmetic on a hand-sized doc: 100 tokens at
+    chunk=64/stride=48 gives starts 1/49/97 with lengths 64/52/4; the
+    fingerprint is the md5 prefix of the joined slice (hashlib
+    cross-check)."""
+    import hashlib
+    import os
+    import string
+
+    from ml_with_spark_streaming_spark.plans.curation import q108_token_chunks
+
+    words = [
+        f"w{a}{b}"
+        for a in string.ascii_lowercase[:10]
+        for b in string.ascii_lowercase[:10]
+    ][:100]
+    rows = [
+        (0, " ".join(words), "en", "s", 0),
+        (1, "", "en", "s", 0),  # empty: no chunks
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = q108_token_chunks(spark, d).collect()
+    assert [r.doc_id for r in got] == [0, 0, 0]
+    assert [(r.chunk_idx, r.chunk_start, r.chunk_len) for r in got] == [
+        (0, 1, 64),
+        (1, 49, 52),
+        (2, 97, 4),
+    ]
+    for r in got:
+        sl = words[r.chunk_start - 1 : r.chunk_start - 1 + 64]
+        assert r.chunk_fp == hashlib.md5(" ".join(sl).encode()).hexdigest()[:16]
