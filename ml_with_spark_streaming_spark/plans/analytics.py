@@ -352,3 +352,59 @@ def q97_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("col")
+
+
+# ---------------------------------------------------------------------------
+# q109 — table profile at scale: approx distinct counts (q97's scale swap)
+# ---------------------------------------------------------------------------
+
+
+@query("q109_table_profile_approx")  # no oracle: HLL sketches differ across engines
+def q109_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q97's per-column profile with the documented 100 TB swap
+    applied: ``approx_count_distinct`` (HyperLogLog++, rsd 2%) instead
+    of exact COUNT(DISTINCT). Exact distinct plans an Expand — one
+    duplicated pass of the aggregation input per distinct column (4x
+    here); the sketch version is ONE ordinary aggregation pass with
+    four 16 KB HLL buffers, the only formulation that survives a
+    100 TB fact table. Rows-only check (DuckDB's approx_distinct is a
+    different HLL — values legitimately differ); the accuracy contract
+    vs exact counts is pinned by
+    tests/test_analytics.py::test_approx_profile_within_rsd."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        *[
+            e
+            for col, key in (
+                ("l_shipdate", "sd"),
+                ("l_quantity", "q"),
+                ("l_returnflag", "rf"),
+                ("l_orderkey", "ok"),
+            )
+            for e in (
+                F.count(col).cast("long").alias(f"{key}_nn"),
+                F.approx_count_distinct(col, rsd=0.02).cast("long").alias(f"{key}_nd"),
+            )
+        ],
+    )
+    p = maybe_checkpoint(p)
+    rows = []
+    for col, key in (
+        ("l_shipdate", "sd"),
+        ("l_quantity", "q"),
+        ("l_returnflag", "rf"),
+        ("l_orderkey", "ok"),
+    ):
+        rows.append(
+            p.select(
+                F.lit(col).alias("col"),
+                F.col("n_rows"),
+                (F.col("n_rows") - F.col(f"{key}_nn")).cast("long").alias("n_nulls"),
+                F.col(f"{key}_nd").alias("approx_distinct"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("col")

@@ -105,3 +105,20 @@ def test_sequence_packing_chunk_boundaries(spark, docs_dir):
     assert (got[0].chunk_first, got[0].chunk_last) == (0, 1)  # crosses the 2048 boundary
     assert got[1].n_tokens == 0 and got[1].chunk_first is None
     assert (got[2].cum_tokens, got[2].chunk_first, got[2].chunk_last) == (3100, 1, 1)
+
+
+def test_approx_profile_within_rsd(spark):
+    """q109's HLL++ distinct estimates must land within ~3x the
+    declared 2% rsd of q97's exact counts on real data (no SQL oracle
+    exists for sketches — this is the accuracy contract)."""
+    from ml_with_spark_streaming_spark.plans.analytics import (
+        q97_table_profile,
+        q109_table_profile_approx,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r.col: r.n_distinct for r in q97_table_profile(spark, sf).collect()}
+    approx = {r.col: r.approx_distinct for r in q109_table_profile_approx(spark, sf).collect()}
+    assert set(exact) == set(approx)
+    for col, n in exact.items():
+        assert abs(approx[col] - n) <= max(3, 0.06 * n), (col, n, approx[col])
