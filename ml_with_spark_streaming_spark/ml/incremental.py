@@ -124,18 +124,21 @@ class IncrementalBernoulliNB:
         Correctness leans on two invariants of the triple table:
         (row_id, fi) is unique (hashed_features groupBys on it), and
         every doc has ≥1 row (the fi=-1 sentinel) — so the (label)-only
-        group's distinct-id count is exactly the doc count. Collects
-        ≤ 2 × num_features + 2 rows.
+        group's distinct-id count is exactly the doc count. The two
+        grouping sets are told apart by ``grouping_id`` (gid=1 means fi
+        was rolled up), NOT by fi's nullness — a feature source that
+        emitted a genuine NULL fi would otherwise be miscounted as a
+        doc-count row. Collects ≤ 2 × num_features + 2 rows.
         """
         agg = (
             feats.select(label_col, id_col, "fi")
             .groupingSets([[label_col, "fi"], [label_col]], label_col, "fi")
-            .agg(F.count_distinct(id_col).alias("n"))
+            .agg(F.count_distinct(id_col).alias("n"), F.grouping_id().alias("gid"))
         )
         for r in agg.collect():
-            if r["fi"] is None:  # the (label)-only grouping set: doc counts
+            if r["gid"] == 1:  # the (label)-only grouping set: doc counts
                 self.class_count[int(r[label_col])] += r["n"]
-            elif int(r["fi"]) >= 0:  # fi=-1 sentinel: no feature present
+            elif r["fi"] is not None and int(r["fi"]) >= 0:  # fi=-1: no feature present
                 self.feat_count[int(r[label_col]), int(r["fi"])] += r["n"]
 
     def _log_weights(self) -> tuple[np.ndarray, np.ndarray]:

@@ -1129,7 +1129,7 @@ WITH {_MIX_PLAN_CTES}
 SELECT d.doc_id, d.lang,
        CAST(FLOOR(pl.repeat_factor)
             + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || 'mix'), 1, 8)
-                        < printf('%08x', CAST(FLOOR((pl.repeat_factor - FLOOR(pl.repeat_factor)) * 4294967296) AS BIGINT))
+                        < printf('%08x', least(CAST(FLOOR((pl.repeat_factor - FLOOR(pl.repeat_factor)) * 4294967296) AS BIGINT), 4294967295))
                    THEN 1 ELSE 0 END
             AS BIGINT) AS n_copies
 FROM documents d JOIN pl ON pl.lang = d.lang
@@ -1166,8 +1166,13 @@ def q107_mixture_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
         8,
     )
     frac = F.col("rf") - F.floor("rf")
+    # clamp: frac <= 0.9999 today (exact_round_div's 4-decimal cap), but
+    # if the rounding precision is ever raised, frac near 1 could format
+    # as 9-char '100000000' and the fixed-width lexicographic compare
+    # would invert — least() pins the threshold inside 8 hex chars
     thr = F.format_string(
-        "%08x", F.floor(frac * F.lit(float(2**32))).cast("long")
+        "%08x",
+        F.least(F.floor(frac * F.lit(float(2**32))).cast("long"), F.lit(2**32 - 1)),
     )
     return (
         d.join(F.broadcast(plan), "lang")
@@ -1183,6 +1188,78 @@ def q107_mixture_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — ExactSubstr: duplicated >= k-token spans across documents
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 20  # span width in tokens (testdata-scaled; production: 50, Lee et al. 2021)
+
+Q110_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+g AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(t) - {_SPAN_K - 1}, 0))) AS pos, t
+  FROM toks
+),
+gg AS (
+  SELECT doc_id, pos,
+         substr(md5(array_to_string(t[pos:pos+{_SPAN_K - 1}], ' ')), 1, 16) AS gk
+  FROM g
+),
+dup AS (
+  SELECT gk, MIN(printf('%012d#%09d', doc_id, pos)) AS canon
+  FROM gg GROUP BY gk HAVING COUNT(*) >= 2
+),
+dp AS (
+  SELECT gg.doc_id, gg.pos,
+         CASE WHEN printf('%012d#%09d', gg.doc_id, gg.pos) = d.canon THEN 1 ELSE 0 END AS is_canon
+  FROM gg JOIN dup d ON d.gk = gg.gk
+),
+dpl AS (
+  SELECT doc_id, pos, is_canon,
+         CASE WHEN pos - COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), pos) > {_SPAN_K}
+              THEN 1 ELSE 0 END AS newisl
+  FROM dp
+),
+isl AS (
+  SELECT doc_id, pos, is_canon,
+         SUM(newisl) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM dpl
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_SPAN_K - 1} AS BIGINT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + {_SPAN_K} AS BIGINT) AS n_dup_tokens,
+       CAST(CASE WHEN MAX(is_canon) = 0 THEN 1 ELSE 0 END AS INT) AS cut
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
+@query("q110_exact_substr_spans", Q110_SQL)
+def q110_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (ExactSubstr, Lee et al. 2021
+    arXiv:2107.06499): maximal duplicated >= k-token spans per
+    document, with the keep-one cut policy — the curation stage between
+    fuzzy document-dedup (q90) and packing (q98/q103) that document-
+    granularity dedup cannot express (boilerplate, quoted passages,
+    templated fragments inside otherwise-distinct documents).
+
+    Scale shape (see operators/exact_substr.py): ONE corpus tokenize +
+    shingle explode feeds both the occurrence aggregate (shuffle keyed
+    by the 16-hex gram hash, count/min combine map-side) and the
+    position probe; only DUPLICATED positions reach the doc-partitioned
+    gaps-and-islands merge. The corpus is never self-joined — duplicate
+    discovery is the hash aggregation, exactly q46/q101's shape."""
+    from ml_with_spark_streaming_spark.operators.exact_substr import duplicate_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(d, "text", "doc_id", k=_SPAN_K)
 
 
 # ---------------------------------------------------------------------------

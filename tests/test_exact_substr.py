@@ -1,0 +1,75 @@
+"""ExactSubstr span recovery on planted duplicate passages."""
+
+from __future__ import annotations
+
+from ml_with_spark_streaming_spark.operators.exact_substr import duplicate_spans
+
+# 40 distinct filler words so unrelated docs share no k-gram
+# (alphabetic only — clean_text_expr strips digits)
+_W = [f"w{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(40)]
+
+
+def _doc(words):
+    return " ".join(words)
+
+
+def test_planted_passage_spans_recovered(spark):
+    """Two docs share one 12-token passage at different offsets; a
+    third repeats a passage internally. Spans, widths, and the
+    keep-one cut policy must come back exactly."""
+    k = 5
+    passage = ["dup" + chr(97 + i) for i in range(12)]  # 12 tokens, k=5 → 8 dup starts
+    d0 = _W[0:6] + passage + _W[6:12]  # passage at tokens 7..18
+    d1 = _W[12:22] + passage + _W[22:26]  # passage at tokens 11..22
+    d2 = _W[26:31] + _W[26:31] + _W[31:40]  # self-repeat: w26..w30 twice
+    # doc 3 shares only sub-k (4-token) fragments with docs 0/1
+    d3 = _W[0:4] + ["zq"] + _W[12:16] + ["zr"]
+    rows = [(0, _doc(d0)), (1, _doc(d1)), (2, _doc(d2)), (3, _doc(d3))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_tokens, r.cut)
+        for r in duplicate_spans(df, k=k).collect()
+    }
+    # doc 0 holds the canonical (first) copy → cut=0; doc 1's copy cut=1.
+    # Passage is 12 tokens: starts span positions p..p+7, span covers
+    # p..p+11.
+    assert (0, 7, 18, 12, 0) in got
+    assert (1, 11, 22, 12, 1) in got
+    # doc 2: tokens 1..10 are w26..w30 w26..w30; duplicated 5-grams are
+    # the ones fully inside each copy — starts 1 and 6, gap 5 == k →
+    # merged into one island covering 1..10; start 1 is canonical.
+    assert (2, 1, 10, 10, 0) in got
+    # doc 3 shares only sub-k fragments with docs 0/1 → no spans
+    assert not any(t[0] == 3 for t in got)
+
+
+def test_no_duplicates_no_spans(spark):
+    rows = [(i, _doc(_W[i * 8 : i * 8 + 8])) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert duplicate_spans(df, k=4).count() == 0
+
+
+def test_overlapping_spans_merge_to_maximal(spark):
+    """Duplicated starts closer than k merge into ONE maximal span
+    (the paper's maximal-duplicated-substring semantics), and the
+    canonical copy keeps cut=0 while every later copy is cut."""
+    k = 4
+    # doc 0 = A B; doc 1 = B A (A, B = disjoint 6-token passages):
+    # in each doc every position is covered by a duplicated 4-gram of
+    # A or B except the 3 straddling starts; straddle grams differ
+    # between docs, so dup starts are 1..3 and 7..9 (A/B interiors),
+    # gap 7-3=4 == k → single island per doc spanning 1..12.
+    A = [f"a{chr(97 + i)}" for i in range(6)]
+    B = [f"b{chr(97 + i)}" for i in range(6)]
+    df = spark.createDataFrame(
+        [(0, _doc(A + B)), (1, _doc(B + A))], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_tokens, r.cut)
+        for r in duplicate_spans(df, k=k).collect()
+    )
+    # doc 0 holds canonical copies of both A-grams and B-grams (doc 0
+    # precedes doc 1) → its merged span keeps cut=0; doc 1's span holds
+    # no canonical gram → cut=1
+    assert got == [(0, 1, 12, 12, 0), (1, 1, 12, 12, 1)]

@@ -158,6 +158,12 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "at scale the corpus-side fingerprint/band tables are precomputed index artifacts "
         "of previous ingests (see docstring), so only the NEW slice is scanned per drop.",
     ),
+    "q110_exact_substr_spans": (
+        frozenset({"DupFactScan"}),
+        "visible only under SPARK_GRAFT_NO_CHECKPOINT: occurrence aggregate + position "
+        "probe share one maybe_checkpoint-materialized (doc, pos, gram-hash) table at "
+        "runtime (q50/q58's shape)",
+    ),
     "q101_decontaminate": (
         frozenset({"DupFactScan"}),
         "eval set is derived from the corpus table only in testdata (doc_id % 97 slice); "
@@ -231,16 +237,21 @@ def _spine_bounded(lines: list[str], i: int, depth: int) -> bool:
     the input is data-sized. Scanning the whole subtree instead would
     accept an aggregate from ANY branch — e.g. the 1-row broadcast
     side of a join whose other side is the full fact table, exactly
-    the single-task-sort shape this rule exists to catch."""
+    the single-task-sort shape this rule exists to catch.
+
+    The spine is tracked STRICTLY: each spine node must be deeper than
+    the previous one (a first-child chain only ever indents), and the
+    first line that is not strictly deeper ENDS the walk — skipping
+    sibling branches and continuing (the old behavior) could misread a
+    sibling's deeper lines as spine nodes and let a sibling-side
+    Aggregate wrongly mark a global window as bounded."""
     last_d = depth
     for sub in lines[i + 1 :]:
         if not sub.strip():
             break
         d = _tree_depth(sub)
-        if d <= depth:
-            break  # left the window's subtree
         if d <= last_d:
-            continue  # sibling branch (second child) — not the spine
+            break  # not strictly deeper: the first-child chain is over
         if _AGG_RE.search(sub):
             return True
         if _UNBOUNDED_RE.search(sub):
