@@ -167,3 +167,32 @@ def count_tokens(text: str | None) -> int:
 
 def bpe_token_count_series(s: pd.Series) -> pd.Series:
     return s.map(count_tokens).astype("int64")
+
+
+def make_ranks(merges: list[tuple[bytes, bytes]]) -> dict[tuple[bytes, bytes], int]:
+    """Merge list → rank table (training order = merge priority)."""
+    return {p: i for i, p in enumerate(merges)}
+
+
+def bpe_token_count_series_for(merges: list[tuple[bytes, bytes]]):
+    """Token-count series mapper bound to an INJECTED merge table —
+    how q102/q103-style counting consumes a corpus-trained vocabulary
+    (``operators/bpe_train.train_bpe_distributed``) instead of the
+    import-time seed vocab. Same LRU-per-pre-token shape as the
+    module-level counter."""
+    ranks = make_ranks(merges)
+
+    @lru_cache(maxsize=65536)
+    def n_units(tok: str) -> int:
+        parts = [bytes([b]) for b in tok.encode("utf-8")]
+        return len(_encode_parts(parts, ranks))
+
+    def count(text: str | None) -> int:
+        if not text:
+            return 0
+        return sum(n_units(tok) for tok in _pretokens(text))
+
+    def mapper(s: pd.Series) -> pd.Series:
+        return s.map(count).astype("int64")
+
+    return mapper

@@ -387,3 +387,38 @@ def q102_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_count("text").alias("n_bpe_tokens_real"),
         F.length("text").cast("long").alias("n_chars"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q111 — distributed BPE vocabulary training over the corpus
+# ---------------------------------------------------------------------------
+
+
+@query("q111_bpe_vocab_train")  # rows-only: iterative BPE training isn't SQL-expressible
+def q111_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the BPE merge table ON THE CORPUS, distributed — the
+    production answer to functions/bpe.py's import-time seed vocab
+    (which q102/q103 use by default). Per round: one adjacent-pair
+    ``groupBy().sum()`` over the Zipf-bounded WORD-COUNT table (not the
+    corpus), a 1-row TakeOrdered argmax to the driver, and a JVM-side
+    merge fold; see operators/bpe_train.py for the scale analysis.
+
+    Output: the merge table in training order, bytes surfaced as hex
+    strings (driver-comparator-safe). Deterministic — same corpus,
+    same merges (ties break on unsigned byte order, identical to the
+    in-process trainer; equality is fixture-tested in
+    tests/test_bpe_train.py). Rows-only check: iterative argmax
+    training is not expressible in one SQL statement.
+
+    n_merges is testdata-scaled (32; production vocabs run 30-50k
+    rounds with the SAME per-round plan — the word table shrinks as
+    words saturate, and each round stays one vocab-sized shuffle)."""
+    from ml_with_spark_streaming_spark.operators.bpe_train import train_bpe_distributed
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_distributed(d, "text", n_merges=32)
+    rows = [
+        (i, a.hex(), b.hex(), (a + b).decode("utf-8", "backslashreplace"))
+        for i, (a, b) in enumerate(merges)
+    ]
+    return spark.createDataFrame(rows, "rank int, left_hex string, right_hex string, merged string")
