@@ -175,6 +175,124 @@ def neardup_pairs(
     )
 
 
+def derive_signlsh_knobs(
+    n_vectors: int, bands: int = 16, min_bits: int = 4, max_bits: int = 32
+) -> tuple[int, int]:
+    """Size sign-LSH band width from the corpus: bits-per-band =
+    clamp(ceil(log2 n), min_bits, max_bits), so expected NOISE bucket
+    occupancy n/2^bits stays O(1) as the corpus grows (the module rule
+    ``bits ≳ log2 n`` — in-bucket pair generation is quadratic in
+    bucket size, so a fixed band width grows buckets linearly with n).
+    Returns ``(n_planes, bands)`` for ``signlsh_neardup``. Recall per
+    band shrinks as bits grow — the fixed ``bands`` count is the
+    OR-amplification budget; in the design regime (near-identical
+    vectors, per-bit agreement >= 0.99) recall stays ~1 through 32-bit
+    bands, while low-threshold regimes must use the exact twin (q99's
+    capped oracle) anyway."""
+    import math
+
+    bits = min(max(min_bits, math.ceil(math.log2(max(n_vectors, 2)))), max_bits)
+    return bits * bands, bands
+
+
+def signlsh_buckets(
+    corpus: DataFrame,
+    n_planes: int = 32,
+    bands: int = 4,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """The (band_idx, band_bits, ids) candidate buckets of the sign-LSH
+    gate — the internal stage of ``signlsh_neardup``, exposed so tests
+    and capacity checks can assert bucket-occupancy bounds directly.
+    Only multi-member buckets are returned (singletons generate no
+    pairs).
+
+    Two signature formulations, same output shape:
+    * small plane counts → JVM higher-order functions (no Python);
+    * ``n_planes × dim >= 2048`` → Arrow ``mapInPandas`` with ONE
+      float64 matmul per batch. The HOF expression tree carries
+      n_planes × dim literals — past a few thousand, Catalyst
+      analysis + codegen dominate runtime (measured ~15 s per call at
+      144×64 where the matmul path takes ~1 s), and at 100 TB the
+      BLAS path is how you'd compute a 1024-bit signature anyway
+      (q81's precedent). Both are deterministic per vector (seeded
+      planes; row-independent float64 dots).
+    """
+    import numpy as np
+
+    if dim is None:
+        first = corpus.select(c_vec).first()
+        if first is None or first[0] is None:
+            return corpus.sparkSession.createDataFrame(
+                [], "band_idx int, band_bits string, ids array<long>"
+            )
+        dim = len(first[0])
+    rnd = np.random.RandomState(seed)
+    planes = rnd.standard_normal((n_planes, dim))
+    rows = n_planes // bands
+
+    if n_planes * dim >= 2048:
+        import pandas as pd
+
+        bp = corpus.sparkSession.sparkContext.broadcast(planes)
+
+        def part(batches):
+            P = bp.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[c_vec]])
+                bits = (m @ P.T) > 0  # (batch, n_planes)
+                chars = np.where(bits, "1", "0")
+                ids = pdf[c_id].to_numpy()
+                out_ids, out_band, out_bits = [], [], []
+                for r in range(len(ids)):
+                    for j in range(bands):
+                        out_ids.append(ids[r])
+                        out_band.append(j)
+                        out_bits.append("".join(chars[r, j * rows : (j + 1) * rows]))
+                yield pd.DataFrame(
+                    {c_id: out_ids, "band_idx": out_band, "band_bits": out_bits}
+                )
+
+        sig = corpus.select(c_id, c_vec).mapInPandas(
+            part, f"{c_id} long, band_idx int, band_bits string"
+        )
+    else:
+        plane_cols = [
+            F.aggregate(
+                F.zip_with(
+                    F.col(c_vec),
+                    F.array(*[F.lit(float(x)) for x in planes[i]]),
+                    lambda v, h: v.cast("double") * h,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0
+            for i in range(n_planes)
+        ]
+        band_cols = [
+            F.concat_ws(
+                "",
+                *[plane_cols[j * rows + r].cast("int").cast("string") for r in range(rows)],
+            )
+            for j in range(bands)
+        ]
+        sig = corpus.select(
+            F.col(c_id),
+            F.posexplode(F.array(*band_cols)).alias("band_idx", "band_bits"),
+        )
+    return (
+        sig.groupBy("band_idx", "band_bits")
+        .agg(F.array_sort(F.collect_set(c_id)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+
+
 def signlsh_neardup(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -210,8 +328,6 @@ def signlsh_neardup(
     The hyperplane matrix is deterministic (seeded numpy) and tiny
     (n_planes × dim), broadcast with the plan.
     """
-    import numpy as np
-
     if dim is None:
         first = corpus.select(c_vec).first()
         if first is None or first[0] is None:
@@ -219,38 +335,7 @@ def signlsh_neardup(
                 [], "id1 long, id2 long, cosine double"
             )
         dim = len(first[0])
-    rnd = np.random.RandomState(seed)
-    planes = rnd.standard_normal((n_planes, dim))
-    plane_cols = [
-        F.aggregate(
-            F.zip_with(
-                F.col(c_vec),
-                F.array(*[F.lit(float(x)) for x in planes[i]]),
-                lambda v, h: v.cast("double") * h,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        > 0
-        for i in range(n_planes)
-    ]
-    rows = n_planes // bands
-    band_cols = [
-        F.concat_ws(
-            "",
-            *[plane_cols[j * rows + r].cast("int").cast("string") for r in range(rows)],
-        )
-        for j in range(bands)
-    ]
-    sig = corpus.select(
-        F.col(c_id),
-        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_bits"),
-    )
-    buckets = (
-        sig.groupBy("band_idx", "band_bits")
-        .agg(F.array_sort(F.collect_set(c_id)).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    buckets = signlsh_buckets(corpus, n_planes, bands, c_id, c_vec, seed, dim)
     pairs = F.flatten(
         F.transform(
             F.col("ids"),

@@ -712,14 +712,28 @@ def q100_embedding_dedup_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame
     point) is pinned by the planted-cluster fixture test, which
     asserts gate-fed components == all-pairs-fed components.
 
-    Scale knobs (see signlsh_neardup docstring): n_planes/bands set
-    bits-per-band; production corpora want bits >= log2(n_vectors).
+    Scale knobs are DERIVED from the corpus size (round-3 ask): one
+    metadata-cheap ``count()`` → ``derive_signlsh_knobs`` sizes
+    bits-per-band = clamp(ceil(log2 n), 4, 32) so noise-bucket
+    occupancy stays O(1) at any corpus size (in-bucket pair fan-out is
+    quadratic in bucket size — a fixed band width grows buckets
+    linearly with n; the occupancy bound is pinned at two corpus sizes
+    by tests/test_similarity.py::test_derived_knobs_bound_bucket_size).
+    At the 0.45 threshold the derived (wider) bands trade gate recall
+    for that bound — the documented regime split: exact recall
+    reference is q99's capped twin, the gate's design regime is
+    near-identical vectors, where recall stays ~1 (planted-cluster
+    test).
     """
-    from ml_with_spark_streaming_spark.operators.similarity import signlsh_neardup
+    from ml_with_spark_streaming_spark.operators.similarity import (
+        derive_signlsh_knobs,
+        signlsh_neardup,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
+    n_planes, bands = derive_signlsh_knobs(e.count())
     edges = signlsh_neardup(
-        e, threshold=0.45, n_planes=64, bands=16, c_id="vec_id", c_vec="embedding"
+        e, threshold=0.45, n_planes=n_planes, bands=bands, c_id="vec_id", c_vec="embedding"
     ).select("id1", "id2")
     comp = connected_components(edges).withColumnRenamed("id", "vec_id")
     assigned = (

@@ -174,3 +174,75 @@ def test_kmeans_centroids_layout_stable(spark):
     ca = {r.cent_id: tuple(r.cent_vec) for r in a.collect()}
     cb = {r.cent_id: tuple(r.cent_vec) for r in b.collect()}
     assert ca == cb
+
+
+def test_derived_knobs_bound_bucket_size(spark):
+    """derive_signlsh_knobs must hold noise-bucket occupancy O(1) as
+    the corpus grows: at two corpus sizes an order of magnitude apart,
+    the max multi-member bucket stays tiny (a FIXED band width would
+    grow it linearly — 2048 random vectors in 16 4-bit buckets/band
+    average 128 per bucket)."""
+    import random as _random
+
+    from ml_with_spark_streaming_spark.operators.similarity import (
+        derive_signlsh_knobs,
+        signlsh_buckets,
+    )
+
+    rnd = _random.Random(17)
+    for n in (256, 2048):
+        rows = [(i, [rnd.gauss(0, 1) for _ in range(32)]) for i in range(n)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        n_planes, bands = derive_signlsh_knobs(n)
+        bits = n_planes // bands
+        assert bits >= 8  # bits >= log2(n)
+        buckets = signlsh_buckets(df, n_planes=n_planes, bands=bands)
+        sizes = [r["s"] for r in buckets.selectExpr("size(ids) AS s").collect()]
+        max_bucket = max(sizes, default=1)
+        # Gaussian sign-cells are unequal-measure, so the max bucket
+        # exceeds the n/2^bits ~ 1 mean — but it must stay log-scaled
+        # (measured: 8 at n=256, 24 at n=2048), not linear in n
+        assert max_bucket <= 3 * bits, f"n={n}: max bucket {max_bucket}"
+    # comparative pin at the larger size: the derived width beats the
+    # old fixed 4-bit bands by an order of magnitude (measured 24 vs 255)
+    fixed_sizes = [
+        r["s"]
+        for r in signlsh_buckets(df, n_planes=64, bands=16)
+        .selectExpr("size(ids) AS s")
+        .collect()
+    ]
+    assert max_bucket * 5 <= max(fixed_sizes)
+
+
+def test_signlsh_gate_exact_on_clones_with_derived_knobs(spark):
+    """q100's production parameterization end-to-end: derived knobs on
+    planted near-identical clusters must still recover the exact edge
+    set (recall ~1 in the design regime even with wide bands)."""
+    import random as _random
+
+    from ml_with_spark_streaming_spark.operators.similarity import (
+        derive_signlsh_knobs,
+        neardup_pairs,
+        signlsh_neardup,
+    )
+
+    rnd = _random.Random(23)
+    rows, vid = [], 0
+    for _ in range(6):
+        base = [rnd.gauss(0, 1) for _ in range(32)]
+        for _ in range(3):
+            rows.append((vid, [x * (1 + rnd.uniform(-1e-4, 1e-4)) for x in base]))
+            vid += 1
+    for _ in range(110):
+        rows.append((vid, [rnd.gauss(0, 1) for _ in range(32)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    n_planes, bands = derive_signlsh_knobs(len(rows))
+    exact = {(r.id1, r.id2) for r in neardup_pairs(df, threshold=0.95).collect()}
+    gated = {
+        (r.id1, r.id2)
+        for r in signlsh_neardup(
+            df, threshold=0.95, n_planes=n_planes, bands=bands
+        ).collect()
+    }
+    assert gated == exact and len(exact) == 18  # 6 clusters x C(3,2)
