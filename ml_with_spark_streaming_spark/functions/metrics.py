@@ -69,6 +69,16 @@ def binary_metrics(
         (float(r[label_col]), float(r[pred_col])): r["n"]
         for r in confusion_matrix(pred_df, label_col, pred_col).collect()
     }
+    return binary_metrics_from_cells(cells, positive=positive)
+
+
+def binary_metrics_from_cells(
+    cells: dict[tuple[float, float], int], positive: float = 1.0
+) -> BinaryMetrics:
+    """Derive every scalar metric from pre-collected confusion cells
+    ``{(label, prediction): count}`` — lets callers that already ran a
+    combined aggregation (e.g. the streaming trainer's single
+    metrics+stats job) skip a second Spark action."""
     neg = 0.0 if positive == 1.0 else 1.0
     tp = cells.get((positive, positive), 0)
     fn = cells.get((positive, neg), 0)

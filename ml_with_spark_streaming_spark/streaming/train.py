@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ml_with_spark_streaming_spark.functions.features import label_expr
-from ml_with_spark_streaming_spark.functions.metrics import binary_metrics, clustering_agreement
+from ml_with_spark_streaming_spark.functions.metrics import binary_metrics_from_cells
 from ml_with_spark_streaming_spark.functions.text import (
     clean_text_expr,
     remove_stopwords_expr,
@@ -64,6 +64,45 @@ def prepare_batch(
     return hashed_features(base, "toks", "row_id", num_features, extra_cols=("target", "_holdout"))
 
 
+def prepare_parsed(
+    parsed: DataFrame, stem: bool = True, num_features: int = 2500
+) -> DataFrame:
+    """The full featurization over a parse_wire output, quarantine
+    included, as ONE linear lineage (single scan, no union): quarantined
+    rows ride through hashed_features as zero-token docs flagged
+    ``_q=true`` (their explode_outer emits the fi=-1 sentinel row), so
+    the feature table carries everything ``process_batch`` needs —
+    train/test features, labels, AND the quarantine counts — and the
+    whole batch pipeline runs in exactly two Spark jobs: the
+    model-update aggregation and one combined
+    scoring+confusion+quarantine-count aggregation. (The round-3 shape
+    spent a third job on parse stats, and a unioned quarantine branch
+    re-scanned the batch input.)"""
+    base = (
+        parsed.withColumn("_q", F.col("error").isNotNull())
+        .withColumn("target", F.when(~F.col("_q"), label_expr("label")))
+        .filter(F.col("_q") | (F.col("tweet").isNotNull() & F.col("target").isNotNull()))
+        .withColumn("row_id", F.monotonically_increasing_id())
+        .withColumn("_holdout", (~F.col("_q")) & (F.pmod(F.hash("tweet"), F.lit(5)) == 0))
+        .withColumn(
+            "toks",
+            F.when(F.col("_q"), F.array().cast("array<string>")).otherwise(
+                remove_stopwords_expr(tokens_expr(clean_text_expr("tweet")))
+            ),
+        )
+    )
+    if stem:
+        base = base.withColumn("toks", stem_tokens_udf(F.col("toks")))
+    return hashed_features(
+        base,
+        "toks",
+        "row_id",
+        num_features,
+        extra_cols=("target", "_holdout", "_q"),
+        doc_markers=True,
+    )
+
+
 @dataclass
 class StreamingTrainer:
     """Drives one incremental learner from a line stream.
@@ -82,54 +121,101 @@ class StreamingTrainer:
     stem: bool = True
     supervised: bool = True
     num_features: int = 2500
+    # Shuffle width for the per-micro-batch jobs. A 5 s trigger's batch
+    # is bounded by arrival rate, so its aggregations are tiny relative
+    # to the session-level shuffle width (sized for the big batch
+    # queries): at the session default of 32 the per-batch fixed cost
+    # was dominated by empty-task scheduling and AQE replanning —
+    # measured p50 per batch at payload 1000: 32-way+AQE 1.21 s,
+    # 4-way no-AQE 0.70 s. When set, process_batch pins
+    # spark.sql.shuffle.partitions to this value and disables AQE for
+    # the duration of the batch (restored in finally; note the confs
+    # are session-scoped, so concurrent foreground queries sharing the
+    # session would briefly see them). None = leave session settings
+    # (use on a shared cluster or with very large triggers).
+    batch_shuffle_partitions: int | None = 4
     history: list[dict] = field(default_factory=list)
     best_f1: float = 0.0
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """The foreachBatch body — also callable directly on any batch
-        DataFrame of (label, tweet) for tests."""
-        parsed = None
+        DataFrame of (label, tweet) for tests.
+
+        Exactly TWO Spark jobs per non-empty batch (the round-3 shape
+        was three — a parse-stats job, the update aggregation, and the
+        predict+metrics job cost ~2.5 s fixed at payload 1000):
+
+        1. the model-update aggregation, which also materializes the
+           cached feature table (parse → clean → stem → explode run
+           once here);
+        2. ONE scoring pass over the full cached table whose confusion
+           groups — keyed by (target, prediction, _holdout, _q) — yield
+           the held-out metrics, the batch-size, the quarantine count,
+           AND the empty-batch guard (zero groups ⇒ empty batch, no
+           metrics row, matching the old early-return semantics).
+
+        Scoring train rows too costs one cached-scan of the 80% side
+        but saves a whole job's scheduling + a join + two shuffles; a
+        batch whose every row is malformed still writes its metrics row
+        (batchsize 0, quarantined n) exactly as before. The one
+        behavior delta vs round 3: a batch containing ONLY
+        null-label/null-text rows (dropped by P2, not quarantined) now
+        writes no metrics row instead of an all-zero row — such rows
+        were never counted in any metric anyway."""
+        spark = batch_df.sparkSession
+        saved_confs: dict[str, str] = {}
+        if self.batch_shuffle_partitions:
+            for k, v in {
+                "spark.sql.shuffle.partitions": str(self.batch_shuffle_partitions),
+                "spark.sql.adaptive.enabled": "false",
+            }.items():
+                saved_confs[k] = spark.conf.get(k)
+                spark.conf.set(k, v)
         if "value" in batch_df.columns:
-            # parse ONCE into a persisted table; a single aggregation
-            # yields BOTH the empty-batch guard and the quarantine
-            # count (the previous isEmpty + quarantine.count pair cost
-            # two extra Spark jobs ≈ 1.1 s of the ~3.4 s per-batch
-            # fixed overhead at payload 1000)
-            parsed = parse_wire(batch_df).persist()
-            stats = parsed.agg(
-                F.count("*").alias("n"),
-                F.sum(F.col("error").isNotNull().cast("long")).alias("nq"),
-            ).head()
-            if stats["n"] == 0:  # reference crashes then swallows; we guard
-                parsed.unpersist()
+            parsed = parse_wire(batch_df)
+        else:
+            parsed = batch_df.select(
+                "label", "tweet", F.lit(None).cast("string").alias("error")
+            )
+        feats = prepare_parsed(parsed, stem=self.stem, num_features=self.num_features)
+        feats = feats.persist()
+        try:
+            ok = F.col("_q") == F.lit(False)
+            if self.supervised:
+                self.model.update(feats.filter(ok & ~F.col("_holdout")), doc_markers=True)
+            else:
+                self.model.update(feats.filter(ok), doc_markers=True)
+            pred = self.model.predict(
+                feats, extra_cols=("target", "_holdout", "_q"), assume_unique=True
+            )
+            groups = (
+                pred.groupBy("target", "prediction", "_holdout", "_q")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            if not groups:  # reference crashes then swallows; we guard
                 return
             # malformed records are COUNTED into the metrics row, not
             # silently discarded (SURVEY.md §5: quarantine, don't drop)
-            n_quarantined = int(stats["nq"] or 0)
-            clean = parsed.filter(F.col("error").isNull()).select("label", "tweet")
-        else:
-            if batch_df.isEmpty():
-                return
-            clean, n_quarantined = batch_df, 0
-        feats = prepare_batch(clean, stem=self.stem, num_features=self.num_features)
-        feats = feats.persist()
-        try:
+            n_quarantined = sum(r["n"] for r in groups if r["_q"])
             if self.supervised:
-                train, test = self._split(feats)
-                self.model.update(train)
-                pred = self.model.predict(test).join(
-                    test.select("row_id", "target").distinct(), "row_id"
-                )
-                m = binary_metrics(pred)
+                cells: dict[tuple[float, float], int] = {}
+                for r in groups:
+                    if not r["_q"] and r["_holdout"]:
+                        key = (float(r["target"]), float(r["prediction"]))
+                        cells[key] = cells.get(key, 0) + r["n"]
+                m = binary_metrics_from_cells(cells)
                 row = {"batch_id": batch_id, "batchsize": m.n, **m.as_row()}
                 f1 = m.f1
             else:
-                self.model.update(feats)
-                pred = self.model.predict(feats).join(
-                    feats.select("row_id", "target").distinct(), "row_id"
+                n_ok = sum(r["n"] for r in groups if not r["_q"])
+                same = sum(
+                    r["n"]
+                    for r in groups
+                    if not r["_q"] and r["target"] == r["prediction"]
                 )
-                f1 = clustering_agreement(pred)
-                row = {"batch_id": batch_id, "batchsize": pred.count(), "agreement": f1}
+                f1 = max(same / n_ok, 1.0 - same / n_ok) if n_ok else 0.0
+                row = {"batch_id": batch_id, "batchsize": n_ok, "agreement": f1}
             self.best_f1 = max(self.best_f1, f1)
             row["maxf1"] = self.best_f1
             row["quarantined"] = n_quarantined
@@ -139,13 +225,8 @@ class StreamingTrainer:
             self._append_metrics(row)
         finally:
             feats.unpersist()
-            if parsed is not None:
-                parsed.unpersist()
-
-    def _split(self, feats: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """Deterministic ~80:20 on the content-hash column (replaces
-        the reference's order-dependent seeded train_test_split, D3)."""
-        return feats.filter(~F.col("_holdout")), feats.filter(F.col("_holdout"))
+            for k, v in saved_confs.items():
+                spark.conf.set(k, v)
 
     def _append_metrics(self, row: dict) -> None:
         """S6 mapping: append-only per-batch metrics record (CSV, same

@@ -36,30 +36,39 @@ def parse_wire(lines: DataFrame, value_col: str = "value") -> DataFrame:
     Works identically on a batch or streaming DataFrame (the plan is
     fully declarative — no UDFs, no RDDs).
     """
-    parsed = lines.select(
+    # ONE linear plan, ONE scan of the input. The natural formulation
+    # (good-rows explode UNION bad-rows projection) reads the source
+    # once per branch — on the streaming hot path that tripled the scan
+    # stages per micro-batch. Instead a bad line contributes a
+    # single-element ``array(null)`` to a plain explode: a null record
+    # with ``bad=true`` IS the quarantine row, and an empty valid array
+    # ``[]`` still explodes to nothing (matching flatMap semantics).
+    exploded = lines.select(
         F.col(value_col).alias("raw"),
         F.from_json(F.col(value_col), WIRE_SCHEMA).alias("records"),
+    ).select(
+        "raw",
+        F.col("records").isNull().alias("bad"),
+        F.explode(
+            F.coalesce(F.col("records"), F.array(F.lit(None).cast("string")))
+        ).alias("rec"),
     )
-    bad = parsed.filter(F.col("records").isNull()).select(
-        F.lit(None).cast("string").alias("label"),
-        F.lit(None).cast("string").alias("tweet"),
-        F.lit("bad_json").alias("error"),
-        F.col("raw"),
+    withparts = exploded.select(
+        "raw", "bad", "rec", F.split("rec", ",", 2).alias("parts")
     )
-    good = (
-        parsed.filter(F.col("records").isNotNull())
-        .select(F.explode("records").alias("rec"))
-        .select(F.split("rec", ",", 2).alias("parts"), F.col("rec"))
-        .select(
-            F.when(F.size("parts") >= 2, F.element_at("parts", 1)).alias("label"),
-            F.when(F.size("parts") >= 2, F.element_at("parts", 2))
-            .otherwise(F.col("rec"))
-            .alias("tweet"),
-            F.when(F.size("parts") < 2, F.lit("no_comma")).alias("error"),
-            F.lit(None).cast("string").alias("raw"),
-        )
+    return withparts.select(
+        F.when(~F.col("bad") & (F.size("parts") >= 2), F.element_at("parts", 1)).alias(
+            "label"
+        ),
+        F.when(F.col("bad"), F.lit(None).cast("string"))
+        .when(F.size("parts") >= 2, F.element_at("parts", 2))
+        .otherwise(F.col("rec"))
+        .alias("tweet"),
+        F.when(F.col("bad"), "bad_json")
+        .when(F.size("parts") < 2, "no_comma")
+        .alias("error"),
+        F.when(F.col("bad"), F.col("raw")).alias("raw"),
     )
-    return good.unionByName(bad)
 
 
 def parse_jsonl(lines: DataFrame, value_col: str = "value") -> DataFrame:
