@@ -66,6 +66,7 @@ HEADLINE = [
     "q102_bpe_token_counts",
     "q103_sequence_packing_bpe",
     "q104_corpus_mixing",
+    "q112_quality_classifier",
 ]
 
 

@@ -392,9 +392,9 @@ def q92_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q93 — the composed curation pipeline: quality × repetition × dedup
 # ---------------------------------------------------------------------------
 
-Q93_SQL = f"""
-WITH RECURSIVE {_DEDUP_COMPONENT_CTES},
-qc AS (
+# qc/qual — the q45 exact-rational quality heuristic as CTEs; shared by
+# q93 (heuristic gate) and q112/q113 (weak labels for the classifier)
+_QUAL_CTES = f"""qc AS (
   SELECT doc_id,
          length(text) AS n,
          length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS na,
@@ -409,8 +409,10 @@ qual AS (
               THEN {exact_round_div_sql('250 * na + 100 * (n - np) + 3 * wcap * n', '500 * n')}
               ELSE 0.2 END AS quality
   FROM qc
-),
-rtok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+)"""
+
+# rtok…rbs — the q91 duplicate-bigram fraction inputs; shared by q93/q113
+_REP_CTES = """rtok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
 rtc AS (SELECT doc_id, tk, COUNT(*) AS c FROM rtok GROUP BY 1, 2),
 rbg AS (
   SELECT doc_id,
@@ -419,7 +421,12 @@ rbg AS (
   FROM toks
 ),
 rbc AS (SELECT doc_id, b, COUNT(*) AS c FROM rbg GROUP BY 1, 2),
-rbs AS (SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS n_distinct FROM rbc GROUP BY 1),
+rbs AS (SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS n_distinct FROM rbc GROUP BY 1)"""
+
+Q93_SQL = f"""
+WITH RECURSIVE {_DEDUP_COMPONENT_CTES},
+{_QUAL_CTES},
+{_REP_CTES},
 flags AS (
   SELECT d.doc_id, d.lang, d.source,
          CASE WHEN a.doc_id = a.component THEN 1 ELSE 0 END AS canonical,
@@ -1351,4 +1358,191 @@ def q108_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_fp"),
         )
         .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q112 — corpus-trained quality classifier (heuristic-label distillation)
+# q113 — the q93 pipeline with the classifier as a fourth gate
+# ---------------------------------------------------------------------------
+
+from ml_with_spark_streaming_spark.operators.quality_clf import (  # noqa: E402
+    TRAIN_KEEP,
+    TRAIN_MOD,
+    classifier_scores,
+    classifier_weights,
+    feature_presence,
+    presence_sql,
+    WEIGHTS_SQL,
+)
+
+# weak labels from the shared qual CTE (q45's exact-rational heuristic)
+_LABEL_CTE = "lab AS (SELECT doc_id, CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END AS y FROM qual)"
+
+Q112_SQL = f"""
+WITH {presence_sql(CLEAN_SQL)},
+{_QUAL_CTES},
+{_LABEL_CTE},
+{WEIGHTS_SQL},
+flags AS (
+  SELECT d.doc_id, d.lang, d.source, l.y,
+         CASE WHEN COALESCE(s.score, 0) > 0 THEN 1 ELSE 0 END AS clf,
+         CASE WHEN d.doc_id % {TRAIN_MOD} >= {TRAIN_KEEP} THEN 1 ELSE 0 END AS holdout
+  FROM documents d
+  JOIN lab l USING (doc_id)
+  LEFT JOIN csc s USING (doc_id)
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(clf) AS BIGINT) AS n_clf_ok,
+       CAST(SUM(y) AS BIGINT) AS n_heur_ok,
+       CAST(SUM(CASE WHEN clf = y THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       CAST(SUM(holdout) AS BIGINT) AS n_holdout,
+       CAST(SUM(holdout * CASE WHEN clf = y THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout_agree
+FROM flags
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@query("q112_quality_classifier", Q112_SQL)
+def q112_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained document-quality classifier — the distillation
+    bootstrap every large curation pipeline ships (GPT-3 §A, CCNet,
+    fastText quality filters): weak labels from the q45 heuristic on a
+    deterministic 80% split, a linear bag-of-words scorer trained in
+    ONE distributed aggregation, the whole corpus scored via the
+    broadcast weight-table join (the same scoring shape as the
+    reference's sklearn linear models, PAC/passiveAgressiveModel.py:93
+    — re-expressed as DataFrame ops with integer-exact weights so the
+    oracle is bit-for-bit).
+
+    Outputs per (lang, source): corpus size, classifier/heuristic
+    keep counts, agreement overall and on the held-out 20% (the
+    generalization signal a production pipeline monitors).
+
+    Scale shape: two checkpointed scans of documents (presence pairs +
+    labels); training collects NOTHING (the 1-row class-totals table is
+    broadcast); the weight table is ≤ 4096 rows broadcast to scoring.
+    Data-sized shuffles are keyed by doc_id only."""
+    d = load_table(spark, sf_dir, "documents")
+    # base: metadata + weak label in one scan — feeds training (y),
+    # flags (lang/source/y), and the holdout marker
+    from ml_with_spark_streaming_spark.operators.quality_clf import heuristic_labels
+
+    base = maybe_checkpoint(
+        d.select("doc_id", "lang", "source").join(heuristic_labels(d), "doc_id")
+    )
+    pres = maybe_checkpoint(feature_presence(d))
+    w = classifier_weights(pres, base.select("doc_id", "y"))
+    sc = classifier_scores(pres, w)
+    flags = (
+        base.join(sc, "doc_id", "left")
+        .select(
+            "lang",
+            "source",
+            "y",
+            (F.coalesce(F.col("score"), F.lit(0)) > 0).cast("int").alias("clf"),
+            (F.pmod(F.col("doc_id"), F.lit(TRAIN_MOD)) >= F.lit(TRAIN_KEEP))
+            .cast("int")
+            .alias("holdout"),
+        )
+    )
+    return (
+        flags.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("clf").cast("long").alias("n_clf_ok"),
+            F.sum("y").cast("long").alias("n_heur_ok"),
+            F.sum((F.col("clf") == F.col("y")).cast("int")).cast("long").alias("n_agree"),
+            F.sum("holdout").cast("long").alias("n_holdout"),
+            F.sum(F.col("holdout") * (F.col("clf") == F.col("y")).cast("int"))
+            .cast("long")
+            .alias("n_holdout_agree"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+Q113_SQL = f"""
+WITH RECURSIVE {_DEDUP_COMPONENT_CTES},
+{_QUAL_CTES},
+{_REP_CTES},
+{presence_sql(CLEAN_SQL)},
+{_LABEL_CTE},
+{WEIGHTS_SQL},
+flags AS (
+  SELECT d.doc_id, d.lang, d.source,
+         CASE WHEN a.doc_id = a.component THEN 1 ELSE 0 END AS canonical,
+         CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS quality_ok,
+         CASE WHEN rbs.n_bigrams IS NULL OR rbs.n_bigrams = 0 THEN 1
+              WHEN {exact_round_div_sql('rbs.n_bigrams - rbs.n_distinct', 'rbs.n_bigrams')} <= 0.2 THEN 1
+              ELSE 0 END AS rep_ok,
+         CASE WHEN COALESCE(s.score, 0) > 0 THEN 1 ELSE 0 END AS clf_ok
+  FROM documents d
+  JOIN assigned a ON a.doc_id = d.doc_id
+  JOIN qual q ON q.doc_id = d.doc_id
+  LEFT JOIN rbs ON rbs.doc_id = d.doc_id
+  LEFT JOIN csc s ON s.doc_id = d.doc_id
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(canonical * quality_ok * rep_ok) AS BIGINT) AS n_kept_base,
+       CAST(SUM(clf_ok) AS BIGINT) AS n_clf_ok,
+       CAST(SUM(canonical * quality_ok * rep_ok * clf_ok) AS BIGINT) AS n_kept_clf,
+       {exact_round_div_sql('SUM(canonical * quality_ok * rep_ok * clf_ok)', 'COUNT(*)')} AS keep_frac_clf
+FROM flags
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@query("q113_curation_with_classifier", Q113_SQL)
+def q113_curation_with_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q93's composed keep-list with the q112 classifier wired in as a
+    FOURTH gate — dedup canonicality × heuristic quality × repetition ×
+    classifier — surfacing the base vs. classifier-augmented keep
+    counts side by side so the keep-list delta is auditable.
+
+    Composition only: every stage is the already-oracled operator
+    (q90 components, q45 quality, q91 repetition, q112 scorer); this
+    query pins that they compose."""
+    from ml_with_spark_streaming_spark.operators.quality_clf import heuristic_labels
+    from ml_with_spark_streaming_spark.operators.textstats import quality_score_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    assigned = dedup_components(d)
+    rep = repetition_signals(d, "text", "doc_id").select("doc_id", "dup_bigram_frac")
+    pres = maybe_checkpoint(feature_presence(d))
+    lab = maybe_checkpoint(heuristic_labels(d))
+    sc = classifier_scores(pres, classifier_weights(pres, lab))
+    flags = (
+        d.select(
+            "doc_id", "lang", "source", quality_score_expr("text").alias("quality")
+        )
+        .join(assigned, "doc_id")
+        .join(rep, "doc_id")
+        .join(sc, "doc_id", "left")
+        .select(
+            "lang",
+            "source",
+            (F.col("doc_id") == F.col("component")).cast("int").alias("canonical"),
+            (F.col("quality") >= 0.5).cast("int").alias("quality_ok"),
+            (F.col("dup_bigram_frac") <= 0.2).cast("int").alias("rep_ok"),
+            (F.coalesce(F.col("score"), F.lit(0)) > 0).cast("int").alias("clf_ok"),
+        )
+    )
+    kept = F.col("canonical") * F.col("quality_ok") * F.col("rep_ok")
+    return (
+        flags.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept_base"),
+            F.sum("clf_ok").cast("long").alias("n_clf_ok"),
+            F.sum(kept * F.col("clf_ok")).cast("long").alias("n_kept_clf"),
+            exact_round_div(
+                F.sum(kept * F.col("clf_ok")), F.count("*")
+            ).alias("keep_frac_clf"),
+        )
+        .orderBy("lang", "source")
     )

@@ -126,6 +126,18 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "visible only under SPARK_GRAFT_NO_CHECKPOINT: q98's shape — both prefix-sum "
         "branches share one maybe_checkpoint-materialized BPE count table at runtime",
     ),
+    "q112_quality_classifier": (
+        frozenset({"DupFactScan"}),
+        "visible only under SPARK_GRAFT_NO_CHECKPOINT: train/score branches share one "
+        "maybe_checkpoint-materialized presence table and one label table at runtime "
+        "(2 real scans: presence pass + metadata/label pass)",
+    ),
+    "q113_curation_with_classifier": (
+        frozenset({"DupFactScan"}),
+        "q93's composed-pipeline roles (dedup LSH pass, repetition pass, metadata pass) "
+        "plus the q112 presence/label tables, which are maybe_checkpoint-materialized "
+        "and shared by the train/score branches at runtime",
+    ),
     "q104_corpus_mixing": (
         frozenset({"DupFactScan"}),
         "visible only under SPARK_GRAFT_NO_CHECKPOINT: the grand-total branch reads the "
