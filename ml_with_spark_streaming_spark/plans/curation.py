@@ -1546,3 +1546,176 @@ def q113_curation_with_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q114 — end-to-end training-mix export: keep-list → mixture copies →
+# context chunking → deterministic shard assignment → per-shard manifest
+# ---------------------------------------------------------------------------
+
+Q114_SQL = f"""
+WITH RECURSIVE {_DEDUP_COMPONENT_CTES},
+{_QUAL_CTES},
+{_REP_CTES},
+{presence_sql(CLEAN_SQL)},
+{_LABEL_CTE},
+{WEIGHTS_SQL},
+{_MIX_PLAN_CTES},
+keep AS (
+  SELECT d.doc_id, d.lang
+  FROM documents d
+  JOIN assigned a ON a.doc_id = d.doc_id
+  JOIN qual q ON q.doc_id = d.doc_id
+  LEFT JOIN rbs ON rbs.doc_id = d.doc_id
+  LEFT JOIN csc s ON s.doc_id = d.doc_id
+  WHERE a.doc_id = a.component
+    AND q.quality >= 0.5
+    AND (rbs.n_bigrams IS NULL OR rbs.n_bigrams = 0
+         OR {exact_round_div_sql('rbs.n_bigrams - rbs.n_distinct', 'rbs.n_bigrams')} <= 0.2)
+    AND COALESCE(s.score, 0) > 0
+),
+copies AS (
+  SELECT k.doc_id,
+         CAST(FLOOR(pl.repeat_factor)
+              + CASE WHEN substr(md5(CAST(k.doc_id AS VARCHAR) || '#' || 'mix'), 1, 8)
+                          < printf('%08x', least(CAST(FLOOR((pl.repeat_factor - FLOOR(pl.repeat_factor)) * 4294967296) AS BIGINT), 4294967295))
+                     THEN 1 ELSE 0 END
+              AS BIGINT) AS n_copies
+  FROM keep k JOIN pl ON pl.lang = k.lang
+),
+chunks AS (
+  SELECT doc_id, start,
+         least({_CHUNK_LEN}, len(t) - start + 1) AS chunk_len,
+         substr(md5(array_to_string(t[start:start+{_CHUNK_LEN - 1}], ' ')), 1, 16) AS fp
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t), {_CHUNK_STRIDE})) AS start FROM toks)
+),
+seqs AS (
+  SELECT r.doc_id, r.copy_idx, c.start, c.chunk_len, c.fp
+  FROM (SELECT doc_id, unnest(generate_series(1, n_copies)) AS copy_idx
+        FROM copies WHERE n_copies >= 1) r
+  JOIN chunks c ON c.doc_id = r.doc_id
+)
+SELECT substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(copy_idx AS VARCHAR) || '#' || CAST(start AS VARCHAR)), 1, 1) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(chunk_len) AS BIGINT) AS n_tokens,
+       MIN(fp) AS min_fp,
+       MAX(fp) AS max_fp
+FROM seqs
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@query("q114_training_mix_export", Q114_SQL)
+def q114_training_mix_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled ENDGAME a pretraining corpus build actually ships:
+    curation keep-list (q113's four gates) → per-doc epoch copies from
+    the language-mixing recipe (q104/q107) → sliding context-window
+    chunking (q108) → deterministic shard assignment (first hex char of
+    md5(doc#copy#start) → 16 shards) → the per-shard MANIFEST (sequence
+    /doc/token counts + fingerprint range) that a training job reads.
+
+    Every stage is the already-oracled operator; this query pins the
+    full composition bit-for-bit against DuckDB. The manifest stands in
+    for the shard WRITE (``.write.partitionBy("shard")`` on the seqs
+    table is the production sink — the driver contract wants a
+    DataFrame back, and counts + fingerprints pin the identical
+    content).
+
+    Scale shape: chunks are computed ONCE per (doc, start) and joined
+    to the copy explosion (never re-fingerprinted per copy); the copy
+    table is doc_id-keyed and tiny (kept docs × small epoch counts);
+    the 5-row mixing recipe is broadcast; the final shuffle carries 16
+    shard groups of 5 counter fields. Data-sized shuffles are keyed by
+    doc_id (gates, chunk join) — the same keys as every upstream stage."""
+    from ml_with_spark_streaming_spark.operators.quality_clf import heuristic_labels
+    from ml_with_spark_streaming_spark.operators.textstats import quality_score_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    assigned = dedup_components(d)
+    rep = repetition_signals(d, "text", "doc_id").select("doc_id", "dup_bigram_frac")
+    pres = maybe_checkpoint(feature_presence(d))
+    lab = maybe_checkpoint(heuristic_labels(d))
+    sc = classifier_scores(pres, classifier_weights(pres, lab))
+    keep = (
+        d.select("doc_id", "lang", quality_score_expr("text").alias("quality"))
+        .join(assigned, "doc_id")
+        .join(rep, "doc_id")
+        .join(sc, "doc_id", "left")
+        .filter(
+            (F.col("doc_id") == F.col("component"))
+            & (F.col("quality") >= 0.5)
+            & (F.col("dup_bigram_frac") <= 0.2)
+            & (F.coalesce(F.col("score"), F.lit(0)) > 0)
+        )
+        .select("doc_id", "lang")
+    )
+    plan = _mixing_plan(spark, sf_dir).select("lang", F.col("repeat_factor").alias("rf"))
+    bucket = F.substring(
+        F.md5(F.encode(F.concat_ws("#", F.col("doc_id").cast("string"), F.lit("mix")), "UTF-8")),
+        1,
+        8,
+    )
+    frac = F.col("rf") - F.floor("rf")
+    thr = F.format_string(
+        "%08x",
+        F.least(F.floor(frac * F.lit(float(2**32))).cast("long"), F.lit(2**32 - 1)),
+    )
+    copies = keep.join(F.broadcast(plan), "lang").select(
+        "doc_id",
+        (F.floor("rf").cast("long") + F.when(bucket < thr, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_copies"),
+    )
+    reps = copies.filter(F.col("n_copies") >= 1).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies").cast("int"))).alias("copy_idx"),
+    )
+    toks = (
+        d.select("doc_id", tokens_expr(clean_text_expr("text")).alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .repartition("doc_id")
+    )
+    chunks = toks.select(
+        "doc_id",
+        "_toks",
+        F.explode(F.sequence(F.lit(1), F.size("_toks"), F.lit(_CHUNK_STRIDE))).alias("start"),
+    ).select(
+        "doc_id",
+        "start",
+        F.least(F.lit(_CHUNK_LEN), F.size("_toks") - F.col("start") + 1).alias("chunk_len"),
+        F.substring(
+            F.md5(F.encode(F.concat_ws(" ", F.slice("_toks", F.col("start"), _CHUNK_LEN)), "UTF-8")),
+            1,
+            16,
+        ).alias("fp"),
+    )
+    seqs = reps.join(chunks, "doc_id")
+    shard = F.substring(
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    "#",
+                    F.col("doc_id").cast("string"),
+                    F.col("copy_idx").cast("string"),
+                    F.col("start").cast("string"),
+                ),
+                "UTF-8",
+            )
+        ),
+        1,
+        1,
+    )
+    return (
+        seqs.select("doc_id", "chunk_len", "fp", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_seqs"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("chunk_len").cast("long").alias("n_tokens"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+        .orderBy("shard")
+    )

@@ -138,6 +138,13 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "plus the q112 presence/label tables, which are maybe_checkpoint-materialized "
         "and shared by the train/score branches at runtime",
     ),
+    "q114_training_mix_export": (
+        frozenset({"DupFactScan"}),
+        "end-to-end export composition: q93/q113's gate roles + the q104 recipe scan + "
+        "the chunking pass; classifier/presence/recipe tables are maybe_checkpoint-"
+        "materialized and the 5-row recipe is broadcast — chunks are computed once per "
+        "(doc,start) and joined to the copy explosion",
+    ),
     "q104_corpus_mixing": (
         frozenset({"DupFactScan"}),
         "visible only under SPARK_GRAFT_NO_CHECKPOINT: the grand-total branch reads the "
