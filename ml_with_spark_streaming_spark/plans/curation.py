@@ -1425,13 +1425,19 @@ def q112_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels); training collects NOTHING (the 1-row class-totals table is
     broadcast); the weight table is ≤ 4096 rows broadcast to scoring.
     Data-sized shuffles are keyed by doc_id only."""
-    d = load_table(spark, sf_dir, "documents")
-    # base: metadata + weak label in one scan — feeds training (y),
-    # flags (lang/source/y), and the holdout marker
-    from ml_with_spark_streaming_spark.operators.quality_clf import heuristic_labels
+    from ml_with_spark_streaming_spark.operators.quality_clf import LABEL_THRESHOLD
+    from ml_with_spark_streaming_spark.operators.textstats import quality_score_expr
 
+    d = load_table(spark, sf_dir, "documents")
+    # base: metadata + weak label in ONE scan (no join) — feeds
+    # training (y), flags (lang/source/y), and the holdout marker
     base = maybe_checkpoint(
-        d.select("doc_id", "lang", "source").join(heuristic_labels(d), "doc_id")
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            (quality_score_expr("text") >= F.lit(LABEL_THRESHOLD)).cast("int").alias("y"),
+        )
     )
     pres = maybe_checkpoint(feature_presence(d))
     w = classifier_weights(pres, base.select("doc_id", "y"))
