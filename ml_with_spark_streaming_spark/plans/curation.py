@@ -1668,11 +1668,15 @@ def q114_training_mix_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "%08x",
         F.least(F.floor(frac * F.lit(float(2**32))).cast("long"), F.lit(2**32 - 1)),
     )
-    copies = keep.join(F.broadcast(plan), "lang").select(
-        "doc_id",
-        (F.floor("rf").cast("long") + F.when(bucket < thr, F.lit(1)).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("n_copies"),
+    # two consumers (copy explosion + the chunking semi-join) over the
+    # whole gate lineage — materialize the tiny (doc_id, n_copies) table
+    copies = maybe_checkpoint(
+        keep.join(F.broadcast(plan), "lang").select(
+            "doc_id",
+            (F.floor("rf").cast("long") + F.when(bucket < thr, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_copies"),
+        )
     )
     reps = copies.filter(F.col("n_copies") >= 1).select(
         "doc_id",
@@ -1681,6 +1685,11 @@ def q114_training_mix_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         d.select("doc_id", tokens_expr(clean_text_expr("text")).alias("_toks"))
         .filter(F.size("_toks") > 0)
+        # fingerprint only KEPT docs: the inner join below would prune
+        # the rest anyway, but a semi-join BEFORE chunking skips the
+        # md5 work for dropped docs entirely (identical result — the
+        # oracle computes chunks unfiltered and inner-joins, same set)
+        .join(copies.filter(F.col("n_copies") >= 1).select("doc_id"), "doc_id", "left_semi")
         .repartition("doc_id")
     )
     chunks = toks.select(
