@@ -39,6 +39,22 @@ def freeze_weights(weights_df: DataFrame) -> list[tuple[str, int]]:
     return [(r["fb"], int(r["w"])) for r in weights_df.collect()]
 
 
+def weights_state(frozen: list[tuple[str, int]]) -> dict:
+    """Frozen weights as a ModelRegistry state dict (npz-storable:
+    a unicode bucket array + an int64 weight array) — the classifier
+    checkpoints through the same S8 registry as the learners."""
+    import numpy as np
+
+    return {
+        "fb": np.array([fb for fb, _ in frozen], dtype="U8"),
+        "w": np.array([w for _, w in frozen], dtype=np.int64),
+    }
+
+
+def weights_from_state(state: dict) -> list[tuple[str, int]]:
+    return [(str(fb), int(w)) for fb, w in zip(state["fb"], state["w"])]
+
+
 @dataclass
 class StreamingQualityFilter:
     """Apply a frozen quality-classifier weight table to a document
@@ -55,6 +71,16 @@ class StreamingQualityFilter:
     text_col: str = "text"
     on_kept: object = None
     history: list[dict] = field(default_factory=list)
+
+    @classmethod
+    def from_registry(cls, registry, key: str, **kw) -> "StreamingQualityFilter":
+        """Load a frozen weight checkpoint saved via
+        ``registry.save(key, weights_state(frozen))`` — the reference's
+        model-source role (TESTING .py:76) for the quality gate."""
+        state = registry.load(key)
+        if state is None:
+            raise FileNotFoundError(f"no checkpoint for key {key!r} in {registry.root}")
+        return cls(weights=weights_from_state(state), **kw)
 
     def _weights_df(self, spark) -> DataFrame:
         return spark.createDataFrame(self.weights or [("", 0)], "fb string, w long")

@@ -67,3 +67,19 @@ def test_stream_filter_empty_batch_is_noop(spark):
     filt = StreamingQualityFilter(weights=[("abc", 5)])
     filt.process_batch(spark.createDataFrame([], "doc_id long, text string"), 0)
     assert filt.history == []
+
+
+def test_weights_registry_roundtrip(spark, tmp_path):
+    from ml_with_spark_streaming_spark.ml.registry import ModelRegistry
+    from ml_with_spark_streaming_spark.streaming.quality_filter import (
+        weights_from_state,
+        weights_state,
+    )
+
+    d = _docs(spark)
+    frozen = freeze_weights(classifier_weights(feature_presence(d), heuristic_labels(d)))
+    reg = ModelRegistry(str(tmp_path))
+    reg.save("qclf", weights_state(frozen), meta={"n_buckets": len(frozen)})
+    filt = StreamingQualityFilter.from_registry(reg, "qclf")
+    assert sorted(filt.weights) == sorted(frozen)
+    assert weights_from_state(reg.load("qclf")) == filt.weights
