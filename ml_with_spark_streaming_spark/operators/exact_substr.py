@@ -68,6 +68,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = DEFAULT_SPAN_TOKENS,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """Maximal duplicated >= k-token spans per document.
 
@@ -111,7 +112,7 @@ def duplicate_spans(
         "_new",
         (F.col("pos") - F.coalesce(F.lag("pos").over(w), F.col("pos")) > k).cast("int"),
     ).withColumn("_island", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0)))
-    return (
+    out = (
         isl.groupBy(id_col, "_island")
         .agg(
             F.min("pos").cast("long").alias("span_start"),
@@ -120,5 +121,84 @@ def duplicate_spans(
             (F.max("_is_canon") == 0).cast("int").alias("cut"),
         )
         .select(id_col, "span_start", "span_end", "n_dup_tokens", "cut")
-        .orderBy(id_col, "span_start")
+    )
+    return out.orderBy(id_col, "span_start") if sorted_output else out
+
+
+def apply_cuts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SPAN_TOKENS,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """APPLY the keep-one cut policy — the second half of the
+    ExactSubstr stage: drop every token inside a ``cut = 1`` span and
+    emit, per document, ``(id_col, n_tokens, n_cut_tokens,
+    n_kept_tokens, kept_fp)`` where ``kept_fp`` is the 16-hex md5
+    prefix of the space-joined surviving tokens (the cleaned text's
+    content fingerprint — driver-narrow stand-in for the text itself;
+    a consumer re-slices the same kept positions).
+
+    ``spans`` defaults to ``duplicate_spans(df, ...)`` recomputed
+    in-query; in production the span table is the materialized output
+    of the discovery stage, passed in here so the application pass is
+    ONE corpus scan + one join.
+
+    Scale shape: cut spans are bounded by DUPLICATED content (and
+    islands are disjoint per doc — next start ≥ prev end + 2 — so the
+    range join matches ≤ 1 span per position, no fan-out). The span
+    side is broadcast here; if a pathological corpus outgrows the
+    broadcast threshold, drop the hint and the same join shuffles
+    co-partitioned on ``id_col``. The per-doc reassembly is a
+    map-side ``collect_list`` keyed by the doc — never a global sort.
+    """
+    if spans is None:
+        spans = duplicate_spans(df, text_col, id_col, k=k, sorted_output=False)
+    cut = (
+        spans.filter(F.col("cut") == 1)
+        .select(F.col(id_col).alias("_sdoc"), "span_start", "span_end")
+    )
+    cut = maybe_checkpoint(cut)
+    pos = (
+        df.select(F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_toks"))
+        .repartition(id_col)
+        .select(F.col(id_col), F.posexplode("_toks").alias("_i", "_tok"))
+        .select(F.col(id_col), (F.col("_i") + 1).alias("pos"), "_tok")
+    )
+    flagged = pos.join(
+        F.broadcast(cut),
+        (F.col(id_col) == F.col("_sdoc"))
+        & F.col("pos").between(F.col("span_start"), F.col("span_end")),
+        "left",
+    ).select(
+        F.col(id_col),
+        "pos",
+        "_tok",
+        F.col("span_start").isNotNull().cast("int").alias("_cut"),
+    )
+    kept = F.when(F.col("_cut") == 0, F.struct(F.col("pos"), F.col("_tok")))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("_cut").cast("long").alias("n_cut_tokens"),
+            (F.count("*") - F.sum("_cut")).cast("long").alias("n_kept_tokens"),
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat_ws(
+                            " ",
+                            F.transform(
+                                F.array_sort(F.collect_list(kept)), lambda s: s["_tok"]
+                            ),
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                16,
+            ).alias("kept_fp"),
+        )
+        .orderBy(id_col)
     )

@@ -1217,8 +1217,11 @@ def q107_mixture_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_K = 20  # span width in tokens (testdata-scaled; production: 50, Lee et al. 2021)
 
-Q110_SQL = f"""
-WITH toks AS (
+# CTE chain shared by q110 (span discovery) and q115 (cut application):
+# tokenize → shingle-with-position → 16-hex gram keys → duplicated keys
+# with canonical first occurrence → duplicated positions → per-doc
+# gaps-and-islands merge.
+_EXACT_SUBSTR_CTES = f"""toks AS (
   SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
   FROM documents WHERE length({CLEAN_SQL}) > 0
 ),
@@ -1251,7 +1254,10 @@ isl AS (
          SUM(newisl) OVER (PARTITION BY doc_id ORDER BY pos
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
   FROM dpl
-)
+)"""
+
+Q110_SQL = f"""
+WITH {_EXACT_SUBSTR_CTES}
 SELECT doc_id,
        CAST(MIN(pos) AS BIGINT) AS span_start,
        CAST(MAX(pos) + {_SPAN_K - 1} AS BIGINT) AS span_end,
@@ -1281,6 +1287,57 @@ def q110_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return duplicate_spans(d, "text", "doc_id", k=_SPAN_K)
+
+
+# ---------------------------------------------------------------------------
+# q115 — ExactSubstr cut APPLICATION: the cleaned corpus after span removal
+# ---------------------------------------------------------------------------
+
+Q115_SQL = f"""
+WITH {_EXACT_SUBSTR_CTES},
+cutspans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SPAN_K - 1} AS e
+  FROM isl GROUP BY doc_id, island
+  HAVING MAX(is_canon) = 0
+),
+p AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t FROM toks),
+pt AS (SELECT doc_id, pos, t[pos] AS tok FROM p),
+fl AS (
+  SELECT pt.doc_id, pt.pos, pt.tok,
+         CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END AS cut
+  FROM pt LEFT JOIN cutspans c
+    ON c.doc_id = pt.doc_id AND pt.pos BETWEEN c.s AND c.e
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(cut) AS BIGINT) AS n_cut_tokens,
+       CAST(COUNT(*) - SUM(cut) AS BIGINT) AS n_kept_tokens,
+       substr(md5(coalesce(string_agg(CASE WHEN cut = 0 THEN tok END, ' ' ORDER BY pos), '')), 1, 16) AS kept_fp
+FROM fl GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("q115_exact_substr_apply", Q115_SQL)
+def q115_exact_substr_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr stage, second half — APPLY q110's keep-one cut
+    policy and emit the cleaned corpus: per document, token counts
+    before/after and the md5 fingerprint of the surviving text (the
+    driver-narrow stand-in for the cleaned ``text`` column). Together
+    with q110 this is the complete Lee et al. 2021 duplicate-passage
+    removal stage: discovery emits spans, application re-slices every
+    document with later copies excised while canonical (first) copies
+    survive.
+
+    Scale shape (see operators/exact_substr.apply_cuts): the cut-span
+    table is bounded by duplicated content and broadcast; spans are
+    disjoint per doc so the range join never fans out; reassembly is a
+    per-doc collect_list — no global sort, one corpus scan in the
+    application pass (the discovery scan is q110's, materialized as a
+    stage output in production)."""
+    from ml_with_spark_streaming_spark.operators.exact_substr import apply_cuts
+
+    d = load_table(spark, sf_dir, "documents")
+    return apply_cuts(d, "text", "doc_id", k=_SPAN_K)
 
 
 # ---------------------------------------------------------------------------

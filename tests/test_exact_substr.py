@@ -2,7 +2,9 @@
 
 from __future__ import annotations
 
-from ml_with_spark_streaming_spark.operators.exact_substr import duplicate_spans
+import hashlib
+
+from ml_with_spark_streaming_spark.operators.exact_substr import apply_cuts, duplicate_spans
 
 # 40 distinct filler words so unrelated docs share no k-gram
 # (alphabetic only — clean_text_expr strips digits)
@@ -73,3 +75,57 @@ def test_overlapping_spans_merge_to_maximal(spark):
     # precedes doc 1) → its merged span keeps cut=0; doc 1's span holds
     # no canonical gram → cut=1
     assert got == [(0, 1, 12, 12, 0), (1, 1, 12, 12, 1)]
+
+
+def _fp(words):
+    return hashlib.md5(" ".join(words).encode()).hexdigest()[:16]
+
+
+def test_apply_cuts_excises_later_copies(spark):
+    """Cut application: the canonical doc keeps every token; the later
+    copy loses exactly the planted passage; untouched docs pass through
+    with their full fingerprint."""
+    k = 5
+    passage = ["dup" + chr(97 + i) for i in range(12)]
+    d0 = _W[0:6] + passage + _W[6:12]  # canonical copy → keeps all 24
+    d1 = _W[12:22] + passage + _W[22:26]  # later copy → loses 12 of 26
+    d2 = _W[26:34]  # no duplicates → untouched
+    df = spark.createDataFrame(
+        [(0, _doc(d0)), (1, _doc(d1)), (2, _doc(d2))], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in apply_cuts(df, k=k).collect()}
+    assert (out[0].n_tokens, out[0].n_cut_tokens, out[0].n_kept_tokens) == (24, 0, 24)
+    assert out[0].kept_fp == _fp(d0)
+    assert (out[1].n_tokens, out[1].n_cut_tokens, out[1].n_kept_tokens) == (26, 12, 14)
+    assert out[1].kept_fp == _fp(_W[12:22] + _W[22:26])
+    assert (out[2].n_tokens, out[2].n_cut_tokens) == (8, 0)
+    assert out[2].kept_fp == _fp(d2)
+
+
+def test_apply_cuts_full_duplicate_doc_empties(spark):
+    """A verbatim copy of an earlier doc is cut entirely — kept text is
+    the empty string (fingerprint of ''), canonical doc untouched."""
+    k = 4
+    body = _W[0:10]
+    df = spark.createDataFrame(
+        [(0, _doc(body)), (1, _doc(body))], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in apply_cuts(df, k=k).collect()}
+    assert (out[0].n_cut_tokens, out[0].kept_fp) == (0, _fp(body))
+    assert (out[1].n_tokens, out[1].n_cut_tokens, out[1].n_kept_tokens) == (10, 10, 0)
+    assert out[1].kept_fp == hashlib.md5(b"").hexdigest()[:16]
+
+
+def test_apply_cuts_accepts_precomputed_spans(spark):
+    """Production path: the discovery stage's span table is passed in;
+    the application result is identical to the in-query recompute."""
+    k = 5
+    passage = ["dup" + chr(97 + i) for i in range(12)]
+    df = spark.createDataFrame(
+        [(0, _doc(_W[0:6] + passage)), (1, _doc(passage + _W[6:12]))],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(df, k=k, sorted_output=False)
+    a = sorted(map(tuple, apply_cuts(df, k=k).collect()))
+    b = sorted(map(tuple, apply_cuts(df, k=k, spans=spans).collect()))
+    assert a == b

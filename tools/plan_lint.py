@@ -183,6 +183,13 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "probe share one maybe_checkpoint-materialized (doc, pos, gram-hash) table at "
         "runtime (q50/q58's shape)",
     ),
+    "q115_exact_substr_apply": (
+        frozenset({"DupFactScan"}),
+        "q110's two-role gram scan (maybe_checkpoint-materialized at runtime) plus the "
+        "application pass's own token scan; in production the span table is the "
+        "discovery stage's persisted output, so the application is ONE corpus scan + "
+        "one broadcast range join (see operators/exact_substr.apply_cuts docstring)",
+    ),
     "q101_decontaminate": (
         frozenset({"DupFactScan"}),
         "eval set is derived from the corpus table only in testdata (doc_id % 97 slice); "
