@@ -31,6 +31,7 @@ from ml_with_spark_streaming_spark.operators.textstats import (
     whitespace_token_count_expr,
 )
 from ml_with_spark_streaming_spark.operators.dedup import exact_dedup
+from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
 from ml_with_spark_streaming_spark.plans.registry import query
 from ml_with_spark_streaming_spark.sources.batch import load_table
 
@@ -422,3 +423,162 @@ def q111_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (a, b) in enumerate(merges)
     ]
     return spark.createDataFrame(rows, "rank int, left_hex string, right_hex string, merged string")
+
+
+# ---------------------------------------------------------------------------
+# q116 — inverted index build (term -> postings summary)
+# ---------------------------------------------------------------------------
+
+Q116_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, doc_id)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       substr(md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)), 1, 16) AS postings_fp
+FROM tf GROUP BY term ORDER BY term
+"""
+
+
+@query("q116_inverted_index", Q116_SQL)
+def q116_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the retrieval-side artifact every search
+    / RAG corpus ships: per term, document frequency, total term
+    frequency, and a fingerprint of the full ``doc_id:tf`` postings
+    list (sorted by doc — the md5 prefix stands in for the posting
+    array so the result stays driver-narrow while still pinning the
+    COMPLETE postings content, not just its size).
+
+    Scale shape: one tokenize+explode pass, one (term, doc) partial
+    aggregation (map-side combinable), then one term-keyed shuffle
+    whose reduce builds each posting list locally — exactly how
+    distributed index builds partition (term-sharded). No joins, no
+    window over data; output is vocabulary-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens_expr(clean_text_expr("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    posting = F.transform(
+        F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+        lambda s: F.concat_ws(":", s["doc_id"].cast("string"), s["tf"].cast("string")),
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.substring(
+                F.md5(F.encode(F.concat_ws(",", posting), "UTF-8")), 1, 16
+            ).alias("postings_fp"),
+        )
+        .orderBy("term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117 — BM25 top-k retrieval (exact integer-rational scoring)
+# ---------------------------------------------------------------------------
+
+# Fixed query terms (present in the synthetic corpus vocabulary).
+_BM25_TERMS = ("hash", "join", "vector")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+# BM25 with k1 = 1.2 = 6/5 and b = 0.75 = 3/4, kept EXACTLY RATIONAL so
+# the score crosses the engine boundary as a scaled BIGINT (no ln(), no
+# double sums — aggregation order can reorder float addition):
+#   idf(term)        = (N - df + 1/2) / (df + 1/2)          [raw BM25 idf, shifted positive]
+#                    = (2N - 2df + 1) / (2df + 1)
+#   satur(tf, dl)    = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+#                    = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)    [avgdl = T/N]
+#   contribution     = idf · satur  →  one integer num / den pair,
+#   rounded HALF-UP at 4 decimals IN INTEGER ARITHMETIC (x DIV y — the
+#   magnitudes exceed exact_round_div's 2^53 double-division bound),
+#   then summed as BIGINT — exact, associative, order-independent.
+Q117_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+c AS (
+  SELECT tf.doc_id,
+         (2*st.n - 2*dfreq.df + 1) * 22 * st.tt * tf.tf AS num,
+         (2*dfreq.df + 1) * (10*st.tt*tf.tf + 3*st.tt + 9*dl.dl*st.n) AS den
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN st
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(SUM((num * 20000 + den) // (2 * den)) AS BIGINT) AS score_x1e4
+FROM c GROUP BY doc_id
+ORDER BY score_x1e4 DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("q117_bm25_topk", Q117_SQL)
+def q117_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Sparck Jones; k1=1.2, b=0.75)
+    for a fixed term query over the documents corpus — the scoring
+    half of the q116 index. The score is computed as EXACT integer
+    rationals (see Q117_SQL derivation): no ln(), no double division,
+    no float summation — so the ranking is bit-identical across
+    engines and across partition layouts, and the score crosses the
+    driver boundary as a scaled BIGINT.
+
+    Scale shape: corpus stats (N docs, T tokens) are a 1-row broadcast;
+    per-term document frequencies are a |query|-row broadcast; the only
+    data-sized work is the tokenize pass and a (doc, term) partial
+    aggregation filtered to query terms BEFORE the shuffle (the filter
+    prunes ~|vocab|/|query| of the explode output map-side). Top-k is
+    TakeOrderedAndProject — no global sort materialization."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", tokens_expr(clean_text_expr("text")).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    toks = maybe_checkpoint(toks)
+    dl = maybe_checkpoint(toks.select("doc_id", F.size("_toks").cast("long").alias("dl")))
+    st = dl.agg(
+        F.count("*").cast("long").alias("n"), F.sum("dl").cast("long").alias("tt")
+    )
+    tf = maybe_checkpoint(
+        toks.select("doc_id", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    c = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .selectExpr(
+            "doc_id",
+            "(2*n - 2*df + 1) * 22 * tt * tf AS num",
+            "(2*df + 1) * (10*tt*tf + 3*tt + 9*dl*n) AS den",
+        )
+    )
+    return (
+        c.selectExpr("doc_id", "(num * 20000 + den) DIV (2 * den) AS contrib")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_hit_terms"),
+            F.sum("contrib").cast("long").alias("score_x1e4"),
+        )
+        .orderBy(F.col("score_x1e4").desc(), "doc_id")
+        .limit(20)
+    )

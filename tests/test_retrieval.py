@@ -1,0 +1,69 @@
+"""Inverted index (q116) and BM25 retrieval (q117) on a hand-checked
+corpus: postings fingerprints, exact rational scores, and ranking."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from ml_with_spark_streaming_spark.plans.text_ml import (
+    _BM25_TERMS,
+    q116_inverted_index,
+    q117_bm25_topk,
+)
+
+_ROWS = [
+    # doc_id, text (alphabetic only — the cleaning chain strips digits)
+    (0, "hash hash join filler fill"),  # hash tf=2, join tf=1, dl=5
+    (1, "hash filler fill pad pad"),  # hash tf=1, dl=5
+    (2, "other words only here now"),  # no query terms, dl=5
+    (3, "hash join vector"),  # all three terms, dl=3
+]
+
+
+def _write_docs(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in _ROWS],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_inverted_index_postings(spark, tmp_path):
+    d = _write_docs(spark, tmp_path)
+    got = {r.term: r for r in q116_inverted_index(spark, d).collect()}
+    assert got["hash"].df == 3 and got["hash"].total_tf == 4
+    assert got["hash"].postings_fp == hashlib.md5(b"0:2,1:1,3:1").hexdigest()[:16]
+    assert got["join"].df == 2 and got["vector"].df == 1
+    assert got["filler"].postings_fp == hashlib.md5(b"0:1,1:1").hexdigest()[:16]
+
+
+def _bm25_contrib(n, tt, df, tf, dl):
+    """The Q117_SQL integer-rational contribution, recomputed in pure
+    Python: HALF-UP at 4 decimals of idf*satur (k1=1.2, b=0.75)."""
+    num = (2 * n - 2 * df + 1) * 22 * tt * tf
+    den = (2 * df + 1) * (10 * tt * tf + 3 * tt + 9 * dl * n)
+    return (num * 20000 + den) // (2 * den)
+
+
+def test_bm25_exact_scores_and_ranking(spark, tmp_path):
+    d = _write_docs(spark, tmp_path)
+    got = q117_bm25_topk(spark, d).collect()
+    by_doc = {r.doc_id: r for r in got}
+    # doc 2 holds no query term — absent from the result entirely
+    assert set(by_doc) == {0, 1, 3}
+    n, tt = 4, 18  # 4 docs, 5+5+5+3 tokens
+    dfs = {"hash": 3, "join": 2, "vector": 1}
+    tfs = {0: {"hash": 2, "join": 1}, 1: {"hash": 1}, 3: {"hash": 1, "join": 1, "vector": 1}}
+    dls = {0: 5, 1: 5, 3: 3}
+    for doc, terms in tfs.items():
+        want = sum(_bm25_contrib(n, tt, dfs[t], tf, dls[doc]) for t, tf in terms.items())
+        assert by_doc[doc].score_x1e4 == want, doc
+        assert by_doc[doc].n_hit_terms == len(terms)
+    # short doc hitting every term (incl. the rarest) outranks the rest;
+    # two hash-hits beat one
+    ranked = [r.doc_id for r in got]
+    assert ranked == [3, 0, 1]
+    assert all(t in ("hash", "join", "vector") for t in _BM25_TERMS)

@@ -190,6 +190,13 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "discovery stage's persisted output, so the application is ONE corpus scan + "
         "one broadcast range join (see operators/exact_substr.apply_cuts docstring)",
     ),
+    "q117_bm25_topk": (
+        frozenset({"DupFactScan"}),
+        "visible only under SPARK_GRAFT_NO_CHECKPOINT: corpus-stats spine (dl/N/T), the "
+        "query-term tf table, and the tf-derived df broadcast all share ONE "
+        "maybe_checkpoint-materialized token table at runtime — one documents scan, one "
+        "explode pass",
+    ),
     "q101_decontaminate": (
         frozenset({"DupFactScan"}),
         "eval set is derived from the corpus table only in testdata (doc_id % 97 slice); "
