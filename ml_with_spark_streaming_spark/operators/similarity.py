@@ -492,3 +492,63 @@ def _hash_sample_centroids(
         .limit(n_centroids)
         .drop("_h")
     )
+
+
+def kcenter_select(
+    corpus: DataFrame,
+    m: int = 8,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Greedy farthest-point (k-center, Gonzalez 1985) diversity
+    selection over an embedding column — the coreset / diverse-subset
+    stage a training-data pipeline runs to pick maximally-spread
+    exemplars (dataset distillation, eval-set seeding, dedup-cluster
+    representatives). 2-approximation to the optimal k-center cover.
+
+    Returns ``(rank, vec_id, min_dist_x1e6)``: selection order, the
+    chosen vector, and its cosine distance (×10⁶, floored to BIGINT —
+    driver-comparator-safe) to the nearest PREVIOUSLY selected center
+    at the moment of selection — the running coverage radius, non-
+    increasing in rank. Seed (rank 0, dist NULL) is the min-id vector:
+    deterministic, and any seed preserves the 2-approx bound.
+
+    Scale shape: the classic incremental formulation — per round, ONE
+    narrow pass updates the running min-distance against only the
+    NEWEST center (a dim-sized literal broadcast with the plan), then
+    a TakeOrdered(1) argmax sends a single row to the driver. O(n·m)
+    distance evaluations total (not n·m²), no shuffle in the loop, the
+    running-distance table checkpointed per round (the q90/q111 loop
+    discipline). Driver state is m ids + m·dim floats — O(model).
+    """
+    spark = corpus.sparkSession
+    pts = maybe_checkpoint(
+        corpus.select(F.col(c_id).alias("_kid"), F.col(c_vec).alias("_kvec"))
+    )
+    seed_rows = pts.orderBy("_kid").limit(1).collect()
+    if not seed_rows:
+        return spark.createDataFrame([], "rank int, vec_id long, min_dist_x1e6 long")
+    sel: list[tuple[int, int, list[float], float | None]] = [
+        (0, seed_rows[0]["_kid"], [float(x) for x in seed_rows[0]["_kvec"]], None)
+    ]
+    cur = pts.withColumn("_mind", F.lit(None).cast("double"))
+    for r in range(1, m):
+        newest = F.array(*[F.lit(x) for x in sel[-1][2]])
+        d_new = F.lit(1.0) - cosine_expr(F.col("_kvec"), newest)
+        cur = maybe_checkpoint(
+            cur.withColumn("_mind", F.least(F.coalesce(F.col("_mind"), F.lit(2.0)), d_new))
+        )
+        far = (
+            cur.filter(~F.col("_kid").isin([s[1] for s in sel]))
+            .orderBy(F.col("_mind").desc(), "_kid")
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break
+        row = far[0]
+        sel.append((r, row["_kid"], [float(x) for x in row["_kvec"]], float(row["_mind"])))
+    rows = [
+        (r, i, None if d is None else int(d * 1e6)) for (r, i, _v, d) in sel
+    ]
+    return spark.createDataFrame(rows, "rank int, vec_id long, min_dist_x1e6 long")

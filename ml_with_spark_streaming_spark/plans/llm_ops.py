@@ -266,6 +266,24 @@ def q106_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+@query("q118_kcenter_diverse")  # no oracle: iterative greedy selection isn't SQL-expressible
+def q118_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-point (k-center) diversity sampling over the embeddings
+    table — pick 16 maximally-spread exemplars (coreset selection /
+    dedup-cluster representatives / eval-set seeding). Greedy Gonzalez
+    2-approximation; see operators/similarity.py::kcenter_select for
+    the per-round one-narrow-pass + TakeOrdered(1) scale shape.
+
+    Rows-only: the selection is inherently sequential (each pick
+    depends on all previous picks) — not expressible as one SQL
+    statement; the cluster-coverage property is pinned by
+    tests/test_similarity.py::test_kcenter_covers_planted_clusters."""
+    from ml_with_spark_streaming_spark.operators.similarity import kcenter_select
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kcenter_select(e, m=16).orderBy("rank")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (decode stubbed; schema/batching real)
 # ---------------------------------------------------------------------------

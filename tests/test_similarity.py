@@ -246,3 +246,49 @@ def test_signlsh_gate_exact_on_clones_with_derived_knobs(spark):
         ).collect()
     }
     assert gated == exact and len(exact) == 18  # 6 clusters x C(3,2)
+
+
+def test_kcenter_covers_planted_clusters(spark):
+    """Greedy k-center with m = #clusters picks exactly one exemplar
+    per well-separated planted cluster, and the coverage radius
+    (min_dist at selection) is non-increasing in rank."""
+    from ml_with_spark_streaming_spark.operators.similarity import kcenter_select
+
+    # 4 orthogonal direction clusters of 6 near-identical members each:
+    # cosine distance ~0 within a cluster, ~1 across clusters
+    import random as _random
+
+    rnd = _random.Random(11)
+    rows = []
+    vid = 0
+    for c in range(4):
+        base = [0.0] * 16
+        base[c * 4] = 1.0
+        for _ in range(6):
+            rows.append(
+                (vid, [x + rnd.uniform(-1e-3, 1e-3) for x in base])
+            )
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = kcenter_select(corpus, m=4).orderBy("rank").collect()
+    assert [r.rank for r in got] == [0, 1, 2, 3]
+    assert got[0].vec_id == 0 and got[0].min_dist_x1e6 is None  # min-id seed
+    picked_clusters = {r.vec_id // 6 for r in got}
+    assert picked_clusters == {0, 1, 2, 3}  # one exemplar per cluster
+    dists = [r.min_dist_x1e6 for r in got[1:]]
+    assert all(d > 900_000 for d in dists)  # cross-cluster: cosine dist ~1
+    assert dists == sorted(dists, reverse=True)  # non-increasing radius
+
+
+def test_kcenter_small_corpus_truncates(spark):
+    """m larger than the corpus returns every vector once."""
+    from ml_with_spark_streaming_spark.operators.similarity import kcenter_select
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = kcenter_select(corpus, m=10).collect()
+    assert sorted(r.vec_id for r in got) == [0, 1, 2]
+    assert len({r.rank for r in got}) == 3
