@@ -67,6 +67,10 @@ HEADLINE = [
     "q103_sequence_packing_bpe",
     "q104_corpus_mixing",
     "q112_quality_classifier",
+    "q110_exact_substr_spans",
+    "q115_exact_substr_apply",
+    "q116_inverted_index",
+    "q117_bm25_topk",
 ]
 
 

@@ -408,3 +408,52 @@ def q109_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("col")
+
+
+# ---------------------------------------------------------------------------
+# q119 — approximate quantile profile (the sketch twin of q97's min/max)
+# ---------------------------------------------------------------------------
+
+
+@query("q119_quantile_profile")  # rows-only: GK sketches are engine/merge-order-specific
+def q119_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column approximate quantiles (p25/p50/p75/p95) for the
+    numeric lineitem measures — the distribution half of data
+    profiling, next to q109's HLL distinct counts. ``percentile_approx``
+    is the Greenwald-Khanna sketch: one ordinary aggregation pass with
+    a bounded (accuracy-sized) buffer per column — the only
+    formulation that survives a 100 TB fact table, where exact
+    percentiles would need a full sort per column.
+
+    Rows-only check: GK results are sketch- and merge-order-specific
+    (DuckDB's approx_quantile is t-digest — legitimately different
+    values); the rank-error contract vs exact percentiles is pinned by
+    tests/test_analytics.py::test_quantile_profile_within_rank_error.
+    One scan, one aggregate, 1 sketch row to the driver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    cols = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    p = li.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        *[
+            F.percentile_approx(c, qs, 10000).alias(f"_q{i}")
+            for i, c in enumerate(cols)
+        ],
+    )
+    p = maybe_checkpoint(p)
+    rows = []
+    for i, c in enumerate(cols):
+        rows.append(
+            p.select(
+                F.lit(c).alias("col"),
+                F.col("n_rows"),
+                *[
+                    F.format_number(F.col(f"_q{i}")[j], 4).alias(name)
+                    for j, name in enumerate(("p25", "p50", "p75", "p95"))
+                ],
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("col")

@@ -122,3 +122,25 @@ def test_approx_profile_within_rsd(spark):
     assert set(exact) == set(approx)
     for col, n in exact.items():
         assert abs(approx[col] - n) <= max(3, 0.06 * n), (col, n, approx[col])
+
+
+def test_quantile_profile_within_rank_error(spark):
+    """q119's GK sketch quantiles must land within the declared rank
+    error (1/accuracy = 1e-4, padded 10x for safety) of the exact
+    percentiles on real data — the accuracy contract standing in for a
+    SQL oracle (sketches are engine-specific)."""
+    from ml_with_spark_streaming_spark.plans.analytics import q119_quantile_profile
+    from ml_with_spark_streaming_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.col: r for r in q119_quantile_profile(spark, sf).collect()}
+    li = load_table(spark, sf, "lineitem")
+    n = li.count()
+    eps = 1e-3  # 10x the 1/accuracy bound
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        vals = sorted(v[0] for v in li.select(col).collect())
+        for name, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)):
+            approx = float(getattr(got[col], name).replace(",", ""))
+            lo = vals[max(0, int((q - eps) * n) - 1)]
+            hi = vals[min(n - 1, int((q + eps) * n) + 1)]
+            assert lo - 1e-4 <= approx <= hi + 1e-4, (col, name, approx, lo, hi)

@@ -116,6 +116,11 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "visible only under SPARK_GRAFT_NO_CHECKPOINT: the 4 long-format union branches "
         "read one maybe_checkpoint-materialized 1-row profile at runtime",
     ),
+    "q119_quantile_profile": (
+        frozenset({"DupFactScan"}),
+        "visible only under SPARK_GRAFT_NO_CHECKPOINT: q109's shape — union branches read "
+        "one maybe_checkpoint-materialized 1-row GK-sketch profile at runtime",
+    ),
     "q109_table_profile_approx": (
         frozenset({"DupFactScan"}),
         "visible only under SPARK_GRAFT_NO_CHECKPOINT: q97's shape — union branches read "
