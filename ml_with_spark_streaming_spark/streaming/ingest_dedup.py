@@ -1,0 +1,173 @@
+"""Ingest-time streaming dedup: q105's new-batch-vs-corpus gates
+deployed as a micro-batch stage.
+
+A production corpus pipeline maintains two append-only index artifacts
+— the exact-fingerprint set and the MinHash LSH band table — and checks
+every ingest drop against them BEFORE the documents reach storage
+(the "per-drop cost is signatures over the new slice + two hash joins"
+shape the q105 docstring describes). This module is that apply side:
+
+* ``build_corpus_index`` builds both artifacts in one signature pass
+  over the existing corpus (in production they are persisted, bucketed
+  by hash, and appended per accepted drop — here they are checkpointed
+  DataFrames);
+* ``StreamingIngestDedup.process_batch`` runs the identical gate plan
+  the batch query (q105) uses on each micro-batch: exact = fingerprint
+  semi-join against the index; near = batch-side LSH bands hash-joined
+  to the corpus band table, candidates verified with exact Jaccard
+  (``jaccard_verify`` — token sets semi-joined down to candidate ids,
+  so the static corpus is never rescanned beyond the candidates).
+
+Batch/stream parity is structural — the same operators produce the
+verdict, pinned by ``tests/test_ingest_dedup_stream.py``. Document ids
+must be globally unique across corpus and stream (true of any
+production doc-id scheme; q105's unified table makes the same
+assumption).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
+from ml_with_spark_streaming_spark.operators.dedup import (
+    jaccard_verify,
+    lsh_bands,
+    minhash_signatures,
+)
+from ml_with_spark_streaming_spark.operators.textstats import fingerprint_expr
+
+
+def build_corpus_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """The two dedup index artifacts over the existing corpus:
+    ``(fp_index, band_index)`` — distinct 8-token-prefix fingerprints,
+    and the (band_idx, band_hash, id) MinHash band table. One
+    fingerprint pass + one signature pass; both checkpointed (at scale:
+    persisted parquet, bucketed by fp / band_hash, appended per drop)."""
+    fps = corpus.select(fingerprint_expr(text_col, 8).alias("fp")).distinct()
+    banded = lsh_bands(
+        minhash_signatures(corpus, text_col, id_col, k=k), id_col, k, bands
+    )
+    return maybe_checkpoint(fps), maybe_checkpoint(banded)
+
+
+@dataclass
+class StreamingIngestDedup:
+    """Per-micro-batch dedup gate against a static corpus index.
+
+    ``on_kept`` (optional) receives each batch's accepted slice — the
+    hook where a pipeline writes novel documents (and appends their
+    fingerprints/bands to the index). ``history`` records per-batch
+    totals (n_docs / n_exact / n_near / n_kept) for drift monitoring.
+    """
+
+    corpus: DataFrame
+    fp_index: DataFrame
+    band_index: DataFrame
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    threshold: float = 0.9
+    k: int = 16
+    bands: int = 4
+    on_kept: object = None
+    history: list[dict] = field(default_factory=list)
+
+    @classmethod
+    def from_corpus(cls, corpus: DataFrame, **kw) -> "StreamingIngestDedup":
+        idx_kw = {k: kw[k] for k in ("id_col", "text_col", "k", "bands") if k in kw}
+        fp_index, band_index = build_corpus_index(corpus, **idx_kw)
+        return cls(corpus=corpus, fp_index=fp_index, band_index=band_index, **kw)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idc, txc = self.id_col, self.text_col
+        batch_df = batch_df.persist()
+        try:
+            fps = batch_df.select(idc, fingerprint_expr(txc, 8).alias("fp"))
+            exact_ids = (
+                fps.join(self.fp_index, "fp", "left_semi")
+                .select(idc)
+                .withColumn("_exact", F.lit(1))
+            )
+            new_bands = lsh_bands(
+                minhash_signatures(batch_df, txc, idc, k=self.k), idc, self.k, self.bands
+            )
+            cand = (
+                new_bands.select(F.col(idc).alias("id1"), "band_idx", "band_hash")
+                .join(
+                    self.band_index.select(
+                        F.col(idc).alias("id2"), "band_idx", "band_hash"
+                    ),
+                    ["band_idx", "band_hash"],
+                )
+                .select("id1", "id2")
+                .distinct()
+            )
+            both = batch_df.select(idc, txc).unionByName(
+                self.corpus.select(idc, txc)
+            )
+            near_ids = (
+                jaccard_verify(cand, both, txc, idc, threshold=self.threshold)
+                .select(F.col("id1").alias(idc))
+                .distinct()
+                .withColumn("_near", F.lit(1))
+            )
+            flagged = (
+                batch_df.join(exact_ids, idc, "left")
+                .join(near_ids, idc, "left")
+                .withColumn(
+                    "_keep", F.col("_exact").isNull() & F.col("_near").isNull()
+                )
+            ).persist()
+            try:
+                agg = flagged.agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.coalesce("_exact", F.lit(0))).alias("ex"),
+                    F.sum(F.coalesce("_near", F.lit(0))).alias("nr"),
+                    F.sum(F.col("_keep").cast("long")).alias("kept"),
+                ).collect()[0]
+                self.history.append(
+                    {
+                        "batch_id": batch_id,
+                        "n_docs": int(agg["n"]),
+                        "n_exact": int(agg["ex"] or 0),
+                        "n_near": int(agg["nr"] or 0),
+                        "n_kept": int(agg["kept"] or 0),
+                    }
+                )
+                if self.on_kept is not None:
+                    self.on_kept(
+                        flagged.filter("_keep").drop("_keep", "_exact", "_near"),
+                        batch_id,
+                    )
+            finally:
+                flagged.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    def attach(
+        self,
+        docs: DataFrame,
+        checkpoint: str | None = None,
+        trigger_seconds: int = 5,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        w = docs.writeStream.foreachBatch(self.process_batch).outputMode("update")
+        if checkpoint:
+            w = w.option("checkpointLocation", checkpoint)
+        if available_now:
+            w = w.trigger(availableNow=True)
+        else:
+            w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+        return w.start()

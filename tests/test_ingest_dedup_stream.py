@@ -1,0 +1,84 @@
+"""Streaming ingest dedup: each micro-batch's verdict against the
+static corpus index must equal the batch engine's verdict (q105's
+gates) on the same rows."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from ml_with_spark_streaming_spark.streaming.ingest_dedup import (
+    StreamingIngestDedup,
+    build_corpus_index,
+)
+
+# 30-token base docs so a 1-token edit keeps Jaccard ~0.94 >= 0.9
+_BASE = ["w" + chr(97 + i) + chr(97 + j) for i in range(3) for j in range(10)]
+
+
+def _corpus(spark):
+    rows = [
+        (0, " ".join(_BASE)),
+        (1, " ".join(reversed(_BASE))),
+        (2, " ".join("x" + w for w in _BASE)),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _batch_rows():
+    exact = " ".join(_BASE)  # doc 100: byte-identical to corpus doc 0
+    # doc 101: first token changed (outside q46's 8-token-prefix
+    # fingerprint -> not an exact hit), Jaccard 29/31 ~ 0.935 >= 0.9
+    near = " ".join(["zz"] + _BASE[1:])
+    novel = " ".join("q" + w for w in _BASE)  # doc 102: disjoint vocabulary
+    return [(100, exact), (101, near), (102, novel)]
+
+
+def test_stream_dedup_matches_expected_verdicts(spark):
+    corpus = _corpus(spark)
+    kept, flags = set(), {}
+    dd = StreamingIngestDedup.from_corpus(
+        corpus,
+        threshold=0.9,
+        on_kept=lambda df, bid: kept.update(r["doc_id"] for r in df.collect()),
+    )
+
+    with tempfile.TemporaryDirectory() as root:
+        src = os.path.join(root, "in")
+        os.makedirs(src)
+        for i, (doc_id, text) in enumerate(_batch_rows()):
+            with open(os.path.join(src, f"b{i}.jsonl"), "w") as f:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        docs = (
+            spark.readStream.format("json")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        q = dd.attach(docs, checkpoint=os.path.join(root, "ckpt"), available_now=True)
+        q.awaitTermination()
+
+    # exact copy and near-dup rejected; novel doc kept
+    assert kept == {102}
+    totals = {
+        k: sum(h[k] for h in dd.history)
+        for k in ("n_docs", "n_exact", "n_near", "n_kept")
+    }
+    assert totals["n_docs"] == 3
+    assert totals["n_exact"] == 1  # doc 100
+    assert totals["n_kept"] == 1  # doc 102
+    assert totals["n_near"] >= 1  # doc 101 (the exact copy may also band-match)
+
+
+def test_index_build_shapes(spark):
+    corpus = _corpus(spark)
+    fp, bands = build_corpus_index(corpus)
+    assert fp.columns == ["fp"] and fp.count() == 3
+    assert set(bands.columns) == {"doc_id", "band_idx", "band_hash"}
+
+
+def test_empty_batch_is_noop(spark):
+    dd = StreamingIngestDedup.from_corpus(_corpus(spark))
+    dd.process_batch(spark.createDataFrame([], "doc_id long, text string"), 0)
+    assert dd.history == []
