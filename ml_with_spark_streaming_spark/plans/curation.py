@@ -1791,3 +1791,68 @@ def q114_training_mix_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — token budget impact of substring dedup, per (lang, source)
+# ---------------------------------------------------------------------------
+
+Q120_SQL = f"""
+WITH {_EXACT_SUBSTR_CTES},
+cutspans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SPAN_K - 1} AS e
+  FROM isl GROUP BY doc_id, island
+  HAVING MAX(is_canon) = 0
+),
+p AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos FROM toks),
+fl AS (
+  SELECT p.doc_id, p.pos,
+         CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END AS cut
+  FROM p LEFT JOIN cutspans c
+    ON c.doc_id = p.doc_id AND p.pos BETWEEN c.s AND c.e
+),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(cut) AS n_cut
+  FROM fl GROUP BY doc_id
+)
+SELECT d.lang, d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pd.n_cut > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cut,
+       CAST(SUM(pd.n_tokens) AS BIGINT) AS tokens_before,
+       CAST(SUM(pd.n_tokens - pd.n_cut) AS BIGINT) AS tokens_after,
+       {exact_round_div_sql('SUM(pd.n_tokens - pd.n_cut)', 'SUM(pd.n_tokens)')} AS kept_frac
+FROM perdoc pd JOIN documents d ON d.doc_id = pd.doc_id
+GROUP BY d.lang, d.source
+ORDER BY d.lang, d.source
+"""
+
+
+@query("q120_substring_dedup_budget", Q120_SQL)
+def q120_substring_dedup_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline-planning view of substring dedup: per (lang,
+    source), document counts, how many documents lose at least one
+    span, and the token budget before/after the q115 cut — the number
+    a mixing plan (q104) consumes when substring dedup sits between
+    fuzzy dedup and packing. kept_frac is the exact 4-decimal rational
+    (integer HALF-UP — no float rounding crosses the boundary).
+
+    Plan: q115's per-doc counts (span discovery + one application
+    scan) joined to the documents metadata and collapsed to a
+    group-count-sized aggregate — the added cost over q115 is one
+    broadcast-sized join and a tiny shuffle."""
+    from ml_with_spark_streaming_spark.operators.exact_substr import apply_cuts
+
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = apply_cuts(d, "text", "doc_id", k=_SPAN_K)
+    joined = per_doc.join(d.select("doc_id", "lang", "source"), "doc_id")
+    return (
+        joined.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("n_cut_tokens") > 0).cast("long")).alias("n_docs_cut"),
+            F.sum("n_tokens").cast("long").alias("tokens_before"),
+            F.sum("n_kept_tokens").cast("long").alias("tokens_after"),
+            exact_round_div(F.sum("n_kept_tokens"), F.sum("n_tokens")).alias("kept_frac"),
+        )
+        .orderBy("lang", "source")
+    )

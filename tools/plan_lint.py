@@ -202,6 +202,11 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "maybe_checkpoint-materialized token table at runtime — one documents scan, one "
         "explode pass",
     ),
+    "q120_substring_dedup_budget": (
+        frozenset({"DupFactScan"}),
+        "q115's waived shape (gram scan roles + application scan, checkpoint-shared at "
+        "runtime) plus the doc_id/lang/source metadata join-back — a column-pruned scan",
+    ),
     "q101_decontaminate": (
         frozenset({"DupFactScan"}),
         "eval set is derived from the corpus table only in testdata (doc_id % 97 slice); "
