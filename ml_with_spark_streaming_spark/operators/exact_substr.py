@@ -63,12 +63,23 @@ def _occ_key(doc_id, pos):
     return F.format_string("%012d#%09d", doc_id, pos)
 
 
+def tokenized(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One tokenize pass behind the repartition barrier, materialized —
+    the shared input of span discovery AND cut application (each would
+    otherwise re-run the regex chain over the whole corpus)."""
+    return maybe_checkpoint(
+        df.select(F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_toks"))
+        .repartition(id_col)
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = DEFAULT_SPAN_TOKENS,
     sorted_output: bool = True,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated >= k-token spans per document.
 
@@ -76,9 +87,11 @@ def duplicate_spans(
     1-based token positions, inclusive ends, ``n_dup_tokens`` the span
     width, ``cut`` = 1 iff the span holds no canonical (first)
     occurrence of any of its shingles (the keep-one policy).
+    ``toks`` (from :func:`tokenized`) lets a caller share one tokenize
+    pass between discovery and application.
     """
-    toks = df.select(F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_toks"))
-    toks = toks.repartition(id_col)
+    if toks is None:
+        toks = tokenized(df, text_col, id_col)
     grams = toks.select(
         F.col(id_col),
         F.posexplode(shingles_expr(F.col("_toks"), k)).alias("_i", "_g"),
@@ -153,19 +166,17 @@ def apply_cuts(
     co-partitioned on ``id_col``. The per-doc reassembly is a
     map-side ``collect_list`` keyed by the doc — never a global sort.
     """
+    toks = tokenized(df, text_col, id_col)
     if spans is None:
-        spans = duplicate_spans(df, text_col, id_col, k=k, sorted_output=False)
+        spans = duplicate_spans(df, text_col, id_col, k=k, sorted_output=False, toks=toks)
     cut = (
         spans.filter(F.col("cut") == 1)
         .select(F.col(id_col).alias("_sdoc"), "span_start", "span_end")
     )
     cut = maybe_checkpoint(cut)
-    pos = (
-        df.select(F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_toks"))
-        .repartition(id_col)
-        .select(F.col(id_col), F.posexplode("_toks").alias("_i", "_tok"))
-        .select(F.col(id_col), (F.col("_i") + 1).alias("pos"), "_tok")
-    )
+    pos = toks.select(
+        F.col(id_col), F.posexplode("_toks").alias("_i", "_tok")
+    ).select(F.col(id_col), (F.col("_i") + 1).alias("pos"), "_tok")
     flagged = pos.join(
         F.broadcast(cut),
         (F.col(id_col) == F.col("_sdoc"))
