@@ -1856,3 +1856,117 @@ def q120_substring_dedup_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q121 — temperature-scaled mixture weights (UniMax / multilingual sampling)
+# ---------------------------------------------------------------------------
+
+# τ = 2 temperature sampling: share_i ∝ tokens_i^(1/τ) = sqrt(tokens_i)
+# — the standard upweight-the-tail recipe for multilingual corpora
+# (mT5 §3.1 arXiv:2010.11934, UniMax arXiv:2304.09151). τ = 2 keeps the
+# whole computation engine-exact: sqrt is IEEE-754 correctly rounded in
+# BOTH engines (unlike pow/ln), ×1000 is an exact-scale product, and
+# FLOOR of bit-identical doubles is bit-identical — so sq is a
+# deterministic BIGINT and everything after it is integer rationals
+# (DIV-based HALF-UP; magnitudes exceed exact_round_div's 2^53 double
+# bound, so no double division is used at all).
+Q121_SQL = f"""
+WITH nt AS (
+  SELECT lang,
+         CASE WHEN length({CLEAN_SQL}) = 0 THEN 0
+              ELSE len(string_split({CLEAN_SQL}, ' ')) END AS n_tokens
+  FROM documents
+),
+per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+  FROM nt GROUP BY lang
+),
+s AS (
+  SELECT lang, n_docs, lang_tokens,
+         CAST(FLOOR(sqrt(CAST(lang_tokens AS DOUBLE)) * 1000) AS BIGINT) AS sq
+  FROM per_lang
+),
+tot AS (
+  SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(sq) AS BIGINT) AS sum_sq
+  FROM s
+),
+sh AS (
+  SELECT s.lang, s.n_docs, s.lang_tokens, t.total_tokens,
+         CAST(CASE WHEN t.sum_sq = 0 THEN 0
+              ELSE (s.sq * 20000 + t.sum_sq) // (2 * t.sum_sq) END AS BIGINT) AS temp_share_x1e4
+  FROM s CROSS JOIN tot t
+)
+SELECT lang, n_docs, lang_tokens, temp_share_x1e4,
+       CAST(CASE WHEN lang_tokens = 0 THEN 0
+            ELSE (temp_share_x1e4 * total_tokens * 2 + lang_tokens) // (2 * lang_tokens) END AS BIGINT) AS repeat_x1e4
+FROM sh
+ORDER BY lang
+"""
+
+
+@query("q121_temperature_mixing", Q121_SQL)
+def q121_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (τ = 2): each language's
+    training share ∝ sqrt(its token count) — the mT5/UniMax recipe
+    that upweights low-resource languages without a hand-declared
+    target table (q104's declared-recipe sibling). Emits the share and
+    the repeat factor realizing it at the corpus's own token budget,
+    both as scaled BIGINTs.
+
+    Engine-exact by construction: τ = 2 makes the only irrational a
+    correctly-rounded IEEE sqrt (identical bits in Spark and DuckDB),
+    immediately floored to an integer; shares and repeats are then
+    integer-DIV HALF-UP rationals — no pow/ln/float-sum ever crosses
+    the boundary. The repeat factor is derived FROM the published
+    rounded share, so the table is self-consistent.
+
+    Scale: one token-count scan → 5-group agg (map-side combine),
+    totals as a broadcast 1-row aggregate — q104's metadata-cost
+    shape."""
+    from ml_with_spark_streaming_spark.operators.textstats import (
+        whitespace_token_count_expr,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = maybe_checkpoint(
+        d.select(
+            "lang",
+            whitespace_token_count_expr(clean_text_expr("text")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("lang_tokens"),
+        )
+    )
+    s = per_lang.select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        F.floor(F.sqrt(F.col("lang_tokens").cast("double")) * 1000).cast("long").alias("sq"),
+    )
+    tot = s.agg(
+        F.sum("lang_tokens").cast("long").alias("total_tokens"),
+        F.sum("sq").cast("long").alias("sum_sq"),
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            "total_tokens",
+            "CAST(CASE WHEN sum_sq = 0 THEN 0 ELSE (sq * 20000 + sum_sq) DIV (2 * sum_sq) END AS LONG) AS temp_share_x1e4",
+        )
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            "temp_share_x1e4",
+            "CAST(CASE WHEN lang_tokens = 0 THEN 0 ELSE (temp_share_x1e4 * total_tokens * 2 + lang_tokens) DIV (2 * lang_tokens) END AS LONG) AS repeat_x1e4",
+        )
+        .orderBy("lang")
+    )

@@ -371,3 +371,33 @@ def test_token_chunks_boundaries_and_fingerprints(spark, tmp_path):
     for r in got:
         sl = words[r.chunk_start - 1 : r.chunk_start - 1 + 64]
         assert r.chunk_fp == hashlib.md5(" ".join(sl).encode()).hexdigest()[:16]
+
+
+def test_temperature_mixing_hand_checked(spark, tmp_path):
+    """q121 τ=2 math on a 2-language corpus: shares ∝ sqrt(tokens),
+    repeats derived from the published rounded share — all integer
+    HALF-UP, verified against hand-computed values."""
+    import os
+
+    from ml_with_spark_streaming_spark.plans.curation import q121_temperature_mixing
+
+    rows = [
+        (0, "wa " * 100, "en", "s", 300),  # 100 tokens -> sq 10000
+        (1, "wb " * 400, "de", "s", 1200),  # 400 tokens -> sq 20000
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {r.lang: r for r in q121_temperature_mixing(spark, d).collect()}
+    # sum_sq = 30000, total = 500
+    assert got["en"].lang_tokens == 100 and got["de"].lang_tokens == 400
+    assert got["en"].temp_share_x1e4 == 3333  # 10000/30000 -> 0.3333
+    assert got["de"].temp_share_x1e4 == 6667  # 20000/30000 -> 0.6667
+    assert got["en"].repeat_x1e4 == 16665  # 0.3333*500/100 = 1.6665 epochs
+    assert got["de"].repeat_x1e4 == 8334  # 0.6667*500/400 = 0.8334 epochs
+    # temperature flattens: sqrt share (33%) > natural share (20%) for
+    # the low-resource language
+    assert got["en"].temp_share_x1e4 > 2000

@@ -207,6 +207,12 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "q115's waived shape (gram scan roles + application scan, checkpoint-shared at "
         "runtime) plus the doc_id/lang/source metadata join-back — a column-pruned scan",
     ),
+    "q121_temperature_mixing": (
+        frozenset({"DupFactScan"}),
+        "visible only under SPARK_GRAFT_NO_CHECKPOINT: the sqrt-share and totals "
+        "branches share one maybe_checkpoint-materialized 5-row per-language table at "
+        "runtime (q104's shape)",
+    ),
     "q101_decontaminate": (
         frozenset({"DupFactScan"}),
         "eval set is derived from the corpus table only in testdata (doc_id % 97 slice); "
