@@ -457,3 +457,55 @@ def q119_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("col")
+
+
+# ---------------------------------------------------------------------------
+# q122 — cross-modal referential-integrity audit (documents <-> embeddings)
+# ---------------------------------------------------------------------------
+
+Q122_SQL = """
+WITH d AS (SELECT doc_id FROM documents),
+v AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_rows FROM embeddings GROUP BY vec_id),
+j AS (
+  SELECT d.doc_id, v.vec_id, v.n_rows
+  FROM d FULL OUTER JOIN v ON v.vec_id = d.doc_id
+)
+SELECT
+  CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
+  CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS n_vec_rows,
+  CAST(COUNT(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_matched,
+  CAST(COUNT(CASE WHEN vec_id IS NULL THEN 1 END) AS BIGINT) AS n_docs_unembedded,
+  CAST(COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS BIGINT) AS n_orphan_vec_ids,
+  CAST(COUNT(CASE WHEN n_rows > 1 THEN 1 END) AS BIGINT) AS n_dup_vec_ids
+FROM j
+"""
+
+
+@query("q122_crossmodal_integrity", Q122_SQL)
+def q122_crossmodal_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across modalities — the check a
+    multimodal pipeline runs before joining text to its embedding
+    (or image/audio) sidecar: matched ids, documents without a vector,
+    orphan vectors, and duplicated vector ids. One row out.
+
+    Plan: two column-pruned id scans (doc_id; vec_id pre-aggregated so
+    duplicate ids collapse before the join), one id-keyed full outer
+    join, one conditional aggregate — at 100 TB both sides shuffle by
+    the id once and nothing else moves."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy("vec_id")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    j = d.join(v, d.doc_id == v.vec_id, "full_outer")
+    return j.agg(
+        F.count("doc_id").cast("long").alias("n_docs"),
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("n_vec_rows"),
+        F.count(F.when(F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), 1))
+        .cast("long")
+        .alias("n_matched"),
+        F.count(F.when(F.col("vec_id").isNull(), 1)).cast("long").alias("n_docs_unembedded"),
+        F.count(F.when(F.col("doc_id").isNull(), 1)).cast("long").alias("n_orphan_vec_ids"),
+        F.count(F.when(F.col("n_rows") > 1, 1)).cast("long").alias("n_dup_vec_ids"),
+    )
