@@ -129,3 +129,25 @@ def test_apply_cuts_accepts_precomputed_spans(spark):
     a = sorted(map(tuple, apply_cuts(df, k=k).collect()))
     b = sorted(map(tuple, apply_cuts(df, k=k, spans=spans).collect()))
     assert a == b
+
+
+def test_apply_cuts_layout_independent(spark):
+    """The verdicts and fingerprints are a pure function of corpus
+    CONTENT: shuffling input row order / partitioning must not change
+    the output (the driver-strict determinism canon)."""
+    k = 5
+    passage = ["dup" + chr(97 + i) for i in range(12)]
+    rows = [
+        (0, _doc(_W[0:6] + passage + _W[6:12])),
+        (1, _doc(_W[12:22] + passage + _W[22:26])),
+        (2, _doc(_W[26:34])),
+        (3, _doc(passage + _W[34:40])),
+    ]
+    a = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    b = spark.createDataFrame(list(reversed(rows)), "doc_id long, text string").repartition(2)
+    got_a = sorted(map(tuple, apply_cuts(a, k=k).collect()))
+    got_b = sorted(map(tuple, apply_cuts(b, k=k).collect()))
+    assert got_a == got_b
+    # internal consistency: kept = total - cut on every row
+    for (_, n, cut, kept, _fp) in got_a:
+        assert kept == n - cut

@@ -292,3 +292,19 @@ def test_kcenter_small_corpus_truncates(spark):
     got = kcenter_select(corpus, m=10).collect()
     assert sorted(r.vec_id for r in got) == [0, 1, 2]
     assert len({r.rank for r in got}) == 3
+
+
+def test_kcenter_layout_independent(spark):
+    """k-center selection is a pure function of corpus content —
+    row order / partitioning must not change the picked exemplars."""
+    from ml_with_spark_streaming_spark.operators.similarity import kcenter_select
+
+    import random as _random
+
+    rnd = _random.Random(3)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(5)
+    b = spark.createDataFrame(list(reversed(rows)), "vec_id long, embedding array<float>").repartition(11)
+    got_a = [tuple(r) for r in kcenter_select(a, m=6).orderBy("rank").collect()]
+    got_b = [tuple(r) for r in kcenter_select(b, m=6).orderBy("rank").collect()]
+    assert got_a == got_b
