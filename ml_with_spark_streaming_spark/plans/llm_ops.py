@@ -387,3 +387,67 @@ def q58_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     cands = minhash_candidates(d, "text", "doc_id", k=16, bands=4)
     return jaccard_verify(cands, d, "text", "doc_id", threshold=0.3).orderBy("id1", "id2")
+
+
+@query("q123_cluster_profile")  # rows-only: KMeans assignment isn't SQL-expressible
+def q123_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-based corpus profiling — the view behind cluster-level
+    pruning (SemDeDup arXiv:2303.09540, DataComp-style curation):
+    embed-cluster the corpus with the deterministic MLlib KMeans fit
+    (q106's index fit), assign every vector to its nearest centroid,
+    join document metadata across modalities, and profile each cluster
+    (size, language spread, quality). A pipeline drops or downweights
+    whole low-quality/near-duplicate clusters from this table.
+
+    Plan: k-row centroid broadcast against the vectors (one narrow
+    assignment pass, q55/q106's shape), doc metadata joined by id
+    (both sides shuffle by id once), then a k-group aggregate. Quality
+    is the q45 exact rational averaged as a scaled-integer mean (no
+    float summation)."""
+    from ml_with_spark_streaming_spark.operators.similarity import (
+        cosine_expr,
+        kmeans_centroids,
+    )
+    from ml_with_spark_streaming_spark.operators.textstats import quality_score_expr
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = maybe_checkpoint(
+        kmeans_centroids(e, n_centroids=8, c_vec="embedding", seed=42)
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cent_id",
+            cosine_expr(F.col("embedding"), F.col("cent_vec")).alias("sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cent_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        # round, don't truncate: quality is floor(r)/1e4, a double whose
+        # x1e4 rescale can land at .9999.. below the integer
+        F.round(quality_score_expr("text") * 10000, 0).cast("long").alias("q_x1e4"),
+    )
+    j = assigned.join(d, assigned.vec_id == d.doc_id)
+    return (
+        j.groupBy("cent_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+            F.sum("q_x1e4").cast("long").alias("q_sum_x1e4"),
+            ((F.sum("q_x1e4") * 2 + F.count("*")) / (2 * F.count("*")))
+            .cast("long")
+            .alias("q_mean_x1e4"),
+        )
+        .orderBy("cent_id")
+    )
