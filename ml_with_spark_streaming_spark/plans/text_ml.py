@@ -458,26 +458,10 @@ def q116_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose reduce builds each posting list locally — exactly how
     distributed index builds partition (term-sharded). No joins, no
     window over data; output is vocabulary-sized."""
+    from ml_with_spark_streaming_spark.operators.retrieval import inverted_index
+
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(tokens_expr(clean_text_expr("text"))).alias("term")
-    ).filter(F.col("term") != "")
-    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
-    posting = F.transform(
-        F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
-        lambda s: F.concat_ws(":", s["doc_id"].cast("string"), s["tf"].cast("string")),
-    )
-    return (
-        tf.groupBy("term")
-        .agg(
-            F.count("*").cast("long").alias("df"),
-            F.sum("tf").cast("long").alias("total_tf"),
-            F.substring(
-                F.md5(F.encode(F.concat_ws(",", posting), "UTF-8")), 1, 16
-            ).alias("postings_fp"),
-        )
-        .orderBy("term")
-    )
+    return inverted_index(d, "text", "doc_id").orderBy("term")
 
 
 # ---------------------------------------------------------------------------
@@ -546,39 +530,7 @@ def q117_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation filtered to query terms BEFORE the shuffle (the filter
     prunes ~|vocab|/|query| of the explode output map-side). Top-k is
     TakeOrderedAndProject — no global sort materialization."""
+    from ml_with_spark_streaming_spark.operators.retrieval import bm25_topk
+
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", tokens_expr(clean_text_expr("text")).alias("_toks")
-    ).filter(F.size("_toks") > 0)
-    toks = maybe_checkpoint(toks)
-    dl = maybe_checkpoint(toks.select("doc_id", F.size("_toks").cast("long").alias("dl")))
-    st = dl.agg(
-        F.count("*").cast("long").alias("n"), F.sum("dl").cast("long").alias("tt")
-    )
-    tf = maybe_checkpoint(
-        toks.select("doc_id", F.explode("_toks").alias("term"))
-        .filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    c = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(st))
-        .selectExpr(
-            "doc_id",
-            "(2*n - 2*df + 1) * 22 * tt * tf AS num",
-            "(2*df + 1) * (10*tt*tf + 3*tt + 9*dl*n) AS den",
-        )
-    )
-    return (
-        c.selectExpr("doc_id", "(num * 20000 + den) DIV (2 * den) AS contrib")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_hit_terms"),
-            F.sum("contrib").cast("long").alias("score_x1e4"),
-        )
-        .orderBy(F.col("score_x1e4").desc(), "doc_id")
-        .limit(20)
-    )
+    return bm25_topk(d, _BM25_TERMS, k=20, text_col="text", id_col="doc_id")
