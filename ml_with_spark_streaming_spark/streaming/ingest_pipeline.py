@@ -1,0 +1,92 @@
+"""The composed ingest pipeline: dedup gate -> quality gate, per
+micro-batch — the full accept/reject path a production corpus runs at
+the door (novelty first, so the quality model never scores documents
+that are about to be discarded as duplicates; both gates are the
+EXACT batch operators, so stream verdicts equal batch verdicts).
+
+Composes ``StreamingIngestDedup`` (q105's gates against the corpus
+fingerprint/band indexes) with ``StreamingQualityFilter`` (the frozen
+q112 weight table). Each stage keeps its own per-batch history; the
+pipeline adds a combined ledger row per batch:
+(n_in, n_after_dedup, n_accepted).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ml_with_spark_streaming_spark.streaming.ingest_dedup import StreamingIngestDedup
+from ml_with_spark_streaming_spark.streaming.quality_filter import StreamingQualityFilter
+
+
+@dataclass
+class StreamingIngestPipeline:
+    """Chain the dedup and quality gates over one document stream.
+
+    ``on_accepted`` receives each batch's fully-accepted slice (novel
+    AND high-quality) — the write-to-storage hook.
+    """
+
+    dedup: StreamingIngestDedup
+    quality: StreamingQualityFilter
+    on_accepted: object = None
+    ledger: list[dict] = field(default_factory=list)
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        weights: list[tuple[str, int]],
+        on_accepted: object = None,
+        **dedup_kw,
+    ) -> "StreamingIngestPipeline":
+        return cls(
+            dedup=StreamingIngestDedup.from_corpus(corpus, **dedup_kw),
+            quality=StreamingQualityFilter(weights=weights),
+            on_accepted=on_accepted,
+        )
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        state: dict = {"n_in": batch_df.count()}
+
+        def _after_dedup(kept_df: DataFrame, bid: int) -> None:
+            state["n_after_dedup"] = kept_df.count()
+            self.quality.on_kept = _after_quality
+            self.quality.process_batch(kept_df, bid)
+
+        def _after_quality(accepted_df: DataFrame, bid: int) -> None:
+            state["n_accepted"] = accepted_df.count()
+            if self.on_accepted is not None:
+                self.on_accepted(accepted_df, bid)
+
+        self.dedup.on_kept = _after_dedup
+        self.dedup.process_batch(batch_df, batch_id)
+        self.ledger.append(
+            {
+                "batch_id": batch_id,
+                "n_in": state.get("n_in", 0),
+                "n_after_dedup": state.get("n_after_dedup", 0),
+                "n_accepted": state.get("n_accepted", 0),
+            }
+        )
+
+    def attach(
+        self,
+        docs: DataFrame,
+        checkpoint: str | None = None,
+        trigger_seconds: int = 5,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        w = docs.writeStream.foreachBatch(self.process_batch).outputMode("update")
+        if checkpoint:
+            w = w.option("checkpointLocation", checkpoint)
+        if available_now:
+            w = w.trigger(availableNow=True)
+        else:
+            w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+        return w.start()

@@ -1,0 +1,67 @@
+"""Composed streaming ingest pipeline (dedup gate -> quality gate):
+stream verdicts must equal the batch operators' composition."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from ml_with_spark_streaming_spark.operators.quality_clf import (
+    classifier_weights,
+    feature_presence,
+    heuristic_labels,
+)
+from ml_with_spark_streaming_spark.streaming.ingest_pipeline import StreamingIngestPipeline
+from ml_with_spark_streaming_spark.streaming.quality_filter import freeze_weights
+
+from tests.test_quality_clf import _HI_WORDS, _docs
+
+
+def test_pipeline_composes_both_gates(spark):
+    corpus = _docs(spark)  # even ids: high quality; odd ids: low quality
+    frozen = freeze_weights(
+        classifier_weights(feature_presence(corpus), heuristic_labels(corpus))
+    )
+
+    hi = " ".join(_HI_WORDS[(7 + j) % len(_HI_WORDS)] for j in range(40))
+    batch = [
+        # doc 1000: verbatim copy of corpus doc 0 -> rejected by dedup
+        (1000, " ".join(_HI_WORDS[j % len(_HI_WORDS)] for j in range(40))),
+        # doc 1001: novel but low quality -> passes dedup, rejected by quality
+        (1001, "!!! ??? %% novelzz novelqq ### $$$"),
+        # doc 1002: novel high-quality -> accepted end to end
+        (1002, hi + " extension tensor"),
+    ]
+
+    accepted: set[int] = set()
+    pipe = StreamingIngestPipeline.build(
+        corpus,
+        frozen,
+        threshold=0.9,
+        on_accepted=lambda df, bid: accepted.update(r["doc_id"] for r in df.collect()),
+    )
+
+    with tempfile.TemporaryDirectory() as root:
+        src = os.path.join(root, "in")
+        os.makedirs(src)
+        with open(os.path.join(src, "b0.jsonl"), "w") as f:
+            for doc_id, text in batch:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        docs = (
+            spark.readStream.format("json")
+            .schema("doc_id long, text string")
+            .load(src)
+        )
+        q = pipe.attach(docs, checkpoint=os.path.join(root, "ckpt"), available_now=True)
+        q.awaitTermination()
+
+    assert accepted == {1002}
+    assert len(pipe.ledger) == 1
+    row = pipe.ledger[0]
+    assert row["n_in"] == 3
+    assert row["n_after_dedup"] == 2  # doc 1000 deduped
+    assert row["n_accepted"] == 1  # doc 1001 fails the quality gate
+    # stage histories stay coherent with the ledger
+    assert pipe.dedup.history[0]["n_kept"] == 2
+    assert pipe.quality.history[0]["n_kept"] == 1
