@@ -104,3 +104,72 @@ def bm25_topk(
         .orderBy(F.col("score_x1e4").desc(), id_col)
         .limit(k)
     )
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k for a whole TABLE of queries at once — the at-scale
+    form (a production retrieval job scores thousands of queries in
+    one pass, not one ``isin`` literal each). ``queries`` is
+    ``(query_id, term)``; returns ``(query_id, id, n_hit_terms,
+    score_x1e4, rank)`` with ``rank <= k`` per query.
+
+    Same exact integer-rational scoring as :func:`bm25_topk`. The
+    query table is broadcast twice (distinct terms to prune the corpus
+    explode map-side; full pairs to fan tf rows out per query); df is
+    corpus document frequency per term, computed once regardless of
+    how many queries share the term. Per-query top-k is a window
+    partitioned BY QUERY — bounded by each query's candidate docs,
+    never global."""
+    toks = df.select(
+        F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    toks = maybe_checkpoint(toks)
+    dl = maybe_checkpoint(
+        toks.select(id_col, F.size("_toks").cast("long").alias("dl"))
+    )
+    st = dl.agg(
+        F.count("*").cast("long").alias("n"), F.sum("dl").cast("long").alias("tt")
+    )
+    qterms = maybe_checkpoint(queries.select("query_id", "term"))
+    terms = qterms.select("term").distinct()
+    tf = maybe_checkpoint(
+        toks.select(F.col(id_col), F.explode("_toks").alias("term"))
+        .join(F.broadcast(terms), "term", "left_semi")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    c = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(st))
+        .join(F.broadcast(qterms), "term")
+        .selectExpr(
+            "query_id",
+            id_col,
+            "(2*n - 2*df + 1) * 22 * tt * tf AS num",
+            "(2*df + 1) * (10*tt*tf + 3*tt + 9*dl*n) AS den",
+        )
+    )
+    from pyspark.sql import Window as W
+
+    sc = (
+        c.selectExpr("query_id", id_col, "(num * 20000 + den) DIV (2 * den) AS contrib")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_hit_terms"),
+            F.sum("contrib").cast("long").alias("score_x1e4"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score_x1e4").desc(), id_col)
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "n_hit_terms", "score_x1e4", F.col("rank").cast("long").alias("rank"))
+    )

@@ -534,3 +534,72 @@ def q117_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bm25_topk(d, _BM25_TERMS, k=20, text_col="text", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q124 — multi-query BM25 (the batch retrieval job)
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = (
+    (1, "hash"), (1, "join"),
+    (2, "vector"), (2, "merge"),
+    (3, "scan"), (3, "filter"), (3, "sort"),
+)
+_BM25_QUERIES_SQL = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+
+Q124_SQL = f"""
+WITH qt(query_id, term) AS (VALUES {_BM25_QUERIES_SQL}),
+toks AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+c AS (
+  SELECT qt.query_id, tf.doc_id,
+         (2*st.n - 2*dfreq.df + 1) * 22 * st.tt * tf.tf AS num,
+         (2*dfreq.df + 1) * (10*st.tt*tf.tf + 3*st.tt + 9*dl.dl*st.n) AS den
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  JOIN qt USING (term)
+  CROSS JOIN st
+),
+sc AS (
+  SELECT query_id, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+         CAST(SUM((num * 20000 + den) // (2 * den)) AS BIGINT) AS score_x1e4
+  FROM c GROUP BY query_id, doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_hit_terms, score_x1e4, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_x1e4 DESC, doc_id) AS BIGINT) AS rank
+  FROM sc
+) t
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query("q124_bm25_multi_query", Q124_SQL)
+def q124_bm25_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch retrieval job: BM25 top-5 per query for a TABLE of
+    queries in one corpus pass (operators/retrieval.bm25_topk_batch) —
+    how a production pipeline actually scores thousands of queries,
+    vs q117's single fixed query. Query terms prune the corpus explode
+    map-side via a broadcast semi-join; per-term df is computed once
+    however many queries share the term; per-query top-k is a
+    query-partitioned window (bounded, never global). Identical exact
+    integer-rational scoring — hash-exact against DuckDB."""
+    from ml_with_spark_streaming_spark.operators.retrieval import bm25_topk_batch
+
+    d = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id long, term string"
+    )
+    return bm25_topk_batch(d, queries, k=5).orderBy("query_id", "rank")

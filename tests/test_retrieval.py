@@ -67,3 +67,28 @@ def test_bm25_exact_scores_and_ranking(spark, tmp_path):
     ranked = [r.doc_id for r in got]
     assert ranked == [3, 0, 1]
     assert all(t in ("hash", "join", "vector") for t in _BM25_TERMS)
+
+
+def test_bm25_batch_matches_single_query(spark, tmp_path):
+    """The batch form restricted to one query must equal bm25_topk's
+    single-query ranking and scores on the same corpus."""
+    from ml_with_spark_streaming_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_batch,
+    )
+    from ml_with_spark_streaming_spark.sources.batch import load_table
+
+    d = _write_docs(spark, tmp_path)
+    docs = load_table(spark, d, "documents")
+    single = [
+        (r.doc_id, r.n_hit_terms, r.score_x1e4)
+        for r in bm25_topk(docs, ("hash", "join", "vector"), k=10).collect()
+    ]
+    queries = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (1, "vector")], "query_id long, term string"
+    )
+    batch = [
+        (r.doc_id, r.n_hit_terms, r.score_x1e4)
+        for r in bm25_topk_batch(docs, queries, k=10).orderBy("rank").collect()
+    ]
+    assert single == batch

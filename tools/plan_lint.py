@@ -213,6 +213,12 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "branches share one maybe_checkpoint-materialized 5-row per-language table at "
         "runtime (q104's shape)",
     ),
+    "q124_bm25_multi_query": (
+        frozenset({"DupFactScan"}),
+        "q117's waived shape: dl/stats spine, query-term tf table, and tf-derived df "
+        "broadcast all share one maybe_checkpoint-materialized token table at runtime — "
+        "one documents scan, one explode pass for the whole query batch",
+    ),
     "q101_decontaminate": (
         frozenset({"DupFactScan"}),
         "eval set is derived from the corpus table only in testdata (doc_id % 97 slice); "
