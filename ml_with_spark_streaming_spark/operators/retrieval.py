@@ -9,6 +9,17 @@ one integer num/den pair, rounded HALF-UP at 4 decimals with integer
 DIV (never double division — the magnitudes exceed the 2^53 exactness
 bound) and summed as BIGINT, so rankings are bit-identical across
 engines and partition layouts.
+
+Documented deviation: the idf factor is the RAW Robertson ratio
+(N − df + ½)/(df + ½) without the usual ln(·) wrap. ln is a monotone
+transform per term, but summed over multiple terms the two forms are
+NOT rank-equivalent — raw idf weights rare terms more aggressively
+than log-BM25. The trade is deliberate: ln forces doubles (engines'
+libm results and float summation order both leak into the ranking),
+while the raw ratio keeps every score an exact integer rational. Swap
+``(2N − 2df + 1)/(2df + 1)`` for a scaled ``ln`` table if log-BM25
+parity with an existing system matters more than cross-engine
+exactness.
 """
 
 from __future__ import annotations
