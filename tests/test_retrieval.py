@@ -92,3 +92,24 @@ def test_bm25_batch_matches_single_query(spark, tmp_path):
         for r in bm25_topk_batch(docs, queries, k=10).orderBy("rank").collect()
     ]
     assert single == batch
+
+
+def test_bm25_batch_layout_independent(spark, tmp_path):
+    """Integer-rational scoring makes the ranking a pure function of
+    corpus content — partitioning must not change any score or rank."""
+    from ml_with_spark_streaming_spark.operators.retrieval import bm25_topk_batch
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in _ROWS]
+    a = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    ).repartition(7)
+    b = spark.createDataFrame(
+        list(reversed(rows)),
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    ).repartition(2)
+    queries = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "vector")], "query_id long, term string"
+    )
+    ga = sorted(map(tuple, bm25_topk_batch(a, queries, k=10).collect()))
+    gb = sorted(map(tuple, bm25_topk_batch(b, queries, k=10).collect()))
+    assert ga == gb
