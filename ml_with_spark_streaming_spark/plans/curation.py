@@ -1970,3 +1970,72 @@ def q121_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — packing the substring-cleaned corpus (q115 -> q98)
+# ---------------------------------------------------------------------------
+
+Q125_SQL = f"""
+WITH {_EXACT_SUBSTR_CTES},
+cutspans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SPAN_K - 1} AS e
+  FROM isl GROUP BY doc_id, island
+  HAVING MAX(is_canon) = 0
+),
+p AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos FROM toks),
+fl AS (
+  SELECT p.doc_id, p.pos,
+         CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END AS cut
+  FROM p LEFT JOIN cutspans c
+    ON c.doc_id = p.doc_id AND p.pos BETWEEN c.s AND c.e
+),
+nk AS (
+  SELECT doc_id, COUNT(*) - SUM(cut) AS n_tokens
+  FROM fl GROUP BY doc_id
+),
+cm AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM nk
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens,
+       CASE WHEN n_tokens = 0 THEN NULL
+            ELSE CAST((cum - n_tokens) // {_CTX} AS BIGINT) END AS chunk_first,
+       CASE WHEN n_tokens = 0 THEN NULL
+            ELSE CAST((cum - 1) // {_CTX} AS BIGINT) END AS chunk_last
+FROM cm
+ORDER BY doc_id
+"""
+
+
+@query("q125_packing_after_cuts", Q125_SQL)
+def q125_packing_after_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the substring-CLEANED corpus: q115's kept-token counts fed
+    through q98's two-phase distributed prefix sum — the stage order a
+    real pipeline runs (dedup → substring cut → pack), so sequence
+    boundaries are computed over the text that will actually be
+    trained on, not the raw lengths. A fully-cut document contributes
+    0 tokens and spans no chunk (NULL bounds, matching q98's
+    empty-doc convention).
+
+    Plan: q115's per-doc counts (one tokenize pass shared between span
+    discovery and application) checkpointed into the 24-byte/doc
+    length table; the packing core is the shared `_pack_from_counts`
+    (bucket totals + tiny offset window — never a global window over
+    data)."""
+    from ml_with_spark_streaming_spark.operators.exact_substr import apply_cuts
+
+    d = load_table(spark, sf_dir, "documents")
+    nt = maybe_checkpoint(
+        apply_cuts(d, "text", "doc_id", k=_SPAN_K)
+        .select(
+            "doc_id",
+            F.col("n_kept_tokens").alias("n_tokens"),
+            (F.col("doc_id") / _BUCKET).cast("long").alias("_b"),
+        )
+    )
+    return _pack_from_counts(nt)

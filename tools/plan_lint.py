@@ -219,6 +219,12 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "broadcast all share one maybe_checkpoint-materialized token table at runtime — "
         "one documents scan, one explode pass for the whole query batch",
     ),
+    "q125_packing_after_cuts": (
+        frozenset({"DupFactScan"}),
+        "visible only under SPARK_GRAFT_NO_CHECKPOINT: q115's shared-tokenize stages "
+        "plus q98's bucket-totals/offset branches all read checkpoint-materialized "
+        "tables at runtime — one tokenize pass, then the 24-byte/doc length table",
+    ),
     "q101_decontaminate": (
         frozenset({"DupFactScan"}),
         "eval set is derived from the corpus table only in testdata (doc_id % 97 slice); "
