@@ -1,14 +1,28 @@
 """Retrieval operators over a text corpus: inverted-index build and
 BM25 scoring (Robertson/Sparck Jones).
 
-The queries q116/q117 (plans/text_ml.py) delegate here; these functions
-are the reusable API surface — pass any (id, text) DataFrame and, for
-BM25, any term list. Scoring is EXACT integer rationals (see
-``bm25_topk``): with k1 = 6/5 and b = 3/4 every contribution reduces to
-one integer num/den pair, rounded HALF-UP at 4 decimals with integer
-DIV (never double division — the magnitudes exceed the 2^53 exactness
-bound) and summed as BIGINT, so rankings are bit-identical across
-engines and partition layouts.
+The queries q116/q117/q124 (plans/text_ml.py) delegate here; these
+functions are the reusable API surface — pass any (id, text) DataFrame
+and, for BM25, any term list or query table.
+
+Scoring is FIXED-POINT BM25 (k1 = 6/5, b = 3/4): avgdl, the idf
+factor, and the tf-saturation factor are each quantized HALF-UP at 3-4
+decimals with integer DIV (never double division), then multiplied and
+summed as BIGINTs — so scores and rankings are bit-identical across
+engines and partition layouts. The shared expression fragments below
+are f-stringed into BOTH the Spark plans and the DuckDB oracle SQL, so
+the two engines cannot drift.
+
+Overflow bounds (int64): quantizing per-factor keeps every
+intermediate corpus-size-INDEPENDENT except idf's doc count. The
+binding constraints are ``440000·a·tf < 2^63`` (a = 1000·avgdl →
+``avgdl·tf < 2.1e10``, e.g. 10k-token docs with tf up to 2e6) and the
+final product ``idf4·sat4·2 < 2^63`` → worst case (df = 1, fully
+saturated term) ``N < ~3e10`` documents — a 100 TB corpus at 10 KB/doc
+is ~1e10 docs, inside the bound. A naive single-rational formulation
+(num = idf_num·22·T·tf) overflows int64 once corpus tokens T reach
+~1e10; this form does not (bounds pinned by
+tests/test_retrieval.py::test_bm25_fixed_point_int64_bounds).
 
 Documented deviation: the idf factor is the RAW Robertson ratio
 (N − df + ½)/(df + ½) without the usual ln(·) wrap. ln is a monotone
@@ -16,10 +30,9 @@ transform per term, but summed over multiple terms the two forms are
 NOT rank-equivalent — raw idf weights rare terms more aggressively
 than log-BM25. The trade is deliberate: ln forces doubles (engines'
 libm results and float summation order both leak into the ranking),
-while the raw ratio keeps every score an exact integer rational. Swap
-``(2N − 2df + 1)/(2df + 1)`` for a scaled ``ln`` table if log-BM25
-parity with an existing system matters more than cross-engine
-exactness.
+while the raw ratio keeps every score exact. Swap the idf fragment
+for a scaled ``ln`` table if log-BM25 parity with an existing system
+matters more than cross-engine exactness.
 """
 
 from __future__ import annotations
@@ -32,6 +45,35 @@ from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
 
 DEFAULT_K1_NUM, DEFAULT_K1_DEN = 6, 5  # k1 = 1.2
 DEFAULT_B_NUM, DEFAULT_B_DEN = 3, 4  # b = 0.75
+
+
+def bm25_avgdl_sql(div: str) -> str:
+    """a = HALF-UP(1000·T/N) over columns ``tt`` (total tokens) and
+    ``n`` (doc count) — the scaled average document length."""
+    return f"(tt * 2000 + n) {div} (2 * n)"
+
+
+def bm25_contrib_sql(div: str) -> str:
+    """One term's score contribution (×10⁴) over plain columns
+    ``n, a, df, tf, dl``:
+
+        idf4 = HALF-UP(1e4 · (2N − 2df + 1) / (2df + 1))
+        D    = 10·a·tf + 3·a + 9000·dl          [den of satur, ×(10·a/T·N…) cancelled]
+        sat4 = HALF-UP(1e4 · 22·a·tf / D)
+        contrib = HALF-UP(idf4 · sat4 / 1e4)
+
+    ``div`` is the engine's integer-division operator (Spark ``DIV``,
+    DuckDB ``//``)."""
+    idf4 = f"(((2*n - 2*df + 1) * 20000 + (2*df + 1)) {div} (2 * (2*df + 1)))"
+    d = "(10*a*tf + 3*a + 9000*dl)"
+    sat4 = f"((440000*a*tf + {d}) {div} (2 * {d}))"
+    return f"(({idf4} * {sat4} * 2 + 10000) {div} 20000)"
+
+
+BM25_AVGDL_SPARK = bm25_avgdl_sql("DIV")
+BM25_AVGDL_DUCK = bm25_avgdl_sql("//")
+BM25_CONTRIB_SPARK = bm25_contrib_sql("DIV")
+BM25_CONTRIB_DUCK = bm25_contrib_sql("//")
 
 
 def inverted_index(
@@ -61,6 +103,17 @@ def inverted_index(
     )
 
 
+def _corpus_stats(toks: DataFrame, id_col: str) -> tuple[DataFrame, DataFrame]:
+    """(dl, st): per-doc length table and the 1-row (n, tt, a) stats."""
+    dl = maybe_checkpoint(
+        toks.select(id_col, F.size("_toks").cast("long").alias("dl"))
+    )
+    st = dl.agg(
+        F.count("*").cast("long").alias("n"), F.sum("dl").cast("long").alias("tt")
+    ).selectExpr("n", "tt", f"{BM25_AVGDL_SPARK} AS a")
+    return dl, st
+
+
 def bm25_topk(
     df: DataFrame,
     terms: tuple[str, ...],
@@ -68,26 +121,15 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Top-k documents for a term query under BM25 (k1=1.2, b=0.75),
-    scored as exact integer rationals:
-
-        idf   = (2N - 2df + 1) / (2df + 1)
-        satur = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)     [avgdl = T/N]
-
-    each contribution rounded HALF-UP at 4 decimals via integer DIV
-    and summed as BIGINT (``score_x1e4``). Corpus stats are a 1-row
-    broadcast, per-term dfs a |terms|-row broadcast; tf is filtered to
-    the query terms BEFORE its shuffle; top-k plans as TakeOrdered."""
+    """Top-k documents for a term query under fixed-point BM25 (see
+    module docstring). Corpus stats are a 1-row broadcast, per-term
+    dfs a |terms|-row broadcast; tf is filtered to the query terms
+    BEFORE the shuffle; top-k plans as TakeOrdered."""
     toks = df.select(
         F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_toks")
     ).filter(F.size("_toks") > 0)
     toks = maybe_checkpoint(toks)
-    dl = maybe_checkpoint(
-        toks.select(id_col, F.size("_toks").cast("long").alias("dl"))
-    )
-    st = dl.agg(
-        F.count("*").cast("long").alias("n"), F.sum("dl").cast("long").alias("tt")
-    )
+    dl, st = _corpus_stats(toks, id_col)
     tf = maybe_checkpoint(
         toks.select(F.col(id_col), F.explode("_toks").alias("term"))
         .filter(F.col("term").isin(*terms))
@@ -95,18 +137,13 @@ def bm25_topk(
         .agg(F.count("*").cast("long").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    c = (
+    r = (
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(st))
-        .selectExpr(
-            id_col,
-            "(2*n - 2*df + 1) * 22 * tt * tf AS num",
-            "(2*df + 1) * (10*tt*tf + 3*tt + 9*dl*n) AS den",
-        )
     )
     return (
-        c.selectExpr(id_col, "(num * 20000 + den) DIV (2 * den) AS contrib")
+        r.selectExpr(id_col, f"{BM25_CONTRIB_SPARK} AS contrib")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_hit_terms"),
@@ -130,24 +167,21 @@ def bm25_topk_batch(
     ``(query_id, term)``; returns ``(query_id, id, n_hit_terms,
     score_x1e4, rank)`` with ``rank <= k`` per query.
 
-    Same exact integer-rational scoring as :func:`bm25_topk`. The
-    query table is broadcast twice (distinct terms to prune the corpus
-    explode map-side; full pairs to fan tf rows out per query); df is
-    corpus document frequency per term, computed once regardless of
-    how many queries share the term. Per-query top-k is a window
-    partitioned BY QUERY — bounded by each query's candidate docs,
-    never global."""
+    Same fixed-point scoring as :func:`bm25_topk` (shared fragments).
+    The query table is deduplicated then broadcast twice (distinct
+    terms to prune the corpus explode map-side; full pairs to fan tf
+    rows out per query); df is corpus document frequency per term,
+    computed once regardless of how many queries share the term.
+    Per-query top-k is a window partitioned BY QUERY — bounded by each
+    query's candidate docs, never global."""
     toks = df.select(
         F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_toks")
     ).filter(F.size("_toks") > 0)
     toks = maybe_checkpoint(toks)
-    dl = maybe_checkpoint(
-        toks.select(id_col, F.size("_toks").cast("long").alias("dl"))
-    )
-    st = dl.agg(
-        F.count("*").cast("long").alias("n"), F.sum("dl").cast("long").alias("tt")
-    )
-    qterms = maybe_checkpoint(queries.select("query_id", "term"))
+    dl, st = _corpus_stats(toks, id_col)
+    # distinct: a duplicated (query_id, term) row must not double-count
+    # the term's contribution (and single/batch forms must agree)
+    qterms = maybe_checkpoint(queries.select("query_id", "term").distinct())
     terms = qterms.select("term").distinct()
     tf = maybe_checkpoint(
         toks.select(F.col(id_col), F.explode("_toks").alias("term"))
@@ -156,22 +190,16 @@ def bm25_topk_batch(
         .agg(F.count("*").cast("long").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    c = (
+    r = (
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(st))
         .join(F.broadcast(qterms), "term")
-        .selectExpr(
-            "query_id",
-            id_col,
-            "(2*n - 2*df + 1) * 22 * tt * tf AS num",
-            "(2*df + 1) * (10*tt*tf + 3*tt + 9*dl*n) AS den",
-        )
     )
     from pyspark.sql import Window as W
 
     sc = (
-        c.selectExpr("query_id", id_col, "(num * 20000 + den) DIV (2 * den) AS contrib")
+        r.selectExpr("query_id", id_col, f"{BM25_CONTRIB_SPARK} AS contrib")
         .groupBy("query_id", id_col)
         .agg(
             F.count("*").cast("long").alias("n_hit_terms"),
@@ -182,5 +210,11 @@ def bm25_topk_batch(
     return (
         sc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "n_hit_terms", "score_x1e4", F.col("rank").cast("long").alias("rank"))
+        .select(
+            "query_id",
+            id_col,
+            "n_hit_terms",
+            "score_x1e4",
+            F.col("rank").cast("long").alias("rank"),
+        )
     )

@@ -31,7 +31,10 @@ from ml_with_spark_streaming_spark.operators.textstats import (
     whitespace_token_count_expr,
 )
 from ml_with_spark_streaming_spark.operators.dedup import exact_dedup
-from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
+from ml_with_spark_streaming_spark.operators.retrieval import (
+    BM25_AVGDL_DUCK,
+    BM25_CONTRIB_DUCK,
+)
 from ml_with_spark_streaming_spark.plans.registry import query
 from ml_with_spark_streaming_spark.sources.batch import load_table
 
@@ -472,42 +475,40 @@ def q116_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("hash", "join", "vector")
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
-# BM25 with k1 = 1.2 = 6/5 and b = 0.75 = 3/4, kept EXACTLY RATIONAL so
-# the score crosses the engine boundary as a scaled BIGINT (no ln(), no
-# double sums — aggregation order can reorder float addition):
-#   idf(term)        = (N - df + 1/2) / (df + 1/2)          [raw BM25 idf, shifted positive]
-#                    = (2N - 2df + 1) / (2df + 1)
-#   satur(tf, dl)    = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
-#                    = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)    [avgdl = T/N]
-#   contribution     = idf · satur  →  one integer num / den pair,
-#   rounded HALF-UP at 4 decimals IN INTEGER ARITHMETIC (x DIV y — the
-#   magnitudes exceed exact_round_div's 2^53 double-division bound),
-#   then summed as BIGINT — exact, associative, order-independent.
+# FIXED-POINT BM25 (k1 = 6/5, b = 3/4): avgdl, idf, and saturation each
+# quantized HALF-UP in integer arithmetic, then multiplied and summed as
+# BIGINT — no ln(), no double division, no float sums. The expression
+# fragments are SHARED with the Spark plan (operators/retrieval.py), so
+# the engines cannot drift; per-factor quantization also keeps every
+# intermediate corpus-size-independent except idf's doc count (the naive
+# single-rational form overflowed int64 at ~1e10 corpus tokens).
 Q117_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
   FROM documents WHERE length({CLEAN_SQL}) > 0
 ),
 dl AS (SELECT doc_id, len(t) AS dl FROM toks),
-st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
+st AS (
+  SELECT n, tt, CAST({BM25_AVGDL_DUCK} AS BIGINT) AS a
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt FROM dl)
+),
 tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
 tf AS (
   SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
   FROM tok WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term
 ),
 dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-c AS (
-  SELECT tf.doc_id,
-         (2*st.n - 2*dfreq.df + 1) * 22 * st.tt * tf.tf AS num,
-         (2*dfreq.df + 1) * (10*st.tt*tf.tf + 3*st.tt + 9*dl.dl*st.n) AS den
+r AS (
+  SELECT tf.doc_id AS doc_id, tf.tf AS tf, dfreq.df AS df, dl.dl AS dl, st.n AS n, st.a AS a
   FROM tf
   JOIN dfreq USING (term)
   JOIN dl USING (doc_id)
   CROSS JOIN st
-)
+),
+c AS (SELECT doc_id, {BM25_CONTRIB_DUCK} AS contrib FROM r)
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
-       CAST(SUM((num * 20000 + den) // (2 * den)) AS BIGINT) AS score_x1e4
+       CAST(SUM(contrib) AS BIGINT) AS score_x1e4
 FROM c GROUP BY doc_id
 ORDER BY score_x1e4 DESC, doc_id
 LIMIT 20
@@ -518,11 +519,12 @@ LIMIT 20
 def q117_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval (Robertson/Sparck Jones; k1=1.2, b=0.75)
     for a fixed term query over the documents corpus — the scoring
-    half of the q116 index. The score is computed as EXACT integer
-    rationals (see Q117_SQL derivation): no ln(), no double division,
-    no float summation — so the ranking is bit-identical across
-    engines and across partition layouts, and the score crosses the
-    driver boundary as a scaled BIGINT.
+    half of the q116 index. Fixed-point scoring (see
+    operators/retrieval.py): avgdl/idf/saturation quantized HALF-UP in
+    integer arithmetic, no ln()/doubles — the ranking is bit-identical
+    across engines and partition layouts, the score crosses the driver
+    boundary as a scaled BIGINT, and no intermediate grows with corpus
+    tokens (the naive single-rational form overflowed int64).
 
     Scale shape: corpus stats (N docs, T tokens) are a 1-row broadcast;
     per-term document frequencies are a |query|-row broadcast; the only
@@ -554,27 +556,30 @@ toks AS (
   FROM documents WHERE length({CLEAN_SQL}) > 0
 ),
 dl AS (SELECT doc_id, len(t) AS dl FROM toks),
-st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
+st AS (
+  SELECT n, tt, CAST({BM25_AVGDL_DUCK} AS BIGINT) AS a
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt FROM dl)
+),
 tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
 tf AS (
   SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
   FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term
 ),
 dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-c AS (
-  SELECT qt.query_id, tf.doc_id,
-         (2*st.n - 2*dfreq.df + 1) * 22 * st.tt * tf.tf AS num,
-         (2*dfreq.df + 1) * (10*st.tt*tf.tf + 3*st.tt + 9*dl.dl*st.n) AS den
+r AS (
+  SELECT qt.query_id AS query_id, tf.doc_id AS doc_id,
+         tf.tf AS tf, dfreq.df AS df, dl.dl AS dl, st.n AS n, st.a AS a
   FROM tf
   JOIN dfreq USING (term)
   JOIN dl USING (doc_id)
   JOIN qt USING (term)
   CROSS JOIN st
 ),
+c AS (SELECT query_id, doc_id, {BM25_CONTRIB_DUCK} AS contrib FROM r),
 sc AS (
   SELECT query_id, doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
-         CAST(SUM((num * 20000 + den) // (2 * den)) AS BIGINT) AS score_x1e4
+         CAST(SUM(contrib) AS BIGINT) AS score_x1e4
   FROM c GROUP BY query_id, doc_id
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_hit_terms, score_x1e4, rank FROM (

@@ -41,11 +41,14 @@ def test_inverted_index_postings(spark, tmp_path):
 
 
 def _bm25_contrib(n, tt, df, tf, dl):
-    """The Q117_SQL integer-rational contribution, recomputed in pure
-    Python: HALF-UP at 4 decimals of idf*satur (k1=1.2, b=0.75)."""
-    num = (2 * n - 2 * df + 1) * 22 * tt * tf
-    den = (2 * df + 1) * (10 * tt * tf + 3 * tt + 9 * dl * n)
-    return (num * 20000 + den) // (2 * den)
+    """The fixed-point BM25 contribution (operators/retrieval.py),
+    recomputed in pure Python: avgdl/idf/saturation each HALF-UP
+    quantized, then multiplied (k1=1.2, b=0.75)."""
+    a = (tt * 2000 + n) // (2 * n)
+    idf4 = ((2 * n - 2 * df + 1) * 20000 + (2 * df + 1)) // (2 * (2 * df + 1))
+    d = 10 * a * tf + 3 * a + 9000 * dl
+    sat4 = (440000 * a * tf + d) // (2 * d)
+    return (idf4 * sat4 * 2 + 10000) // 20000
 
 
 def test_bm25_exact_scores_and_ranking(spark, tmp_path):
@@ -112,4 +115,49 @@ def test_bm25_batch_layout_independent(spark, tmp_path):
     )
     ga = sorted(map(tuple, bm25_topk_batch(a, queries, k=10).collect()))
     gb = sorted(map(tuple, bm25_topk_batch(b, queries, k=10).collect()))
+    assert ga == gb
+
+
+def test_bm25_fixed_point_int64_bounds():
+    """Every intermediate of the fixed-point scoring stays inside
+    int64 at the documented worst case: a 100 TB-scale corpus (1e10
+    docs, 10k-token avgdl) with a rare (df=1) term fully saturating a
+    long doc — the regime where the old single-rational form wrapped."""
+    M = 2**63
+    n = 10**10  # docs
+    avgdl = 10**4
+    tt = n * avgdl
+    a = (tt * 2000 + n) // (2 * n)
+    assert tt * 2000 + n < M
+    tf, dl, df = 2 * 10**6, 2 * 10**6, 1  # avgdl*tf = 2e10 (documented edge)
+    assert 440000 * a * tf < M
+    idf4_num = (2 * n - 2 * df + 1) * 20000 + (2 * df + 1)
+    assert idf4_num < M
+    idf4 = idf4_num // (2 * (2 * df + 1))
+    d = 10 * a * tf + 3 * a + 9000 * dl
+    assert d * 2 < M
+    sat4 = (440000 * a * tf + d) // (2 * d)
+    assert sat4 <= 22000
+    assert idf4 * sat4 * 2 + 10000 < M
+    # and the resulting contribution is sane: idf ~ 2N/3 at df=1
+    contrib = (idf4 * sat4 * 2 + 10000) // 20000
+    assert contrib > 0
+
+
+def test_bm25_batch_dedups_query_terms(spark, tmp_path):
+    """A duplicated (query_id, term) row must not double-count the
+    term — batch scores equal the deduplicated query's scores."""
+    from ml_with_spark_streaming_spark.operators.retrieval import bm25_topk_batch
+    from ml_with_spark_streaming_spark.sources.batch import load_table
+
+    d = _write_docs(spark, tmp_path)
+    docs = load_table(spark, d, "documents")
+    clean = spark.createDataFrame(
+        [(1, "hash"), (1, "join")], "query_id long, term string"
+    )
+    dup = spark.createDataFrame(
+        [(1, "hash"), (1, "hash"), (1, "join")], "query_id long, term string"
+    )
+    ga = sorted(map(tuple, bm25_topk_batch(docs, clean, k=10).collect()))
+    gb = sorted(map(tuple, bm25_topk_batch(docs, dup, k=10).collect()))
     assert ga == gb
