@@ -66,10 +66,14 @@ def _occ_key(doc_id, pos):
 def tokenized(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One tokenize pass behind the repartition barrier, materialized —
     the shared input of span discovery AND cut application (each would
-    otherwise re-run the regex chain over the whole corpus)."""
+    otherwise re-run the regex chain over the whole corpus). Lazy
+    checkpoint: a single-consumer caller (q110's discovery-only path)
+    pays nothing up front; the materialization happens on first use
+    and is reused from there."""
     return maybe_checkpoint(
         df.select(F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_toks"))
-        .repartition(id_col)
+        .repartition(id_col),
+        eager=False,
     )
 
 

@@ -445,9 +445,15 @@ def q123_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_docs"),
             F.count_distinct("lang").cast("long").alias("n_langs"),
             F.sum("q_x1e4").cast("long").alias("q_sum_x1e4"),
-            ((F.sum("q_x1e4") * 2 + F.count("*")) / (2 * F.count("*")))
-            .cast("long")
-            .alias("q_mean_x1e4"),
+        )
+        # integer-DIV HALF-UP mean (the repo canon — double division
+        # plus cast-truncation misrounds past 2^53)
+        .selectExpr(
+            "cent_id",
+            "n_docs",
+            "n_langs",
+            "q_sum_x1e4",
+            "CAST((q_sum_x1e4 * 2 + n_docs) DIV (2 * n_docs) AS LONG) AS q_mean_x1e4",
         )
         .orderBy("cent_id")
     )

@@ -29,9 +29,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+from ml_with_spark_streaming_spark.streaming.foreach import attach_foreach_batch
 
 from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
 from ml_with_spark_streaming_spark.operators.dedup import (
@@ -63,12 +65,18 @@ def build_corpus_index(
 
 @dataclass
 class StreamingIngestDedup:
-    """Per-micro-batch dedup gate against a static corpus index.
+    """Per-micro-batch dedup gate against the corpus index.
+
+    Duplicates are caught across THREE scopes: vs the corpus index,
+    WITHIN the batch (keep-first by id — two copies of a novel doc in
+    one drop admit only the first), and vs previously-ACCEPTED batches
+    (``grow_index=True``, the default, appends accepted docs'
+    fingerprints and bands to the in-session index after each batch —
+    at scale this is the append to the persisted index files).
 
     ``on_kept`` (optional) receives each batch's accepted slice — the
-    hook where a pipeline writes novel documents (and appends their
-    fingerprints/bands to the index). ``history`` records per-batch
-    totals (n_docs / n_exact / n_near / n_kept) for drift monitoring.
+    write-to-storage hook. ``history`` records per-batch totals
+    (n_docs / n_exact / n_near / n_kept) for drift monitoring.
     """
 
     corpus: DataFrame
@@ -79,8 +87,13 @@ class StreamingIngestDedup:
     threshold: float = 0.9
     k: int = 16
     bands: int = 4
+    grow_index: bool = True
     on_kept: object = None
     history: list[dict] = field(default_factory=list)
+    # accepted docs' (id, text) — the verify side for near-dup matches
+    # against previously-accepted batches (grown with the index; at
+    # scale this IS the stored corpus the index points into)
+    accepted_docs: DataFrame | None = None
 
     @classmethod
     def from_corpus(cls, corpus: DataFrame, **kw) -> "StreamingIngestDedup":
@@ -95,28 +108,48 @@ class StreamingIngestDedup:
         batch_df = batch_df.persist()
         try:
             fps = batch_df.select(idc, fingerprint_expr(txc, 8).alias("fp"))
+            # exact: vs the index, OR a later copy within this batch
+            # (keep-first by id — row_number over the batch's fp groups)
+            wfp = W.partitionBy("fp").orderBy(idc)
+            fps = fps.withColumn("_rn", F.row_number().over(wfp))
             exact_ids = (
                 fps.join(self.fp_index, "fp", "left_semi")
                 .select(idc)
+                .unionByName(fps.filter(F.col("_rn") > 1).select(idc))
+                .distinct()
                 .withColumn("_exact", F.lit(1))
             )
             new_bands = lsh_bands(
                 minhash_signatures(batch_df, txc, idc, k=self.k), idc, self.k, self.bands
             )
+            nb1 = new_bands.select(F.col(idc).alias("id1"), "band_idx", "band_hash")
+            # near candidates: vs the corpus index, plus EARLIER (lower
+            # id) docs of this same batch
             cand = (
-                new_bands.select(F.col(idc).alias("id1"), "band_idx", "band_hash")
-                .join(
+                nb1.join(
                     self.band_index.select(
                         F.col(idc).alias("id2"), "band_idx", "band_hash"
                     ),
                     ["band_idx", "band_hash"],
                 )
                 .select("id1", "id2")
+                .unionByName(
+                    nb1.join(
+                        new_bands.select(
+                            F.col(idc).alias("id2"), "band_idx", "band_hash"
+                        ),
+                        ["band_idx", "band_hash"],
+                    )
+                    .filter(F.col("id1") > F.col("id2"))
+                    .select("id1", "id2")
+                )
                 .distinct()
             )
             both = batch_df.select(idc, txc).unionByName(
                 self.corpus.select(idc, txc)
             )
+            if self.accepted_docs is not None:
+                both = both.unionByName(self.accepted_docs)
             near_ids = (
                 jaccard_verify(cand, both, txc, idc, threshold=self.threshold)
                 .select(F.col("id1").alias(idc))
@@ -151,6 +184,30 @@ class StreamingIngestDedup:
                         flagged.filter("_keep").drop("_keep", "_exact", "_near"),
                         batch_id,
                     )
+                if self.grow_index:
+                    # accepted docs join the index, so duplicates of an
+                    # accepted doc in LATER batches are rejected too.
+                    # localCheckpoint bounds the growing lineage; at
+                    # scale this is an append to the index files.
+                    kept_ids = flagged.filter("_keep").select(idc)
+                    self.fp_index = maybe_checkpoint(
+                        self.fp_index.unionByName(
+                            fps.join(kept_ids, idc, "left_semi").select("fp")
+                        ).distinct()
+                    )
+                    self.band_index = maybe_checkpoint(
+                        self.band_index.unionByName(
+                            new_bands.join(kept_ids, idc, "left_semi")
+                        )
+                    )
+                    kept_docs = (
+                        flagged.filter("_keep").select(idc, txc)
+                    )
+                    self.accepted_docs = maybe_checkpoint(
+                        kept_docs
+                        if self.accepted_docs is None
+                        else self.accepted_docs.unionByName(kept_docs)
+                    )
             finally:
                 flagged.unpersist()
         finally:
@@ -163,11 +220,6 @@ class StreamingIngestDedup:
         trigger_seconds: int = 5,
         available_now: bool = False,
     ) -> StreamingQuery:
-        w = docs.writeStream.foreachBatch(self.process_batch).outputMode("update")
-        if checkpoint:
-            w = w.option("checkpointLocation", checkpoint)
-        if available_now:
-            w = w.trigger(availableNow=True)
-        else:
-            w = w.trigger(processingTime=f"{trigger_seconds} seconds")
-        return w.start()
+        return attach_foreach_batch(
+            docs, self.process_batch, checkpoint, trigger_seconds, available_now
+        )

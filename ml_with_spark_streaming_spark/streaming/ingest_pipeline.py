@@ -18,6 +18,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from ml_with_spark_streaming_spark.streaming.foreach import attach_foreach_batch
+
 from ml_with_spark_streaming_spark.streaming.ingest_dedup import StreamingIngestDedup
 from ml_with_spark_streaming_spark.streaming.quality_filter import StreamingQualityFilter
 
@@ -35,6 +37,12 @@ class StreamingIngestPipeline:
     on_accepted: object = None
     ledger: list[dict] = field(default_factory=list)
 
+    def __post_init__(self) -> None:
+        # the pipeline drives both stages through their on_kept hooks;
+        # user-supplied stage hooks are preserved and still called
+        self._dedup_hook = self.dedup.on_kept
+        self._quality_hook = self.quality.on_kept
+
     @classmethod
     def build(
         cls,
@@ -43,9 +51,11 @@ class StreamingIngestPipeline:
         on_accepted: object = None,
         **dedup_kw,
     ) -> "StreamingIngestPipeline":
+        # both gates must read the same columns
+        col_kw = {k: dedup_kw[k] for k in ("id_col", "text_col") if k in dedup_kw}
         return cls(
             dedup=StreamingIngestDedup.from_corpus(corpus, **dedup_kw),
-            quality=StreamingQualityFilter(weights=weights),
+            quality=StreamingQualityFilter(weights=weights, **col_kw),
             on_accepted=on_accepted,
         )
 
@@ -55,11 +65,15 @@ class StreamingIngestPipeline:
         state: dict = {"n_in": batch_df.count()}
 
         def _after_dedup(kept_df: DataFrame, bid: int) -> None:
+            if self._dedup_hook is not None:
+                self._dedup_hook(kept_df, bid)
             state["n_after_dedup"] = kept_df.count()
             self.quality.on_kept = _after_quality
             self.quality.process_batch(kept_df, bid)
 
         def _after_quality(accepted_df: DataFrame, bid: int) -> None:
+            if self._quality_hook is not None:
+                self._quality_hook(accepted_df, bid)
             state["n_accepted"] = accepted_df.count()
             if self.on_accepted is not None:
                 self.on_accepted(accepted_df, bid)
@@ -82,11 +96,6 @@ class StreamingIngestPipeline:
         trigger_seconds: int = 5,
         available_now: bool = False,
     ) -> StreamingQuery:
-        w = docs.writeStream.foreachBatch(self.process_batch).outputMode("update")
-        if checkpoint:
-            w = w.option("checkpointLocation", checkpoint)
-        if available_now:
-            w = w.trigger(availableNow=True)
-        else:
-            w = w.trigger(processingTime=f"{trigger_seconds} seconds")
-        return w.start()
+        return attach_foreach_batch(
+            docs, self.process_batch, checkpoint, trigger_seconds, available_now
+        )

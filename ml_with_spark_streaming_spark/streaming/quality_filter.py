@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ml_with_spark_streaming_spark.streaming.foreach import attach_foreach_batch
+
 from ml_with_spark_streaming_spark.operators.quality_clf import (
     classifier_scores,
     feature_presence,
@@ -116,11 +118,6 @@ class StreamingQualityFilter:
         trigger_seconds: int = 5,
         available_now: bool = False,
     ) -> StreamingQuery:
-        w = docs.writeStream.foreachBatch(self.process_batch).outputMode("update")
-        if checkpoint:
-            w = w.option("checkpointLocation", checkpoint)
-        if available_now:
-            w = w.trigger(availableNow=True)
-        else:
-            w = w.trigger(processingTime=f"{trigger_seconds} seconds")
-        return w.start()
+        return attach_foreach_batch(
+            docs, self.process_batch, checkpoint, trigger_seconds, available_now
+        )

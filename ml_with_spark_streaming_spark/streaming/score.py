@@ -14,6 +14,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from ml_with_spark_streaming_spark.streaming.foreach import attach_foreach_batch
+
 from ml_with_spark_streaming_spark.functions.metrics import binary_metrics
 from ml_with_spark_streaming_spark.ml.registry import ModelRegistry
 from ml_with_spark_streaming_spark.streaming.train import prepare_batch
@@ -67,9 +69,4 @@ class StreamingScorer:
             if console and self.history:
                 print(f"[score batch {batch_id}] {self.history[-1]}")
 
-        return (
-            lines.writeStream.foreachBatch(_body)
-            .trigger(processingTime=f"{trigger_seconds} seconds")
-            .outputMode("update")
-            .start()
-        )
+        return attach_foreach_batch(lines, _body, trigger_seconds=trigger_seconds)

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ml_with_spark_streaming_spark.streaming.foreach import attach_foreach_batch
+
 from ml_with_spark_streaming_spark.functions.features import label_expr
 from ml_with_spark_streaming_spark.functions.metrics import binary_metrics_from_cells
 from ml_with_spark_streaming_spark.functions.text import (
@@ -251,11 +253,6 @@ class StreamingTrainer:
         available in rate-limited batches and then terminates — the
         backfill/cron-retrain mode the DStream design had no answer
         for."""
-        writer = lines.writeStream.foreachBatch(self.process_batch).outputMode("update")
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        else:
-            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-        if checkpoint:
-            writer = writer.option("checkpointLocation", checkpoint)
-        return writer.start()
+        return attach_foreach_batch(
+            lines, self.process_batch, checkpoint, trigger_seconds, available_now
+        )

@@ -82,3 +82,49 @@ def test_empty_batch_is_noop(spark):
     dd = StreamingIngestDedup.from_corpus(_corpus(spark))
     dd.process_batch(spark.createDataFrame([], "doc_id long, text string"), 0)
     assert dd.history == []
+
+
+def test_intra_and_cross_batch_duplicates_rejected(spark):
+    """The three dedup scopes beyond the corpus index: two copies of a
+    NOVEL doc in one batch admit only the first; a copy of an
+    accepted doc arriving in a LATER batch is rejected because the
+    index grew; near-dup of an accepted doc is rejected via the grown
+    band index + accepted-docs verify side."""
+    import json
+    import os
+    import tempfile
+
+    corpus = _corpus(spark)
+    kept = set()
+    dd = StreamingIngestDedup.from_corpus(
+        corpus,
+        threshold=0.9,
+        on_kept=lambda df, bid: kept.update(r["doc_id"] for r in df.collect()),
+    )
+    novel = " ".join("n" + w for w in _BASE)
+    near_novel = " ".join(["zz"] + ["n" + w for w in _BASE][1:])
+    batches = [
+        # batch 0: novel doc + byte-identical copy in the SAME batch
+        [(200, novel), (201, novel)],
+        # batch 1: another exact copy (cross-batch) + a near-dup of it
+        [(300, novel), (301, near_novel)],
+    ]
+    with tempfile.TemporaryDirectory() as root:
+        src = os.path.join(root, "in")
+        os.makedirs(src)
+        for i, rows in enumerate(batches):
+            with open(os.path.join(src, f"b{i}.jsonl"), "w") as f:
+                for doc_id, text in rows:
+                    f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        docs = (
+            spark.readStream.format("json")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        q = dd.attach(docs, checkpoint=os.path.join(root, "ckpt"), available_now=True)
+        q.awaitTermination()
+
+    assert kept == {200}
+    totals = {k: sum(h[k] for h in dd.history) for k in ("n_docs", "n_kept")}
+    assert totals["n_docs"] == 4 and totals["n_kept"] == 1
