@@ -55,6 +55,9 @@ from ml_with_spark_streaming_spark.operators.dedup import shingles_expr
 
 DEFAULT_SPAN_TOKENS = 50  # Lee et al. 2021 §3.1 production width
 
+# md5('') prefix — the kept-text fingerprint of a doc with no tokens
+_EMPTY_FP = "d41d8cd98f00b204"
+
 
 def _occ_key(doc_id, pos):
     """Total order over occurrences as a fixed-width string — min()
@@ -193,27 +196,39 @@ def apply_cuts(
         F.col("span_start").isNotNull().cast("int").alias("_cut"),
     )
     kept = F.when(F.col("_cut") == 0, F.struct(F.col("pos"), F.col("_tok")))
-    return (
-        flagged.groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum("_cut").cast("long").alias("n_cut_tokens"),
-            (F.count("*") - F.sum("_cut")).cast("long").alias("n_kept_tokens"),
-            F.substring(
-                F.md5(
-                    F.encode(
-                        F.concat_ws(
-                            " ",
-                            F.transform(
-                                F.array_sort(F.collect_list(kept)), lambda s: s["_tok"]
-                            ),
+    agg = flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("_cut").cast("long").alias("n_cut_tokens"),
+        (F.count("*") - F.sum("_cut")).cast("long").alias("n_kept_tokens"),
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(F.collect_list(kept)), lambda s: s["_tok"]
                         ),
-                        "UTF-8",
-                    )
-                ),
-                1,
-                16,
-            ).alias("kept_fp"),
+                    ),
+                    "UTF-8",
+                )
+            ),
+            1,
+            16,
+        ).alias("kept_fp"),
+    )
+    # docs whose cleaned text is EMPTY produce no token rows but must
+    # still appear (0 tokens, fingerprint of '') — q98's empty-doc
+    # convention, so pack/budget consumers reconcile against the full
+    # document spine
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_cut_tokens", F.lit(0)).cast("long").alias("n_cut_tokens"),
+            F.coalesce("n_kept_tokens", F.lit(0)).cast("long").alias("n_kept_tokens"),
+            F.coalesce("kept_fp", F.lit(_EMPTY_FP)).alias("kept_fp"),
         )
         .orderBy(id_col)
     )

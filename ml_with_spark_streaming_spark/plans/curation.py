@@ -1307,13 +1307,21 @@ fl AS (
          CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END AS cut
   FROM pt LEFT JOIN cutspans c
     ON c.doc_id = pt.doc_id AND pt.pos BETWEEN c.s AND c.e
+),
+perdoc AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         SUM(cut) AS n_cut_tokens,
+         substr(md5(coalesce(string_agg(CASE WHEN cut = 0 THEN tok END, ' ' ORDER BY pos), '')), 1, 16) AS kept_fp
+  FROM fl GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       CAST(SUM(cut) AS BIGINT) AS n_cut_tokens,
-       CAST(COUNT(*) - SUM(cut) AS BIGINT) AS n_kept_tokens,
-       substr(md5(coalesce(string_agg(CASE WHEN cut = 0 THEN tok END, ' ' ORDER BY pos), '')), 1, 16) AS kept_fp
-FROM fl GROUP BY doc_id ORDER BY doc_id
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_cut_tokens, 0) AS BIGINT) AS n_cut_tokens,
+       CAST(COALESCE(p.n_tokens - p.n_cut_tokens, 0) AS BIGINT) AS n_kept_tokens,
+       COALESCE(p.kept_fp, 'd41d8cd98f00b204') AS kept_fp
+FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
 """
 
 
@@ -1817,11 +1825,12 @@ perdoc AS (
 )
 SELECT d.lang, d.source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(CASE WHEN pd.n_cut > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cut,
-       CAST(SUM(pd.n_tokens) AS BIGINT) AS tokens_before,
-       CAST(SUM(pd.n_tokens - pd.n_cut) AS BIGINT) AS tokens_after,
-       {exact_round_div_sql('SUM(pd.n_tokens - pd.n_cut)', 'SUM(pd.n_tokens)')} AS kept_frac
-FROM perdoc pd JOIN documents d ON d.doc_id = pd.doc_id
+       CAST(SUM(CASE WHEN COALESCE(pd.n_cut, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cut,
+       CAST(COALESCE(SUM(pd.n_tokens), 0) AS BIGINT) AS tokens_before,
+       CAST(COALESCE(SUM(pd.n_tokens - pd.n_cut), 0) AS BIGINT) AS tokens_after,
+       CASE WHEN COALESCE(SUM(pd.n_tokens), 0) = 0 THEN 1.0
+            ELSE {exact_round_div_sql('SUM(pd.n_tokens - pd.n_cut)', 'SUM(pd.n_tokens)')} END AS kept_frac
+FROM documents d LEFT JOIN perdoc pd ON pd.doc_id = d.doc_id
 GROUP BY d.lang, d.source
 ORDER BY d.lang, d.source
 """
@@ -1852,7 +1861,10 @@ def q120_substring_dedup_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("n_cut_tokens") > 0).cast("long")).alias("n_docs_cut"),
             F.sum("n_tokens").cast("long").alias("tokens_before"),
             F.sum("n_kept_tokens").cast("long").alias("tokens_after"),
-            exact_round_div(F.sum("n_kept_tokens"), F.sum("n_tokens")).alias("kept_frac"),
+            # all-empty group: nothing to remove -> kept_frac 1.0
+            F.when(F.sum("n_tokens") == 0, F.lit(1.0))
+            .otherwise(exact_round_div(F.sum("n_kept_tokens"), F.sum("n_tokens")))
+            .alias("kept_frac"),
         )
         .orderBy("lang", "source")
     )
@@ -1990,9 +2002,13 @@ fl AS (
   FROM p LEFT JOIN cutspans c
     ON c.doc_id = p.doc_id AND p.pos BETWEEN c.s AND c.e
 ),
-nk AS (
+nk0 AS (
   SELECT doc_id, COUNT(*) - SUM(cut) AS n_tokens
   FROM fl GROUP BY doc_id
+),
+nk AS (
+  SELECT d.doc_id, COALESCE(x.n_tokens, 0) AS n_tokens
+  FROM documents d LEFT JOIN nk0 x ON x.doc_id = d.doc_id
 ),
 cm AS (
   SELECT doc_id, n_tokens,

@@ -151,3 +151,17 @@ def test_apply_cuts_layout_independent(spark):
     # internal consistency: kept = total - cut on every row
     for (_, n, cut, kept, _fp) in got_a:
         assert kept == n - cut
+
+
+def test_apply_cuts_emits_empty_clean_docs(spark):
+    """A doc whose text cleans to nothing (digits/punct only) still
+    appears with 0 tokens and the fingerprint of '' — q98's empty-doc
+    convention, so pack/budget consumers reconcile against the full
+    document spine."""
+    df = spark.createDataFrame(
+        [(0, _doc(_W[0:8])), (1, "123 456 !!!")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in apply_cuts(df, k=4).collect()}
+    assert set(out) == {0, 1}
+    assert (out[1].n_tokens, out[1].n_cut_tokens, out[1].n_kept_tokens) == (0, 0, 0)
+    assert out[1].kept_fp == hashlib.md5(b"").hexdigest()[:16]
