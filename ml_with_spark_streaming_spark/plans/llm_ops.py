@@ -457,3 +457,59 @@ def q123_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cent_id")
     )
+
+
+@query("q126_ann_recall")  # rows-only: the IVF side is approximate by construction
+def q126_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation as a query: recall@10 of the IVF ANN
+    index (q106's real-KMeans fit) against exact brute-force top-10
+    (q53's oracle-checked formulation), per query and summarized — the
+    number a production pipeline monitors when it tunes
+    n_centroids/nprobe or decides an index rebuild.
+
+    Plan: both sides restricted to the same query slice; exact side is
+    the broadcast fan-out + partial top-k, IVF side the centroid-probe
+    plumbing; recall is one inner join on (q_id, neighbor) + two
+    grouped counts. Scores never cross the boundary — only integer
+    hit counts and a 4-decimal exact rational recall."""
+    from ml_with_spark_streaming_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from ml_with_spark_streaming_spark.operators.textstats import exact_round_div
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = maybe_checkpoint(
+        brute_force_topk(queries, e, k=10).select("q_id", "vec_id")
+    )
+    cents = kmeans_centroids(e, n_centroids=16, c_vec="embedding", seed=42)
+    approx = maybe_checkpoint(
+        ivf_topk(queries, e, k=10, n_centroids=16, nprobe=4, centroids=cents).select(
+            "q_id", "vec_id"
+        )
+    )
+    hits = exact.join(approx, ["q_id", "vec_id"], "left_semi")
+    per_q = (
+        exact.groupBy("q_id")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .join(
+            hits.groupBy("q_id").agg(F.count("*").cast("long").alias("n_hit")),
+            "q_id",
+            "left",
+        )
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    return per_q.select(
+        "q_id",
+        "n_exact",
+        "n_hit",
+        exact_round_div(F.col("n_hit"), F.col("n_exact")).alias("recall_at_10"),
+    ).orderBy("q_id")

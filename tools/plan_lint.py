@@ -225,6 +225,12 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "plus q98's bucket-totals/offset branches all read checkpoint-materialized "
         "tables at runtime — one tokenize pass, then the 24-byte/doc length table",
     ),
+    "q126_ann_recall": (
+        frozenset({"DupFactScan", "CartesianProduct"}),
+        "evaluation harness: exact side (q53's waived broadcast fan-out) and IVF side "
+        "(q106's waived centroid/probe roles) both read embeddings by design; the two "
+        "top-10 tables are checkpoint-materialized before the recall join at runtime",
+    ),
     "q101_decontaminate": (
         frozenset({"DupFactScan"}),
         "eval set is derived from the corpus table only in testdata (doc_id % 97 slice); "
