@@ -108,3 +108,46 @@ def test_bpe_properties_on_generated_text():
         assert all(len(c) >= 1 for c in chunks)
 
     check()
+
+
+def test_exact_substr_invariants_on_generated_corpora(spark):
+    """Cross-operator invariants of the ExactSubstr stage on randomly
+    generated duplicate-heavy corpora (tiny vocab forces shared
+    shingles): spans are disjoint and >= k wide per doc; per doc,
+    apply_cuts' n_cut_tokens equals the total width of its cut spans;
+    kept + cut = total; every count is within the doc length."""
+    from ml_with_spark_streaming_spark.operators.exact_substr import (
+        apply_cuts,
+        duplicate_spans,
+    )
+
+    rnd = random.Random(17)
+    vocab = ["w" + c for c in string.ascii_lowercase[:6]]
+    k = 4
+    for trial in range(3):
+        rows = [
+            (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(0, 25))))
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        spans = duplicate_spans(df, k=k).collect()
+        by_doc: dict[int, list] = {}
+        for r in spans:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc, ss in by_doc.items():
+            ss.sort(key=lambda r: r.span_start)
+            for r in ss:
+                assert r.n_dup_tokens >= k
+                assert r.span_end - r.span_start + 1 == r.n_dup_tokens
+            for a, b in zip(ss, ss[1:]):
+                assert b.span_start > a.span_end + 1, (trial, doc)  # disjoint, non-adjacent
+        cuts = {r.doc_id: r for r in apply_cuts(df, k=k).collect()}
+        n_tokens = {i: len(t.split()) if t else 0 for i, t in rows}
+        assert set(cuts) == set(n_tokens)
+        for doc, r in cuts.items():
+            assert r.n_tokens == n_tokens[doc], (trial, doc)
+            assert r.n_kept_tokens == r.n_tokens - r.n_cut_tokens
+            want_cut = sum(
+                s.n_dup_tokens for s in by_doc.get(doc, []) if s.cut == 1
+            )
+            assert r.n_cut_tokens == want_cut, (trial, doc)
