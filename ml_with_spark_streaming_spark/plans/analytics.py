@@ -509,3 +509,82 @@ def q122_crossmodal_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("doc_id").isNull(), 1)).cast("long").alias("n_orphan_vec_ids"),
         F.count(F.when(F.col("n_rows") > 1, 1)).cast("long").alias("n_dup_vec_ids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q127 — integer-exact daily volume anomalies (z^2 threshold, no floats)
+# ---------------------------------------------------------------------------
+
+# |z| >= 2 rewritten WITHOUT any division or sqrt: with per-type daily
+# counts x, S = Σx, Q = Σx² over n days,
+#   z² = (n·x − S)² / (n·Q − S²)   →   flag ⟺ (n·x − S)² >= 4·(n·Q − S²)
+# — a pure BIGINT comparison both engines evaluate identically. The
+# surfaced z²·10⁴ is the same rational, integer-DIV HALF-UP.
+Q127_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS q
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type,
+       strftime(d.day, '%Y-%m-%d') AS day,
+       d.x AS n_events,
+       CAST(CASE WHEN st.n * st.q - st.s * st.s = 0 THEN 0
+            ELSE ((st.n * d.x - st.s) * (st.n * d.x - st.s) * 20000 + (st.n * st.q - st.s * st.s))
+                 // (2 * (st.n * st.q - st.s * st.s)) END AS BIGINT) AS z2_x1e4,
+       CAST(CASE WHEN (st.n * d.x - st.s) * (st.n * d.x - st.s) >= 4 * (st.n * st.q - st.s * st.s)
+                  AND st.n * st.q - st.s * st.s > 0
+            THEN 1 ELSE 0 END AS INT) AS anomaly
+FROM daily d JOIN st USING (event_type)
+ORDER BY d.event_type, day
+"""
+
+
+@query("q127_daily_anomalies", Q127_SQL)
+def q127_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection over the event stream's daily counts —
+    the ops-monitoring query behind every ingestion dashboard: per
+    (event_type, day), the count, its squared z-score vs that type's
+    own distribution, and an |z| >= 2 flag.
+
+    Engine-exact with ZERO floats: the z² threshold is rewritten as
+    the pure-integer comparison (n·x − S)² >= 4·(n·Q − S²) (see
+    Q127_SQL derivation) and the surfaced z²·10⁴ is an integer-DIV
+    rational — no division, sqrt, or float sum anywhere, so the flags
+    are bit-identical at any partition layout.
+
+    Plan: one scan → (type, day) count (map-side combine) → per-type
+    moment aggregate (group-count-sized) broadcast back onto the daily
+    spine. Two narrow shuffles at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    daily = maybe_checkpoint(daily)
+    st = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    return (
+        daily.join(F.broadcast(st), "event_type")
+        .selectExpr(
+            "event_type",
+            "date_format(day, 'yyyy-MM-dd') AS day",
+            "x AS n_events",
+            "CAST(CASE WHEN n*q - s*s = 0 THEN 0"
+            " ELSE ((n*x - s) * (n*x - s) * 20000 + (n*q - s*s)) DIV (2 * (n*q - s*s)) END AS LONG) AS z2_x1e4",
+            "CAST(CASE WHEN (n*x - s) * (n*x - s) >= 4 * (n*q - s*s) AND n*q - s*s > 0"
+            " THEN 1 ELSE 0 END AS INT) AS anomaly",
+        )
+        .orderBy("event_type", "day")
+    )

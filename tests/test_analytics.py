@@ -144,3 +144,36 @@ def test_quantile_profile_within_rank_error(spark):
             lo = vals[max(0, int((q - eps) * n) - 1)]
             hi = vals[min(n - 1, int((q + eps) * n) + 1)]
             assert lo - 1e-4 <= approx <= hi + 1e-4, (col, name, approx, lo, hi)
+
+
+def test_daily_anomalies_integer_threshold(spark, tmp_path):
+    """q127's |z| >= 2 flag on a crafted series: 9 quiet days at 10
+    events and one 100-event spike — the spike (and only the spike)
+    flags, and z2_x1e4 matches the hand-computed rational."""
+    import os
+
+    from ml_with_spark_streaming_spark.plans.analytics import q127_daily_anomalies
+
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        n = 100 if d == 10 else 10
+        for i in range(n):
+            rows.append((eid, dt.datetime(2024, 3, d, 1 + (i % 20), 0, 0), 1, "ping", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double, props: string"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.day: r for r in q127_daily_anomalies(spark, d).collect()}
+    assert len(got) == 10
+    # n=10 days, S=190, Q=9*100+10000=10900; nQ-S^2=109000-36100=72900
+    # spike: (10*100-190)^2 = 810^2 = 656100 -> z^2 = 9.0; quiet:
+    # (10*10-190)^2 = 8100 -> z^2 = 0.1111
+    assert got["2024-03-10"].anomaly == 1
+    assert got["2024-03-10"].z2_x1e4 == 90000
+    for day in (f"2024-03-{i:02d}" for i in range(1, 10)):
+        assert got[day].anomaly == 0
+        assert got[day].z2_x1e4 == 1111

@@ -100,6 +100,12 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
     "q90_dedup_clusters": (frozenset({"DupFactScan"}), "two-pass LSH: signature pass + candidate-verify pass (verify side semi-filtered to candidate ids)"),
     "q91_repetition_signals": (frozenset({"DupFactScan"}), "tagged gram-explode pass + per-doc base-stats pass: two aggregate lineages over text"),
     "q93_curation_pipeline": (frozenset({"DupFactScan"}), "composed pipeline: dedup LSH pass, repetition pass, metadata pass are separate aggregate lineages; doc_id-only scans are column-pruned"),
+    "q127_daily_anomalies": (
+        frozenset({"DupFactScan"}),
+        "visible only under SPARK_GRAFT_NO_CHECKPOINT: the per-type moment aggregate and "
+        "the daily spine share one maybe_checkpoint-materialized (type, day, count) "
+        "table at runtime — one events scan",
+    ),
     "q96_gapfill_resample": (frozenset({"DupFactScan"}), "1-row ts-bounds + type-list grid branch; pruned scan"),
     "q98_sequence_packing": (frozenset({"DupFactScan"}), "visible only under SPARK_GRAFT_NO_CHECKPOINT: bucket totals and offset join share one maybe_checkpoint-materialized length table at runtime"),
     "q99_embedding_dedup_clusters": (frozenset({"DupFactScan"}), "edge stage a/b roles of embeddings"),
