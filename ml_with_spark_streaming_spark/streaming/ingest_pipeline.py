@@ -1,14 +1,16 @@
-"""The composed ingest pipeline: dedup gate -> quality gate, per
-micro-batch — the full accept/reject path a production corpus runs at
-the door (novelty first, so the quality model never scores documents
-that are about to be discarded as duplicates; both gates are the
-EXACT batch operators, so stream verdicts equal batch verdicts).
+"""The composed ingest pipeline: dedup -> decontaminate -> quality,
+per micro-batch — the full accept/reject path a production corpus runs
+at the door (novelty first, so later gates never score documents about
+to be discarded as duplicates; benchmark overlap second; quality last;
+all three gates are the EXACT batch operators, so stream verdicts
+equal batch verdicts).
 
 Composes ``StreamingIngestDedup`` (q105's gates against the corpus
-fingerprint/band indexes) with ``StreamingQualityFilter`` (the frozen
-q112 weight table). Each stage keeps its own per-batch history; the
-pipeline adds a combined ledger row per batch:
-(n_in, n_after_dedup, n_accepted).
+fingerprint/band indexes), an optional
+``StreamingDecontaminationFilter`` (q101's 13-gram eval overlap), and
+``StreamingQualityFilter`` (the frozen q112 weight table). Each stage
+keeps its own per-batch history; the pipeline adds a combined ledger
+row per batch: (n_in, n_after_dedup, n_after_decon, n_accepted).
 """
 
 from __future__ import annotations
@@ -18,29 +20,35 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from ml_with_spark_streaming_spark.streaming.decon_filter import (
+    StreamingDecontaminationFilter,
+)
 from ml_with_spark_streaming_spark.streaming.foreach import attach_foreach_batch
-
 from ml_with_spark_streaming_spark.streaming.ingest_dedup import StreamingIngestDedup
 from ml_with_spark_streaming_spark.streaming.quality_filter import StreamingQualityFilter
 
 
 @dataclass
 class StreamingIngestPipeline:
-    """Chain the dedup and quality gates over one document stream.
+    """Chain the dedup, (optional) decontamination, and quality gates
+    over one document stream.
 
-    ``on_accepted`` receives each batch's fully-accepted slice (novel
-    AND high-quality) — the write-to-storage hook.
+    ``on_accepted`` receives each batch's fully-accepted slice (novel,
+    clean of eval overlap, AND high-quality) — the write-to-storage
+    hook.
     """
 
     dedup: StreamingIngestDedup
     quality: StreamingQualityFilter
+    decon: StreamingDecontaminationFilter | None = None
     on_accepted: object = None
     ledger: list[dict] = field(default_factory=list)
 
     def __post_init__(self) -> None:
-        # the pipeline drives both stages through their on_kept hooks;
+        # the pipeline drives the stages through their on_kept hooks;
         # user-supplied stage hooks are preserved and still called
         self._dedup_hook = self.dedup.on_kept
+        self._decon_hook = self.decon.on_kept if self.decon is not None else None
         self._quality_hook = self.quality.on_kept
 
     @classmethod
@@ -48,14 +56,24 @@ class StreamingIngestPipeline:
         cls,
         corpus: DataFrame,
         weights: list[tuple[str, int]],
+        eval_corpus: DataFrame | None = None,
         on_accepted: object = None,
         **dedup_kw,
     ) -> "StreamingIngestPipeline":
-        # both gates must read the same columns
+        # all gates must read the same columns
         col_kw = {k: dedup_kw[k] for k in ("id_col", "text_col") if k in dedup_kw}
+        decon = (
+            StreamingDecontaminationFilter.from_eval_corpus(
+                eval_corpus, text_col=col_kw.get("text_col", "text"),
+                id_col=col_kw.get("id_col", "doc_id"),
+            )
+            if eval_corpus is not None
+            else None
+        )
         return cls(
             dedup=StreamingIngestDedup.from_corpus(corpus, **dedup_kw),
             quality=StreamingQualityFilter(weights=weights, **col_kw),
+            decon=decon,
             on_accepted=on_accepted,
         )
 
@@ -68,8 +86,18 @@ class StreamingIngestPipeline:
             if self._dedup_hook is not None:
                 self._dedup_hook(kept_df, bid)
             state["n_after_dedup"] = kept_df.count()
+            if self.decon is not None:
+                self.decon.on_kept = _after_decon
+                self.decon.process_batch(kept_df, bid)
+            else:
+                _after_decon(kept_df, bid, ran_decon=False)
+
+        def _after_decon(clean_df: DataFrame, bid: int, ran_decon: bool = True) -> None:
+            if ran_decon and self._decon_hook is not None:
+                self._decon_hook(clean_df, bid)
+            state["n_after_decon"] = clean_df.count()
             self.quality.on_kept = _after_quality
-            self.quality.process_batch(kept_df, bid)
+            self.quality.process_batch(clean_df, bid)
 
         def _after_quality(accepted_df: DataFrame, bid: int) -> None:
             if self._quality_hook is not None:
@@ -85,6 +113,7 @@ class StreamingIngestPipeline:
                 "batch_id": batch_id,
                 "n_in": state.get("n_in", 0),
                 "n_after_dedup": state.get("n_after_dedup", 0),
+                "n_after_decon": state.get("n_after_decon", 0),
                 "n_accepted": state.get("n_accepted", 0),
             }
         )

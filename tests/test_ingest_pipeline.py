@@ -65,3 +65,56 @@ def test_pipeline_composes_both_gates(spark):
     # stage histories stay coherent with the ledger
     assert pipe.dedup.history[0]["n_kept"] == 2
     assert pipe.quality.history[0]["n_kept"] == 1
+
+
+def test_pipeline_with_decontamination_gate(spark):
+    """Three-gate pipeline: a doc sharing a 13-gram with the eval set
+    is rejected between dedup and quality; the ledger tracks each
+    stage's survivor count."""
+    corpus = _docs(spark)
+    frozen = freeze_weights(
+        classifier_weights(feature_presence(corpus), heuristic_labels(corpus))
+    )
+    bench = " ".join(f"bench{chr(97 + i)}" for i in range(13))  # the eval 13-gram
+    eval_corpus = spark.createDataFrame(
+        [(9000, f"intro {bench} outro")], "doc_id long, text string"
+    )
+    hi = " ".join(_HI_WORDS[(3 + j) % len(_HI_WORDS)] for j in range(40))
+    batch = [
+        # novel, high-quality, but embeds the eval 13-gram -> decon reject
+        (1100, f"{hi} {bench}"),
+        # novel, clean, high-quality -> accepted (distinct 8-token
+        # prefix, or the intra-batch exact gate would collapse the two)
+        (1101, "spectra " + hi),
+    ]
+
+    accepted: set[int] = set()
+    pipe = StreamingIngestPipeline.build(
+        corpus,
+        frozen,
+        eval_corpus=eval_corpus,
+        threshold=0.9,
+        on_accepted=lambda df, bid: accepted.update(r["doc_id"] for r in df.collect()),
+    )
+
+    with tempfile.TemporaryDirectory() as root:
+        src = os.path.join(root, "in")
+        os.makedirs(src)
+        with open(os.path.join(src, "b0.jsonl"), "w") as f:
+            for doc_id, text in batch:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        docs = (
+            spark.readStream.format("json")
+            .schema("doc_id long, text string")
+            .load(src)
+        )
+        q = pipe.attach(docs, checkpoint=os.path.join(root, "ckpt"), available_now=True)
+        q.awaitTermination()
+
+    assert accepted == {1101}
+    row = pipe.ledger[0]
+    assert row["n_in"] == 2
+    assert row["n_after_dedup"] == 2  # both novel
+    assert row["n_after_decon"] == 1  # 1100 overlaps the eval set
+    assert row["n_accepted"] == 1
+    assert pipe.decon.history[0]["n_contaminated"] == 1
