@@ -101,6 +101,35 @@ class StreamingIngestDedup:
         fp_index, band_index = build_corpus_index(corpus, **idx_kw)
         return cls(corpus=corpus, fp_index=fp_index, band_index=band_index, **kw)
 
+    def save_index(self, path: str) -> None:
+        """Persist the (possibly grown) index artifacts as parquet —
+        the durable form a restarted gate resumes from, written after
+        a drop completes so accepted docs' entries survive. The grown
+        ``accepted_docs`` table is included (it is the verify side for
+        near-dup checks against accepted content)."""
+        self.fp_index.write.mode("overwrite").parquet(f"{path}/fp_index")
+        self.band_index.write.mode("overwrite").parquet(f"{path}/band_index")
+        acc = self.accepted_docs
+        if acc is None:
+            acc = self.corpus.select(self.id_col, self.text_col).limit(0)
+        acc.write.mode("overwrite").parquet(f"{path}/accepted_docs")
+
+    @classmethod
+    def from_index_path(
+        cls, spark, corpus: DataFrame, path: str, **kw
+    ) -> "StreamingIngestDedup":
+        """Resume a gate from persisted index artifacts (``save_index``)
+        — no corpus rescan; the signature/fingerprint passes happened
+        when the index was built."""
+        accepted = spark.read.parquet(f"{path}/accepted_docs")
+        return cls(
+            corpus=corpus,
+            fp_index=spark.read.parquet(f"{path}/fp_index"),
+            band_index=spark.read.parquet(f"{path}/band_index"),
+            accepted_docs=None if accepted.isEmpty() else accepted,
+            **kw,
+        )
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return

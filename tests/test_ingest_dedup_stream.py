@@ -128,3 +128,30 @@ def test_intra_and_cross_batch_duplicates_rejected(spark):
     assert kept == {200}
     totals = {k: sum(h[k] for h in dd.history) for k in ("n_docs", "n_kept")}
     assert totals["n_docs"] == 4 and totals["n_kept"] == 1
+
+
+def test_index_persistence_roundtrip(spark, tmp_path):
+    """A gate resumed from persisted index artifacts rejects a copy of
+    a doc ACCEPTED before the save — the restart-survivable index
+    story (no corpus rescan on resume)."""
+    corpus = _corpus(spark)
+    dd = StreamingIngestDedup.from_corpus(corpus, threshold=0.9)
+    novel = " ".join("p" + w for w in _BASE)
+    dd.process_batch(
+        spark.createDataFrame([(400, novel)], "doc_id long, text string"), 0
+    )
+    assert dd.history[0]["n_kept"] == 1
+    idx = str(tmp_path / "idx")
+    dd.save_index(idx)
+
+    dd2 = StreamingIngestDedup.from_index_path(spark, corpus, idx, threshold=0.9)
+    dd2.process_batch(
+        spark.createDataFrame(
+            [(500, novel), (501, " ".join("q" + w for w in _BASE))],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    h = dd2.history[0]
+    assert h["n_exact"] == 1  # the copy of accepted doc 400
+    assert h["n_kept"] == 1  # doc 501 is genuinely new
