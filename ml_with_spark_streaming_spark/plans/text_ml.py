@@ -608,3 +608,103 @@ def q124_bm25_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_BM25_QUERIES), "query_id long, term string"
     )
     return bm25_topk_batch(d, queries, k=5).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# q128 — winnowing-overlap near-dup pairs (MOSS-style candidate generator)
+# ---------------------------------------------------------------------------
+
+_WINNOW_MAX_DF = 20  # stop-fingerprint cap: drop fps shared by > max_df docs
+_WINNOW_MIN_SHARED = 5  # report pairs sharing >= this many rare fingerprints
+
+Q128_SQL = f"""
+WITH c AS (
+  SELECT doc_id, {CLEAN_SQL} AS s FROM documents
+),
+pos AS (
+  SELECT doc_id, i, substr(s, CAST(i AS INT), 8) AS wstr
+  FROM c, UNNEST(generate_series(1, greatest(length(s) - 7, 0))) AS t(i)
+),
+h AS (
+  SELECT doc_id, i,
+         list_reduce(
+           list_transform(generate_series(1, 8), j -> ord(substr(wstr, CAST(j AS INT), 1))),
+           (acc, ch) -> (CAST(acc AS BIGINT) * 31 + ch) % 2147483647
+         ) AS hh
+  FROM pos
+),
+fp AS (
+  SELECT DISTINCT doc_id, f FROM (
+    SELECT doc_id, i,
+           MIN(hh) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS f
+    FROM h
+  ) q WHERE i >= 4
+),
+rare AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= {_WINNOW_MAX_DF}),
+fpr AS (SELECT fp.doc_id, fp.f FROM fp JOIN rare USING (f)),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fpr GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM fpr a JOIN fpr b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+)
+SELECT s.id1, s.id2, s.n_shared,
+       {exact_round_div_sql('s.n_shared', 'least(z1.n_fp, z2.n_fp)')} AS overlap
+FROM shared s
+JOIN sz z1 ON z1.doc_id = s.id1
+JOIN sz z2 ON z2.doc_id = s.id2
+ORDER BY s.id1, s.id2
+"""
+
+
+@query("q128_winnowing_pairs", Q128_SQL)
+def q128_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-overlap near-dup candidates (MOSS, Schleimer et al.
+    SIGMOD'03) — the rolling-hash modality of the dedup family,
+    complementary to MinHash (token sets) and SimHash (bit sketches):
+    two docs sharing any substring of length >= k+w-1 chars share a
+    fingerprint, so shared-fingerprint counts find copied PASSAGES
+    even across reordered documents. Pairs are generated only inside
+    fingerprint buckets, with the standard stop-fingerprint cap
+    (fps appearing in > max_df docs are dropped — the hot-bucket
+    quadratic guard, exactly the stopword trick): never all-pairs.
+
+    overlap = n_shared / min(|fp set|) is the containment-style score
+    (exact 4-decimal rational). Fully DuckDB-oracled — the rolling
+    hash is plain integer arithmetic in both engines."""
+    from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
+    from ml_with_spark_streaming_spark.operators.textstats import winnowing_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = maybe_checkpoint(winnowing_fingerprints(d, "text", "doc_id", k=8, w=4))
+    rare = fps.groupBy("fp").agg(F.count("*").alias("_d")).filter(
+        F.col("_d") <= _WINNOW_MAX_DF
+    ).select("fp")
+    fpr = maybe_checkpoint(fps.join(rare, "fp", "left_semi"))
+    sz = fpr.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fp"))
+    a = fpr.select(F.col("doc_id").alias("id1"), "fp")
+    b = fpr.select(F.col("doc_id").alias("id2"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
+    z1 = sz.select(F.col("doc_id").alias("id1"), F.col("n_fp").alias("n1"))
+    z2 = sz.select(F.col("doc_id").alias("id2"), F.col("n_fp").alias("n2"))
+    from ml_with_spark_streaming_spark.operators.textstats import exact_round_div
+
+    return (
+        shared.join(z1, "id1")
+        .join(z2, "id2")
+        .select(
+            "id1",
+            "id2",
+            "n_shared",
+            exact_round_div(F.col("n_shared"), F.least("n1", "n2")).alias("overlap"),
+        )
+        .orderBy("id1", "id2")
+    )

@@ -90,3 +90,29 @@ def test_mllib_minhash_agrees_with_exact_jaccard(docs):
     assert (1, 4) in got and got[(1, 4)] == 1.0
     for pair, j in got.items():
         assert exact[pair] == pytest.approx(j, abs=1e-4)
+
+
+def test_winnowing_pairs_find_copied_passage(spark, tmp_path):
+    """q128 semantics: two docs sharing a long copied passage (but
+    otherwise disjoint) surface as a pair; unrelated docs don't."""
+    import os
+
+    from ml_with_spark_streaming_spark.plans.text_ml import q128_winnowing_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        (0, passage + "alpha beta gamma delta epsilon zeta"),
+        (1, "eta theta iota kappa lambading mu " + passage),
+        (2, "completely different words that share nothing with others whatsoever here"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {(r.id1, r.id2): r for r in q128_winnowing_pairs(spark, d).collect()}
+    assert (0, 1) in got
+    assert got[(0, 1)].overlap > 0.5  # the shared passage dominates both fp sets
+    assert not any(2 in p for p in got)

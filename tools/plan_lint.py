@@ -237,6 +237,13 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "(q106's waived centroid/probe roles) both read embeddings by design; the two "
         "top-10 tables are checkpoint-materialized before the recall join at runtime",
     ),
+    "q128_winnowing_pairs": (
+        frozenset({"DupFactScan"}),
+        "visible only under SPARK_GRAFT_NO_CHECKPOINT: the rare-fp filter, pair self-join "
+        "a/b roles, and both size joins all read TWO maybe_checkpoint-materialized tables "
+        "at runtime (fps, then the rare-filtered fpr) — one documents scan, one "
+        "winnowing pass",
+    ),
     "q101_decontaminate": (
         frozenset({"DupFactScan"}),
         "eval set is derived from the corpus table only in testdata (doc_id % 97 slice); "
