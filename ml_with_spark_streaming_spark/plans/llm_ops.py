@@ -513,3 +513,52 @@ def q126_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit",
         exact_round_div(F.col("n_hit"), F.col("n_exact")).alias("recall_at_10"),
     ).orderBy("q_id")
+
+
+@query("q129_ivf_nprobe_sweep")  # rows-only: approximate by construction
+def q129_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning table: recall@10 vs nprobe (1/2/4/8) against the
+    exact brute-force baseline, one row per setting — what an index
+    operator reads to pick the recall/cost point (q126 measures the
+    chosen config; this query is how it gets chosen).
+
+    The KMeans fit and the exact baseline are computed ONCE and
+    shared across the sweep (checkpointed); each sweep point re-probes
+    only. Recall is summed integer hits over summed exact neighbors —
+    exact rational, driver-narrow."""
+    from ml_with_spark_streaming_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from ml_with_spark_streaming_spark.operators.textstats import exact_round_div
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = maybe_checkpoint(
+        brute_force_topk(queries, e, k=10).select("q_id", "vec_id")
+    )
+    cents = maybe_checkpoint(
+        kmeans_centroids(e, n_centroids=16, c_vec="embedding", seed=42)
+    )
+    rows = []
+    for nprobe in (1, 2, 4, 8):
+        approx = ivf_topk(
+            queries, e, k=10, n_centroids=16, nprobe=nprobe, centroids=cents
+        ).select("q_id", "vec_id")
+        stats = (
+            exact.join(approx, ["q_id", "vec_id"], "left_semi")
+            .agg(F.count("*").cast("long").alias("n_hit"))
+            .crossJoin(exact.agg(F.count("*").cast("long").alias("n_exact")))
+            .collect()[0]
+        )
+        rows.append((nprobe, int(stats["n_exact"]), int(stats["n_hit"])))
+    out = spark.createDataFrame(rows, "nprobe long, n_exact long, n_hit long")
+    return out.select(
+        "nprobe",
+        "n_exact",
+        "n_hit",
+        exact_round_div(F.col("n_hit"), F.col("n_exact")).alias("recall_at_10"),
+    ).orderBy("nprobe")

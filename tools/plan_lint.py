@@ -244,6 +244,12 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "at runtime (fps, then the rare-filtered fpr) — one documents scan, one "
         "winnowing pass",
     ),
+    "q129_ivf_nprobe_sweep": (
+        frozenset({"DupFactScan", "CartesianProduct"}),
+        "q126's waived evaluation shape swept over nprobe: the returned table is a "
+        "4-row driver-built summary; the per-point plans reuse ONE checkpointed exact "
+        "baseline + centroid fit (the lint sees the final tiny DataFrame only)",
+    ),
     "q101_decontaminate": (
         frozenset({"DupFactScan"}),
         "eval set is derived from the corpus table only in testdata (doc_id % 97 slice); "
