@@ -512,30 +512,46 @@ def q122_crossmodal_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q127 — integer-exact daily volume anomalies (z^2 threshold, no floats)
+# q127 — exact daily volume anomalies (z^2 threshold, no floats)
 # ---------------------------------------------------------------------------
 
-# |z| >= 2 rewritten WITHOUT any division or sqrt: with per-type daily
-# counts x, S = Σx, Q = Σx² over n days,
+# |z| >= 2 rewritten WITHOUT division, sqrt, or floats: with per-type
+# daily counts x over a DENSE day grid (zero-event days included — an
+# outage is the anomaly a volume monitor most needs to see), n days,
+# S = Σx, Q = Σx²:
 #   z² = (n·x − S)² / (n·Q − S²)   →   flag ⟺ (n·x − S)² >= 4·(n·Q − S²)
-# — a pure BIGINT comparison both engines evaluate identically. The
-# surfaced z²·10⁴ is the same rational, integer-DIV HALF-UP.
+# Moments run in 128-bit exact integers (Spark DECIMAL(38,0) / DuckDB
+# HUGEINT — S² alone exceeds int64 once a type logs ~3e9 events, where
+# non-ANSI Spark would wrap silently while DuckDB errors); only the
+# BIGINT-safe day count, z²·10⁴, and flag cross the boundary. The
+# HALF-UP division is the exact identity (a − a % b) / b on decimals
+# (Spark's DIV is integral-only), `//` on HUGEINT in DuckDB.
 Q127_SQL = """
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
-  FROM events WHERE ts IS NOT NULL
-  GROUP BY 1, 2
+WITH ev AS (
+  SELECT event_type, date_trunc('day', ts) AS day FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+grid AS (
+  SELECT t.event_type, g.day
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL '1 day')) AS day FROM bounds) g
+),
+cnt AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x FROM ev GROUP BY 1, 2),
+daily AS (
+  SELECT g.event_type, g.day, CAST(COALESCE(c.x, 0) AS HUGEINT) AS x
+  FROM grid g LEFT JOIN cnt c ON c.event_type = g.event_type AND c.day = g.day
 ),
 st AS (
   SELECT event_type,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(x) AS BIGINT) AS s,
-         CAST(SUM(x * x) AS BIGINT) AS q
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS s,
+         CAST(SUM(x * x) AS HUGEINT) AS q
   FROM daily GROUP BY 1
 )
 SELECT d.event_type,
        strftime(d.day, '%Y-%m-%d') AS day,
-       d.x AS n_events,
+       CAST(d.x AS BIGINT) AS n_events,
        CAST(CASE WHEN st.n * st.q - st.s * st.s = 0 THEN 0
             ELSE ((st.n * d.x - st.s) * (st.n * d.x - st.s) * 20000 + (st.n * st.q - st.s * st.s))
                  // (2 * (st.n * st.q - st.s * st.s)) END AS BIGINT) AS z2_x1e4,
@@ -551,40 +567,68 @@ ORDER BY d.event_type, day
 def q127_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly detection over the event stream's daily counts —
     the ops-monitoring query behind every ingestion dashboard: per
-    (event_type, day), the count, its squared z-score vs that type's
-    own distribution, and an |z| >= 2 flag.
+    (event_type, day) over a DENSE day grid (a zero-event outage day
+    is the anomaly that matters most), the count, its squared z-score
+    vs that type's own distribution, and an |z| >= 2 flag.
 
-    Engine-exact with ZERO floats: the z² threshold is rewritten as
-    the pure-integer comparison (n·x − S)² >= 4·(n·Q − S²) (see
-    Q127_SQL derivation) and the surfaced z²·10⁴ is an integer-DIV
-    rational — no division, sqrt, or float sum anywhere, so the flags
-    are bit-identical at any partition layout.
+    Engine-exact with ZERO floats: the z² threshold is the
+    pure-integer comparison (n·x − S)² >= 4·(n·Q − S²) (see Q127_SQL
+    derivation); moments run in 128-bit exact integers so no
+    production event volume can overflow-wrap (S² passes int64 at
+    ~3e9 events/type); the surfaced z²·10⁴ uses the exact decimal
+    floor-div identity (a − a % b) / b. Flags are bit-identical at
+    any partition layout.
 
-    Plan: one scan → (type, day) count (map-side combine) → per-type
-    moment aggregate (group-count-sized) broadcast back onto the daily
-    spine. Two narrow shuffles at any scale."""
-    e = load_table(spark, sf_dir, "events")
-    daily = (
-        e.filter(F.col("ts").isNotNull())
-        .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.count("*").cast("long").alias("x"))
+    Plan: one scan → (type, day) count (map-side combine); the dense
+    grid is a broadcast (types × days, metadata-sized); the per-type
+    moment aggregate is group-count-sized and broadcast back."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
     )
-    daily = maybe_checkpoint(daily)
+    e = maybe_checkpoint(e)
+    meta = e.agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.array_sort(F.collect_set("event_type")).alias("types"),
+    )
+    grid = F.broadcast(
+        meta.select(F.explode("types").alias("event_type"), "d0", "d1").select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    cnt = e.groupBy("event_type", "day").agg(F.count("*").cast("long").alias("x"))
+    daily = maybe_checkpoint(
+        grid.join(cnt, ["event_type", "day"], "left").select(
+            "event_type",
+            "day",
+            F.coalesce("x", F.lit(0)).cast("decimal(19,0)").alias("x"),
+        )
+    )
     st = daily.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("s"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+        F.count("*").cast("decimal(19,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("q"),
     )
     return (
         daily.join(F.broadcast(st), "event_type")
         .selectExpr(
             "event_type",
             "date_format(day, 'yyyy-MM-dd') AS day",
-            "x AS n_events",
-            "CAST(CASE WHEN n*q - s*s = 0 THEN 0"
-            " ELSE ((n*x - s) * (n*x - s) * 20000 + (n*q - s*s)) DIV (2 * (n*q - s*s)) END AS LONG) AS z2_x1e4",
-            "CAST(CASE WHEN (n*x - s) * (n*x - s) >= 4 * (n*q - s*s) AND n*q - s*s > 0"
-            " THEN 1 ELSE 0 END AS INT) AS anomaly",
+            "CAST(x AS LONG) AS n_events",
+            "CAST(n*x - s AS DECIMAL(38,0)) AS dev",
+            "CAST(n*q - s*s AS DECIMAL(38,0)) AS varn",
+        )
+        .selectExpr(
+            "event_type",
+            "day",
+            "n_events",
+            "CAST(CASE WHEN varn = 0 THEN 0 ELSE"
+            " ((dev*dev*20000 + varn) - ((dev*dev*20000 + varn) % (2*varn))) / (2*varn)"
+            " END AS LONG) AS z2_x1e4",
+            "CAST(CASE WHEN dev*dev >= 4*varn AND varn > 0 THEN 1 ELSE 0 END AS INT) AS anomaly",
         )
         .orderBy("event_type", "day")
     )

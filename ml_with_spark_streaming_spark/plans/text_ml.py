@@ -695,8 +695,6 @@ def q128_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z1 = sz.select(F.col("doc_id").alias("id1"), F.col("n_fp").alias("n1"))
     z2 = sz.select(F.col("doc_id").alias("id2"), F.col("n_fp").alias("n2"))
-    from ml_with_spark_streaming_spark.operators.textstats import exact_round_div
-
     return (
         shared.join(z1, "id1")
         .join(z2, "id2")

@@ -106,13 +106,21 @@ class StreamingIngestDedup:
         the durable form a restarted gate resumes from, written after
         a drop completes so accepted docs' entries survive. The grown
         ``accepted_docs`` table is included (it is the verify side for
-        near-dup checks against accepted content)."""
+        near-dup checks against accepted content), as is a params
+        sidecar (k/bands/threshold): band hashes are a function of
+        k and bands, so resuming with different knobs would silently
+        never match the stored bands."""
         self.fp_index.write.mode("overwrite").parquet(f"{path}/fp_index")
         self.band_index.write.mode("overwrite").parquet(f"{path}/band_index")
         acc = self.accepted_docs
         if acc is None:
             acc = self.corpus.select(self.id_col, self.text_col).limit(0)
         acc.write.mode("overwrite").parquet(f"{path}/accepted_docs")
+        spark = self.corpus.sparkSession
+        spark.createDataFrame(
+            [(self.k, self.bands, float(self.threshold))],
+            "k int, bands int, threshold double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
     @classmethod
     def from_index_path(
@@ -120,7 +128,19 @@ class StreamingIngestDedup:
     ) -> "StreamingIngestDedup":
         """Resume a gate from persisted index artifacts (``save_index``)
         — no corpus rescan; the signature/fingerprint passes happened
-        when the index was built."""
+        when the index was built. k/bands/threshold come from the
+        saved params sidecar; passing conflicting values raises (a
+        mismatched k or bands would make every stored band hash
+        unmatchable — a silently broken gate)."""
+        p = spark.read.parquet(f"{path}/params").collect()[0]
+        saved = {"k": int(p["k"]), "bands": int(p["bands"]), "threshold": float(p["threshold"])}
+        for name, val in saved.items():
+            if name in kw and kw[name] != val:
+                raise ValueError(
+                    f"index at {path} was built with {name}={val}; "
+                    f"got {name}={kw[name]} — rebuild the index or drop the override"
+                )
+            kw[name] = val
         accepted = spark.read.parquet(f"{path}/accepted_docs")
         return cls(
             corpus=corpus,
@@ -134,7 +154,11 @@ class StreamingIngestDedup:
         if batch_df.isEmpty():
             return
         idc, txc = self.id_col, self.text_col
-        batch_df = batch_df.persist()
+        # at-least-once sources can replay a record INTO the same
+        # micro-batch: identical rows with the same id are one logical
+        # document, not duplicates of each other — collapse them first
+        # (ids are assumed immutable: same id -> same text)
+        batch_df = batch_df.dropDuplicates([idc]).persist()
         try:
             fps = batch_df.select(idc, fingerprint_expr(txc, 8).alias("fp"))
             # exact: vs the index, OR a later copy within this batch
@@ -218,11 +242,16 @@ class StreamingIngestDedup:
                     # accepted doc in LATER batches are rejected too.
                     # localCheckpoint bounds the growing lineage; at
                     # scale this is an append to the index files.
+                    # No distinct: kept fps can be in neither the index
+                    # (they'd have been flagged exact) nor each other
+                    # (keep-first admits one doc per fp) — the union is
+                    # duplicate-free by construction, and a per-batch
+                    # distinct would shuffle the WHOLE grown index.
                     kept_ids = flagged.filter("_keep").select(idc)
                     self.fp_index = maybe_checkpoint(
                         self.fp_index.unionByName(
                             fps.join(kept_ids, idc, "left_semi").select("fp")
-                        ).distinct()
+                        )
                     )
                     self.band_index = maybe_checkpoint(
                         self.band_index.unionByName(

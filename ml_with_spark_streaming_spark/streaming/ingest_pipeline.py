@@ -77,44 +77,66 @@ class StreamingIngestPipeline:
             on_accepted=on_accepted,
         )
 
+    @staticmethod
+    def _zero_row(history: list[dict], batch_id: int, keys: tuple[str, ...]) -> None:
+        """Keep stage histories aligned with the ledger when an
+        upstream gate rejects a whole batch: the downstream stage
+        never ran, so record an explicit all-zero row for the batch
+        instead of silently skipping it (monitors that align stage
+        histories by index would otherwise read the wrong batch)."""
+        history.append({"batch_id": batch_id, **{k: 0 for k in keys}})
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        state: dict = {"n_in": batch_df.count()}
 
         def _after_dedup(kept_df: DataFrame, bid: int) -> None:
             if self._dedup_hook is not None:
                 self._dedup_hook(kept_df, bid)
-            state["n_after_dedup"] = kept_df.count()
             if self.decon is not None:
-                self.decon.on_kept = _after_decon
-                self.decon.process_batch(kept_df, bid)
+                if kept_df.isEmpty():
+                    self._zero_row(
+                        self.decon.history, bid, ("n_docs", "n_contaminated", "n_kept")
+                    )
+                    _after_decon(kept_df, bid, ran_decon=False)
+                else:
+                    self.decon.on_kept = _after_decon
+                    self.decon.process_batch(kept_df, bid)
             else:
                 _after_decon(kept_df, bid, ran_decon=False)
 
         def _after_decon(clean_df: DataFrame, bid: int, ran_decon: bool = True) -> None:
             if ran_decon and self._decon_hook is not None:
                 self._decon_hook(clean_df, bid)
-            state["n_after_decon"] = clean_df.count()
-            self.quality.on_kept = _after_quality
-            self.quality.process_batch(clean_df, bid)
+            if clean_df.isEmpty():
+                self._zero_row(self.quality.history, bid, ("n_docs", "n_kept"))
+                _after_quality(clean_df, bid, ran_quality=False)
+            else:
+                self.quality.on_kept = _after_quality
+                self.quality.process_batch(clean_df, bid)
 
-        def _after_quality(accepted_df: DataFrame, bid: int) -> None:
-            if self._quality_hook is not None:
+        def _after_quality(
+            accepted_df: DataFrame, bid: int, ran_quality: bool = True
+        ) -> None:
+            if ran_quality and self._quality_hook is not None:
                 self._quality_hook(accepted_df, bid)
-            state["n_accepted"] = accepted_df.count()
             if self.on_accepted is not None:
                 self.on_accepted(accepted_df, bid)
 
         self.dedup.on_kept = _after_dedup
         self.dedup.process_batch(batch_df, batch_id)
+        # the ledger is derived from the stage histories (each stage
+        # already counted its batch) — no extra Spark actions
+        dh = self.dedup.history[-1]
+        ch = self.decon.history[-1] if self.decon is not None else None
+        qh = self.quality.history[-1] if self.quality.history else None
         self.ledger.append(
             {
                 "batch_id": batch_id,
-                "n_in": state.get("n_in", 0),
-                "n_after_dedup": state.get("n_after_dedup", 0),
-                "n_after_decon": state.get("n_after_decon", 0),
-                "n_accepted": state.get("n_accepted", 0),
+                "n_in": dh["n_docs"],
+                "n_after_dedup": dh["n_kept"],
+                "n_after_decon": ch["n_kept"] if ch is not None else dh["n_kept"],
+                "n_accepted": qh["n_kept"] if qh is not None else 0,
             }
         )
 

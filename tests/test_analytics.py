@@ -177,3 +177,34 @@ def test_daily_anomalies_integer_threshold(spark, tmp_path):
     for day in (f"2024-03-{i:02d}" for i in range(1, 10)):
         assert got[day].anomaly == 0
         assert got[day].z2_x1e4 == 1111
+
+
+def test_daily_anomalies_flags_outage_day(spark, tmp_path):
+    """A day with ZERO events (total outage) must appear via the dense
+    grid and flag as anomalous — the gap a sparse daily spine would
+    silently hide."""
+    import os
+
+    from ml_with_spark_streaming_spark.plans.analytics import q127_daily_anomalies
+
+    rows = []
+    eid = 0
+    for d in list(range(1, 5)) + list(range(6, 11)):  # day 5 missing
+        for i in range(10):
+            rows.append((eid, dt.datetime(2024, 4, d, 1 + i, 0, 0), 1, "ping", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double, props: string"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.day: r for r in q127_daily_anomalies(spark, d).collect()}
+    assert len(got) == 10  # dense grid spans the gap
+    # n=10 days incl. the zero day: S=90, Q=900; varn = 10*900-8100=900
+    # outage: dev = -90 -> dev^2 = 8100 >= 4*900 -> anomaly, z^2 = 9.0
+    assert got["2024-04-05"].n_events == 0
+    assert got["2024-04-05"].anomaly == 1
+    assert got["2024-04-05"].z2_x1e4 == 90000
+    # normal days: dev = 10 -> z^2 = 100/900 = 0.1111
+    assert got["2024-04-06"].anomaly == 0 and got["2024-04-06"].z2_x1e4 == 1111
