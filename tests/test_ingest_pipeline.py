@@ -118,3 +118,33 @@ def test_pipeline_with_decontamination_gate(spark):
     assert row["n_after_decon"] == 1  # 1100 overlaps the eval set
     assert row["n_accepted"] == 1
     assert pipe.decon.history[0]["n_contaminated"] == 1
+
+
+def test_fully_rejected_batch_keeps_histories_aligned(spark):
+    """A batch entirely rejected by dedup: downstream stages never
+    run, but their histories still get explicit zero rows so
+    per-batch histories stay index-aligned with the ledger."""
+    corpus = _docs(spark)
+    frozen = freeze_weights(
+        classifier_weights(feature_presence(corpus), heuristic_labels(corpus))
+    )
+    eval_corpus = spark.createDataFrame(
+        [(9000, " ".join(f"bench{chr(97 + i)}" for i in range(13)))],
+        "doc_id long, text string",
+    )
+    pipe = StreamingIngestPipeline.build(
+        corpus, frozen, eval_corpus=eval_corpus, threshold=0.9
+    )
+    # batch: one exact copy of corpus doc 0 -> nothing survives dedup
+    copy0 = corpus.filter("doc_id = 0").collect()[0]["text"]
+    batch = spark.createDataFrame([(2000, copy0)], "doc_id long, text string")
+    pipe.process_batch(batch, 7)
+
+    assert pipe.ledger == [
+        {"batch_id": 7, "n_in": 1, "n_after_dedup": 0, "n_after_decon": 0, "n_accepted": 0}
+    ]
+    assert pipe.dedup.history[-1]["batch_id"] == 7
+    assert pipe.decon.history[-1] == {
+        "batch_id": 7, "n_docs": 0, "n_contaminated": 0, "n_kept": 0
+    }
+    assert pipe.quality.history[-1] == {"batch_id": 7, "n_docs": 0, "n_kept": 0}
