@@ -151,14 +151,19 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     timings: dict[str, float] = {}
     timings_p50: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
         runs = []
-        for _ in range(n_runs):
-            t0 = time.monotonic()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            runs.append(time.monotonic() - t0)
+        try:
+            for _ in range(n_runs):
+                t0 = time.monotonic()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                runs.append(time.monotonic() - t0)
+        except Exception as e:  # noqa: BLE001 — one broken query must not lose the whole artifact
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            continue
         runs.sort()
         best = runs[0]
         p50 = runs[len(runs) // 2] if n_runs % 2 else (runs[n_runs // 2 - 1] + runs[n_runs // 2]) / 2
@@ -175,24 +180,31 @@ def main() -> None:
         "bench_runs": n_runs,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
 
     # rate curve across micro-batch payload sizes (1000/3000 = the
     # reference's own experiment range; 5000 = round-2 comparability).
     # One discarded warm-up pass first: the first streaming query pays
     # one-time machinery/Arrow/codegen init that would otherwise land
     # entirely on whichever size runs first (~20 s skew, measured)
-    _streaming_rate(spark, per_file=200, n_files=1)
-    rate_curve = {
-        str(size): _streaming_rate(spark, per_file=size) for size in (1000, 3000, 5000)
-    }
-    out["streaming_records_per_sec"] = rate_curve["5000"]
-    out["streaming_rate_by_batch_size"] = rate_curve
+    try:
+        _streaming_rate(spark, per_file=200, n_files=1)
+        rate_curve = {
+            str(size): _streaming_rate(spark, per_file=size) for size in (1000, 3000, 5000)
+        }
+        out["streaming_records_per_sec"] = rate_curve["5000"]
+        out["streaming_rate_by_batch_size"] = rate_curve
+    except Exception as e:  # noqa: BLE001 — keep the query timings even if streaming breaks
+        out["streaming_error"] = f"{type(e).__name__}: {e}"[:200]
 
     if os.environ.get("SPARK_GRAFT_SWEEP", "1") != "0":
         sweep_dir = os.environ.get("SPARK_GRAFT_SWEEP_SF_DIR", "/root/testdata/sf0.01")
         if os.path.isdir(sweep_dir) and os.path.abspath(sweep_dir) != os.path.abspath(SF_DIR):
             t0 = time.monotonic()
             for name in HEADLINE:
+                if name in errors:
+                    continue
                 QUERIES[name](spark, sweep_dir).write.format("noop").mode("overwrite").save()
             sweep_base = os.path.basename(sweep_dir.rstrip("/"))
             out["sweep"] = {
