@@ -208,8 +208,13 @@ def q96_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-fill and forward-carry (LAST_VALUE IGNORE NULLS).
 
     The grid is generated with ``sequence()`` from a 1-row bounds
-    aggregate (broadcast cross join — grid size = days × types, never
-    data-sized); the heavy side is one daily aggregation of events.
+    aggregate (days × types, never data-sized); the heavy side is one
+    daily aggregation of events. The gap-fill join broadcasts the
+    DAILY side: both join inputs are group-count-bounded (observed
+    (type, day) groups ⊆ the dense grid), and a broadcast hint on the
+    row-preserved grid side of a left join is un-honorable — Spark
+    cannot build-broadcast the preserved side (the lint's
+    DeadBroadcastHint rule pins this).
 
     Daily sums are surfaced as exact integer cents (per-row half-up
     ``floor(value*100 + 0.5)`` — the same IEEE double ops on both
@@ -229,17 +234,17 @@ def q96_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.max("ts")).alias("d1"),
         F.array_sort(F.collect_set("event_type")).alias("types"),
     )
-    grid = F.broadcast(
-        meta.select(F.explode("types").alias("event_type"), "d0", "d1").select(
-            "event_type",
-            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
-        )
+    grid = meta.select(F.explode("types").alias("event_type"), "d0", "d1").select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
     )
-    daily = e.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("sum_cents"),
+    daily = F.broadcast(
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("sum_cents"),
+        )
     )
     w = (
         W.partitionBy("event_type")
@@ -579,9 +584,11 @@ def q127_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-div identity (a − a % b) / b. Flags are bit-identical at
     any partition layout.
 
-    Plan: one scan → (type, day) count (map-side combine); the dense
-    grid is a broadcast (types × days, metadata-sized); the per-type
-    moment aggregate is group-count-sized and broadcast back."""
+    Plan: one scan → (type, day) count (map-side combine), which is
+    group-count-bounded and BROADCAST into the dense-grid left join
+    (hinting the preserved grid side instead is un-honorable — the
+    lint's DeadBroadcastHint rule pins this); the per-type moment
+    aggregate is group-count-sized and broadcast back."""
     e = (
         load_table(spark, sf_dir, "events")
         .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
@@ -593,13 +600,13 @@ def q127_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").alias("d1"),
         F.array_sort(F.collect_set("event_type")).alias("types"),
     )
-    grid = F.broadcast(
-        meta.select(F.explode("types").alias("event_type"), "d0", "d1").select(
-            "event_type",
-            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
-        )
+    grid = meta.select(F.explode("types").alias("event_type"), "d0", "d1").select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
     )
-    cnt = e.groupBy("event_type", "day").agg(F.count("*").cast("long").alias("x"))
+    cnt = F.broadcast(
+        e.groupBy("event_type", "day").agg(F.count("*").cast("long").alias("x"))
+    )
     daily = maybe_checkpoint(
         grid.join(cnt, ["event_type", "day"], "left").select(
             "event_type",

@@ -24,6 +24,18 @@ Flags:
                              is the dominant cost, so shared lineage
                              must be materialized or the plan reshaped
                              (waiver for documented multi-role scans).
+  * ``DeadBroadcastHint``  — a broadcast hint Spark cannot honor: the
+                             hinted side is the ROW-PRESERVED side of an
+                             outer/semi/anti join (build-left is illegal
+                             for Left*/FullOuter, build-right for
+                             RightOuter/FullOuter), so the hint is dead
+                             code, HintErrorLogger warns at planning,
+                             and the plan silently falls back to a
+                             shuffle join while the code claims a
+                             broadcast (the q96/q127 round-4 finding).
+                             Detected statically: the optimized logical
+                             plan prints surviving hints as
+                             ``Join <type>, ..., leftHint=(strategy=broadcast)``.
   * parquet scan with zero pushed filters while the query filters on a
     scanned column is NOT detectable generically — instead we surface
     per-query scan lines so eyeballing stays cheap (``--scans``).
@@ -263,7 +275,32 @@ BAD = {
     "CartesianProduct": "unbroadcast cartesian product",
     "GlobalWindow": "partition-less window over data-sized input (single-task sort)",
     "DupFactScan": "fact table scanned >1x in one plan",
+    "DeadBroadcastHint": "broadcast hint on the row-preserved join side (un-honorable; falls back to shuffle)",
 }
+
+# Spark's JoinSelection: build-LEFT broadcast is legal only for
+# Inner/Cross/RightOuter; build-RIGHT only for Inner/Cross/LeftOuter/
+# LeftSemi/LeftAnti/Existence. A broadcast hint on any other side/type
+# combination is dead (HintErrorLogger warns, shuffle join executes).
+_JOIN_HINT_RE = re.compile(
+    r"Join\s+(\w+),.*?\b(left|right)Hint=\(strategy=broadcast", re.IGNORECASE
+)
+_UNBUILDABLE = {
+    "left": {"LeftOuter", "LeftSemi", "LeftAnti", "FullOuter", "ExistenceJoin"},
+    "right": {"RightOuter", "FullOuter"},
+}
+
+
+def dead_broadcast_hints(optimized_plan: str) -> list[str]:
+    """Un-honorable broadcast hints surviving in the optimized logical
+    plan (``Join <type>, ..., <side>Hint=(strategy=broadcast)``)."""
+    hits = []
+    for line in optimized_plan.splitlines():
+        for m in _JOIN_HINT_RE.finditer(line):
+            jtype, side = m.group(1), m.group(2).lower()
+            if any(jtype.startswith(t) for t in _UNBUILDABLE[side]):
+                hits.append(f"{side}Hint=broadcast on {jtype}")
+    return hits
 
 # tables whose 100 TB footprint makes a second scan the dominant cost;
 # dimension tables (region/nation/customer/supplier/part) stay warn-only
@@ -375,12 +412,17 @@ def main() -> None:
         if ONLY and name not in ONLY:
             continue
         try:
-            plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+            qe = fn(spark, SF_DIR)._jdf.queryExecution()
+            plan = qe.executedPlan().toString()
+            opt_plan = qe.optimizedPlan().toString()
         except Exception as e:  # noqa: BLE001 — report and continue the sweep
             print(f"ERR   {name}: {type(e).__name__}: {e}")
             failures += 1
             continue
         hits = [pat for pat in ("BatchEvalPython", "CartesianProduct") if pat in plan]
+        dead_hints = dead_broadcast_hints(opt_plan)
+        if dead_hints:
+            hits.append("DeadBroadcastHint")
         # BroadcastNestedLoopJoin is fine; don't let its name shadow a
         # real CartesianProduct check
         gw = global_window_hits(plan)
@@ -410,6 +452,8 @@ def main() -> None:
                 detail = "; ".join(BAD[h] for h in real) + dup_note
                 if "GlobalWindow" in real:
                     detail += " :: " + "; ".join(gw)
+                if "DeadBroadcastHint" in real:
+                    detail += " :: " + "; ".join(dead_hints)
                 print(f"LINT  {name}: {detail}")
                 failures += 1
         if SHOW_SCANS:
