@@ -24,15 +24,27 @@ is ~1e10 docs, inside the bound. A naive single-rational formulation
 ~1e10; this form does not (bounds pinned by
 tests/test_retrieval.py::test_bm25_fixed_point_int64_bounds).
 
-Documented deviation: the idf factor is the RAW Robertson ratio
-(N − df + ½)/(df + ½) without the usual ln(·) wrap. ln is a monotone
-transform per term, but summed over multiple terms the two forms are
-NOT rank-equivalent — raw idf weights rare terms more aggressively
-than log-BM25. The trade is deliberate: ln forces doubles (engines'
-libm results and float summation order both leak into the ranking),
-while the raw ratio keeps every score exact. Swap the idf fragment
-for a scaled ``ln`` table if log-BM25 parity with an existing system
-matters more than cross-engine exactness.
+Documented deviation (``bm25_topk``/``bm25_topk_batch``): the idf
+factor is the RAW Robertson ratio (N − df + ½)/(df + ½) without the
+usual ln(·) wrap. ln is a monotone transform per term, but summed over
+multiple terms the two forms are NOT rank-equivalent — raw idf weights
+rare terms more aggressively than log-BM25.
+
+``bm25_ln_topk`` closes that gap: textbook log-BM25 (Lucene idf
+``ln(1 + (N − df + ½)/(df + ½)) = ln((2N+2)/(2df+1))``, always > 0)
+while STAYING engine-exact. Built-in ``ln()`` is libm-dependent and
+banned from oracled queries, so the ln is constructed from operations
+IEEE 754 defines as correctly rounded in both engines (+ − × ÷ sqrt):
+range-reduce with 16 nested sqrt (y = x^(1/2^16); ln x ≤ 24.6 for
+N ≤ 1e10 docs ⇒ y − 1 ≤ 3.8e-4), then the odd atanh series
+ln x = 2^16 · 2·(z + z³/3 + z⁵/5) with z = (y−1)/(y+1) — series
+truncation error ~(2/5)z⁵ ≈ 1e-19 relative, total error dominated by
+the 16 sqrt roundings (~2e-15 relative), then quantized HALF-UP to a
+BIGINT at 1e-6 (``lnidf6``). On every probed (N, df) the quantized
+value EQUALS round(math.log(x)·1e6) (tests/test_retrieval.py); the two
+engines agree bit-for-bit because every double op in the chain is
+correctly rounded, not approximated. Rankings therefore match true
+log-BM25 up to ties at the 1e-6·saturation quantum.
 """
 
 from __future__ import annotations
@@ -70,10 +82,45 @@ def bm25_contrib_sql(div: str) -> str:
     return f"(({idf4} * {sat4} * 2 + 10000) {div} 20000)"
 
 
+def ln_x1e6_sql(x: str) -> str:
+    """``round(ln(x)·1e6)`` as BIGINT from correctly-rounded IEEE ops
+    only (16 nested sqrt + odd atanh series — see module docstring).
+    Valid for x ≥ 1 (callers pass (2N+2)/(2df+1) ≥ 1 + 1/(2N+1));
+    accurate to the last quantized digit for x ≤ e^25 (N ≤ 1e10 docs).
+    Identical text is f-stringed into the Spark plan and the DuckDB
+    oracle, so the engines evaluate the same expression tree."""
+    y = x
+    for _ in range(16):
+        y = f"sqrt({y})"
+    z = f"((({y}) - 1.0) / (({y}) + 1.0))"
+    poly = f"(({z}) + ((({z})*({z}))*({z}))/3.0 + (((({z})*({z}))*(({z})*({z})))*({z}))/5.0)"
+    return f"CAST(FLOOR((131072.0 * {poly}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+LN_IDF6_SQL = ln_x1e6_sql(
+    "((2.0 * CAST(n AS DOUBLE) + 2.0) / (2.0 * CAST(df AS DOUBLE) + 1.0))"
+)
+
+
+def bm25_ln_contrib_sql(div: str) -> str:
+    """One term's log-BM25 contribution (×10⁴) over plain columns
+    ``n, a, df, tf, dl``: Lucene idf ln((2N+2)/(2df+1)) quantized at
+    1e-6 (``LN_IDF6_SQL``, always positive so integer HALF-UP division
+    is engine-agnostic), the SAME fixed-point tf-saturation factor as
+    :func:`bm25_contrib_sql`, combined as
+    contrib = HALF-UP(lnidf6 · sat4 / 1e6). int64 bound: lnidf6 ≤
+    2.5e7 (N ≤ 1e10), sat4 ≤ 2.2e4 ⇒ product·2 ≤ 1.1e12."""
+    d = "(10*a*tf + 3*a + 9000*dl)"
+    sat4 = f"((440000*a*tf + {d}) {div} (2 * {d}))"
+    return f"(({LN_IDF6_SQL} * {sat4} * 2 + 1000000) {div} 2000000)"
+
+
 BM25_AVGDL_SPARK = bm25_avgdl_sql("DIV")
 BM25_AVGDL_DUCK = bm25_avgdl_sql("//")
 BM25_CONTRIB_SPARK = bm25_contrib_sql("DIV")
 BM25_CONTRIB_DUCK = bm25_contrib_sql("//")
+BM25_LN_CONTRIB_SPARK = bm25_ln_contrib_sql("DIV")
+BM25_LN_CONTRIB_DUCK = bm25_ln_contrib_sql("//")
 
 
 def inverted_index(
@@ -120,6 +167,7 @@ def bm25_topk(
     k: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    contrib_sql: str = BM25_CONTRIB_SPARK,
 ) -> DataFrame:
     """Top-k documents for a term query under fixed-point BM25 (see
     module docstring). Corpus stats are a 1-row broadcast, per-term
@@ -143,7 +191,7 @@ def bm25_topk(
         .crossJoin(F.broadcast(st))
     )
     return (
-        r.selectExpr(id_col, f"{BM25_CONTRIB_SPARK} AS contrib")
+        r.selectExpr(id_col, f"{contrib_sql} AS contrib")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_hit_terms"),
@@ -152,6 +200,23 @@ def bm25_topk(
         .orderBy(F.col("score_x1e4").desc(), id_col)
         .limit(k)
     )
+
+
+def bm25_ln_topk(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Textbook log-BM25 top-k (Lucene idf ln(1 + (N−df+½)/(df+½))),
+    engine-exact via the sqrt-constructed ln (module docstring) — the
+    variant whose multi-term rankings match a system a migrating user
+    already runs. Identical plan shape to :func:`bm25_topk`; only the
+    per-term contribution fragment differs (the ln chain is ~300 extra
+    correctly-rounded scalar ops on the |terms|-candidate rows —
+    corpus-size-independent work)."""
+    return bm25_topk(df, terms, k, text_col, id_col, contrib_sql=BM25_LN_CONTRIB_SPARK)
 
 
 def bm25_topk_batch(

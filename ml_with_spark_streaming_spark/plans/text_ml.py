@@ -34,6 +34,7 @@ from ml_with_spark_streaming_spark.operators.dedup import exact_dedup
 from ml_with_spark_streaming_spark.operators.retrieval import (
     BM25_AVGDL_DUCK,
     BM25_CONTRIB_DUCK,
+    BM25_LN_CONTRIB_DUCK,
 )
 from ml_with_spark_streaming_spark.plans.registry import query
 from ml_with_spark_streaming_spark.sources.batch import load_table
@@ -706,3 +707,65 @@ def q128_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id1", "id2")
     )
+
+
+# ---------------------------------------------------------------------------
+# q130 — log-BM25 top-k (textbook Lucene idf, engine-exact via sqrt-ln)
+# ---------------------------------------------------------------------------
+
+Q130_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+st AS (
+  SELECT n, tt, CAST({BM25_AVGDL_DUCK} AS BIGINT) AS a
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt FROM dl)
+),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+r AS (
+  SELECT tf.doc_id AS doc_id, tf.tf AS tf, dfreq.df AS df, dl.dl AS dl, st.n AS n, st.a AS a
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN st
+),
+c AS (SELECT doc_id, {BM25_LN_CONTRIB_DUCK} AS contrib FROM r)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(SUM(contrib) AS BIGINT) AS score_x1e4
+FROM c GROUP BY doc_id
+ORDER BY score_x1e4 DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("q130_bm25_ln_topk", Q130_SQL)
+def q130_bm25_ln_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textbook log-BM25 top-k — q117's retrieval with the Lucene idf
+    ``ln(1 + (N−df+½)/(df+½))`` instead of the raw Robertson ratio, so
+    multi-term rankings match what an existing BM25 system (Lucene /
+    Elasticsearch / textbook implementations) produces. The ln is NOT
+    the engine's libm ``ln()`` (banned from oracled queries — results
+    are not guaranteed identically rounded across engines): it is
+    constructed from correctly-rounded IEEE ops only (16 nested sqrt +
+    odd atanh series, see operators/retrieval.py) and quantized to a
+    BIGINT at 1e-6, making scores bit-identical across engines AND
+    equal to round(math.log(x)*1e6) on every probed input.
+
+    Plan shape is identical to q117 (1-row stats broadcast, |terms|-row
+    df broadcast, map-side term filter before the only shuffle, TakeOrdered
+    top-k); the ln chain adds ~300 scalar double ops on candidate rows —
+    corpus-size-independent. tests/test_retrieval.py pins a fixture where
+    raw-idf and log-BM25 ORDER DIFFERENTLY and this query matches the
+    math.log ordering."""
+    from ml_with_spark_streaming_spark.operators.retrieval import bm25_ln_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_ln_topk(d, _BM25_TERMS, k=20, text_col="text", id_col="doc_id")

@@ -220,6 +220,13 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "maybe_checkpoint-materialized token table at runtime — one documents scan, one "
         "explode pass",
     ),
+    "q130_bm25_ln_topk": (
+        frozenset({"DupFactScan"}),
+        "q117's waived shape: corpus-stats spine (dl/N/T), the query-term tf table, and "
+        "the tf-derived df broadcast all share ONE maybe_checkpoint-materialized token "
+        "table at runtime — one documents scan, one explode pass (only the contribution "
+        "fragment differs: sqrt-constructed ln idf)",
+    ),
     "q120_substring_dedup_budget": (
         frozenset({"DupFactScan"}),
         "q115's waived shape (gram scan roles + application scan, checkpoint-shared at "
