@@ -39,6 +39,54 @@ from ml_with_spark_streaming_spark.functions.text import clean_text_expr, tokens
 from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
 
 
+def lsh_s_curve_error(
+    b: int, r: int, threshold: float, w_fp: float = 0.5, w_fn: float = 0.5, steps: int = 1000
+) -> float:
+    """Integrated false-positive + false-negative probability of the
+    LSH S-curve P(candidate | s) = 1 − (1 − s^r)^b around ``threshold``
+    (midpoint rule; the standard banding-quality objective — MMDS
+    ch. 3.4.3, same formulation datasketch's optimal-param search
+    minimizes). FP mass is ∫₀ᵗ P ds, FN mass ∫ₜ¹ (1 − P) ds."""
+    fp = fn = 0.0
+    for i in range(steps):
+        s = (i + 0.5) / steps
+        p = 1.0 - (1.0 - s**r) ** b
+        if s < threshold:
+            fp += p / steps
+        else:
+            fn += (1.0 - p) / steps
+    return w_fp * fp + w_fn * fn
+
+
+def derive_minhash_knobs(n_docs: int, target_jaccard: float = 0.5) -> tuple[int, int]:
+    """(k, bands) for :func:`minhash_candidates`, DERIVED from corpus
+    size and the similarity threshold instead of fixture-tuned
+    constants (the q100 ``derive_signlsh_knobs`` discipline).
+
+    Signature width k grows with the corpus: a dissimilar pair
+    (similarity s < t) becomes a candidate with probability
+    ≈ b·s^r, so expected false-positive candidates per doc scale like
+    n·b·s^r — bounding that as n grows requires more signature budget.
+    The k ladder (16 → 32 → 64 at 1e6 / 1e8 docs) spends that budget
+    on MORE BANDS at the optimizer-chosen r: the integrated S-curve
+    error falls monotonically with k (0.083 → 0.059 → 0.053 at
+    t = 0.5), cutting BOTH false-negative mass above the threshold and
+    the steepness-limited false-positive mass just below it, while the
+    exact-Jaccard verify stage absorbs what remains.
+
+    bands b then minimizes :func:`lsh_s_curve_error` over the divisors
+    of k at the target threshold — for (k=16, t=0.5) this lands on
+    b=4 (threshold (1/4)^(1/4) ≈ 0.71), the constants q50/q58 shipped
+    with; at 1e7 docs it returns (32, 8), at 1e9 (64, 16). Pinned by
+    tests/test_dedup.py::test_derive_minhash_knobs."""
+    k = 16 if n_docs <= 1_000_000 else 32 if n_docs <= 100_000_000 else 64
+    best_b = min(
+        (b for b in range(1, k + 1) if k % b == 0),
+        key=lambda b: lsh_s_curve_error(b, k // b, target_jaccard),
+    )
+    return k, best_b
+
+
 def shingles_expr(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles: slice windows over the token array
     (JVM-side; empty when fewer than n tokens).
@@ -124,7 +172,12 @@ def lsh_bands(sig: DataFrame, id_col: str = "doc_id", k: int = 16, bands: int = 
 
 
 def minhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16, bands: int = 4
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id1 < id2) sharing ≥1 LSH band.
 
@@ -134,14 +187,26 @@ def minhash_candidates(
     both sides: 6.5 s → 3.4 s at sf0.1). Within-bucket pair generation
     is quadratic in bucket size, which is inherent to LSH candidate
     semantics; bucket arrays are dup-group-sized, not data-sized.
-    """
+
+    ``max_bucket`` is the hot-bucket quadratic guard (q128's
+    stop-fingerprint discipline applied to LSH): a bucket of m ids
+    yields m(m−1)/2 pairs, so one pathological bucket (boilerplate
+    text, a mass-duplicated template) can dominate the whole stage —
+    m = 1e5 near-identical docs is 5e9 pairs from ONE bucket. Buckets
+    larger than the cap emit STAR pairs (min id × each other id,
+    m−1 pairs) instead of all pairs: downstream exact-Jaccard verify
+    still sees every member, and the connected-components consumer
+    (q90/q100) recovers the full duplicate CLUSTER through the star's
+    transitive closure — only direct pair enumeration inside the
+    oversized bucket is traded away. None (default) keeps exact
+    all-pairs semantics (the oracle-checked form)."""
     banded = lsh_bands(minhash_signatures(df, text_col, id_col, k), id_col, k, bands)
     buckets = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = F.flatten(
+    all_pairs = F.flatten(
         F.transform(
             F.col("ids"),
             lambda x, i: F.transform(
@@ -150,6 +215,14 @@ def minhash_candidates(
             ),
         )
     )
+    if max_bucket is not None:
+        star = F.transform(
+            F.slice(F.col("ids"), 2, F.size(F.col("ids"))),
+            lambda y: F.struct(F.col("ids")[0].alias("id1"), y.alias("id2")),
+        )
+        pairs = F.when(F.size("ids") > max_bucket, star).otherwise(all_pairs)
+    else:
+        pairs = all_pairs
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.id1"), F.col("p.id2"))

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ml_with_spark_streaming_spark.operators.dedup import (
+    derive_minhash_knobs,
     jaccard_pairs,
     minhash_candidates,
     mllib_minhash_pairs,
@@ -36,8 +37,25 @@ from ml_with_spark_streaming_spark.plans.text_ml import CLEAN_SQL
 from ml_with_spark_streaming_spark.sources.batch import load_table
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH candidate pairs (k=16 hashes, 4 bands × 4 rows)
+# MinHash + LSH candidate pairs — knobs DERIVED from corpus size +
+# target threshold (derive_minhash_knobs); at every sub-1e6-doc corpus
+# this yields (k=16, bands=4), which is what the static SQL twin
+# hard-codes (the oracle runs at sf<=0.1; tests pin the equivalence).
+# max_bucket is the hot-bucket star-pair guard — set far above any
+# bucket the oracle data produces (tests assert observed max ≪ cap),
+# so the oracle SQL needs no star branch.
 # ---------------------------------------------------------------------------
+
+_MINHASH_TARGET_JACCARD = 0.5
+_MINHASH_MAX_BUCKET = 256
+
+
+def _derived_minhash_candidates(d: DataFrame) -> DataFrame:
+    n_docs = d.count()  # parquet metadata count — a catalog statistic at scale
+    k, bands = derive_minhash_knobs(n_docs, _MINHASH_TARGET_JACCARD)
+    return minhash_candidates(
+        d, "text", "doc_id", k=k, bands=bands, max_bucket=_MINHASH_MAX_BUCKET
+    )
 
 Q50_SQL = f"""
 WITH toks AS (
@@ -73,7 +91,7 @@ ORDER BY 1, 2
 @query("q50_minhash_candidates", Q50_SQL)
 def q50_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return minhash_candidates(d, "text", "doc_id", k=16, bands=4).orderBy("id1", "id2")
+    return _derived_minhash_candidates(d).orderBy("id1", "id2")
 
 
 # ---------------------------------------------------------------------------
@@ -385,7 +403,7 @@ def q58_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ml_with_spark_streaming_spark.operators.dedup import jaccard_verify
 
     d = load_table(spark, sf_dir, "documents")
-    cands = minhash_candidates(d, "text", "doc_id", k=16, bands=4)
+    cands = _derived_minhash_candidates(d)
     return jaccard_verify(cands, d, "text", "doc_id", threshold=0.3).orderBy("id1", "id2")
 
 

@@ -116,3 +116,102 @@ def test_winnowing_pairs_find_copied_passage(spark, tmp_path):
     assert (0, 1) in got
     assert got[(0, 1)].overlap > 0.5  # the shared passage dominates both fp sets
     assert not any(2 in p for p in got)
+
+
+def test_derive_minhash_knobs():
+    """Knob derivation (S-curve optimum over divisors of the n-scaled
+    signature budget): the two oracle corpus sizes land exactly on the
+    constants the static SQL twins hard-code (k=16, bands=4); bigger
+    corpora sharpen the curve; the integrated error is monotonically
+    non-increasing up the k ladder."""
+    from ml_with_spark_streaming_spark.operators.dedup import (
+        derive_minhash_knobs,
+        lsh_s_curve_error,
+    )
+
+    assert derive_minhash_knobs(500) == (16, 4)  # sf0.01 corpus
+    assert derive_minhash_knobs(5000) == (16, 4)  # sf0.1 corpus
+    assert derive_minhash_knobs(10**6) == (16, 4)  # ladder edge
+    assert derive_minhash_knobs(10**7) == (32, 8)
+    assert derive_minhash_knobs(10**9) == (64, 16)
+    errs = [
+        lsh_s_curve_error(b, k // b, 0.5)
+        for k, b in ((16, 4), (32, 8), (64, 16))
+    ]
+    assert errs[0] > errs[1] > errs[2]
+    # different target thresholds move the banding, same public theory
+    assert derive_minhash_knobs(500, target_jaccard=0.9)[1] < 4
+    assert derive_minhash_knobs(500, target_jaccard=0.3)[1] > 4
+
+
+def test_minhash_star_pair_guard(spark):
+    """max_bucket: an over-cap bucket (mass-duplicated template) emits
+    star pairs (min id x each other member) instead of all pairs —
+    linear in bucket size, with every member still reachable from the
+    representative (the connected-components consumer recovers the full
+    cluster). Under-cap buckets keep exact all-pairs semantics."""
+    template = "the quick brown fox jumps over the lazy dog tonight and tomorrow"
+    hot = spark.createDataFrame(
+        [(i, template) for i in range(10)], "doc_id long, text string"
+    )
+    all_pairs = minhash_candidates(hot, "text", "doc_id", max_bucket=None).collect()
+    star = minhash_candidates(hot, "text", "doc_id", max_bucket=4).collect()
+    assert len(all_pairs) == 45  # 10*9/2 — the quadratic blowup
+    got = sorted((r.id1, r.id2) for r in star)
+    assert got == [(0, i) for i in range(1, 10)]  # 9 star pairs, min id hub
+    # a bucket at exactly the cap is NOT degraded
+    ok = minhash_candidates(hot.filter("doc_id < 4"), "text", "doc_id", max_bucket=4)
+    assert len(ok.collect()) == 6  # 4*3/2 all pairs
+
+
+def test_minhash_derived_knobs_recall_and_bucket_cap(spark):
+    """q50/q58's derived-knob path at the correctness SF: every true
+    near-dup pair (exact SHINGLE-set Jaccard >= 0.8 — the similarity
+    the signatures actually sketch) is a candidate, dissimilar pairs
+    (j <= 0.2) are not, and no LSH bucket approaches the star-pair cap
+    (so the static all-pairs oracle SQL describes the executed
+    semantics exactly)."""
+    import itertools
+
+    from ml_with_spark_streaming_spark.functions.text import tokens_expr
+    from ml_with_spark_streaming_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signatures,
+        shingles_expr,
+    )
+    from ml_with_spark_streaming_spark.plans.llm_ops import (
+        _MINHASH_MAX_BUCKET,
+        _derived_minhash_candidates,
+    )
+    from ml_with_spark_streaming_spark.sources.batch import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = d.select(
+        "doc_id", shingles_expr(tokens_expr(clean_text_expr("text")), 3).alias("s")
+    ).collect()
+    sets = {r.doc_id: set(r.s) for r in rows if r.s}
+    cands = {(r.id1, r.id2) for r in _derived_minhash_candidates(d).collect()}
+    high = low = high_hit = low_hit = 0
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        if not inter:
+            continue
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= 0.8:
+            high += 1
+            high_hit += (a, b) in cands
+        elif j <= 0.2:
+            low += 1
+            low_hit += (a, b) in cands
+    assert high >= 20  # the corpus really contains near-dups
+    assert high_hit == high  # full recall above the dedup threshold
+    assert low_hit == 0  # and no candidates from dissimilar pairs
+    bands = lsh_bands(minhash_signatures(d, "text", "doc_id", k=16), "doc_id", 16, 4)
+    mx = (
+        bands.groupBy("band_idx", "band_hash")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert mx <= 8 < _MINHASH_MAX_BUCKET
