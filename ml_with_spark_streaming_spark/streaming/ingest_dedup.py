@@ -70,9 +70,13 @@ class StreamingIngestDedup:
     Duplicates are caught across THREE scopes: vs the corpus index,
     WITHIN the batch (keep-first by id — two copies of a novel doc in
     one drop admit only the first), and vs previously-ACCEPTED batches
-    (``grow_index=True``, the default, appends accepted docs'
-    fingerprints and bands to the in-session index after each batch —
-    at scale this is the append to the persisted index files).
+    (``grow_index=True``, the default, appends each accepted batch's
+    fingerprints and bands as ONE materialized slice — at scale the
+    append to the persisted index files). ``compact()`` merges the
+    accumulated slices back into single index tables every
+    ``compact_every`` accepted batches and before ``save_index``, so
+    neither plan depth nor artifact file count grows with the life of
+    the gate; verdicts are compaction-invariant (pinned by test).
 
     ``on_kept`` (optional) receives each batch's accepted slice — the
     write-to-storage hook. ``history`` records per-batch totals
@@ -94,6 +98,14 @@ class StreamingIngestDedup:
     # against previously-accepted batches (grown with the index; at
     # scale this IS the stored corpus the index points into)
     accepted_docs: DataFrame | None = None
+    # merge accepted-batch slices back into one materialized index
+    # table every N accepted batches (None disables auto-compaction;
+    # compact() can still be called explicitly). Each accepted batch
+    # appends ONE checkpointed slice to the index union — O(batch)
+    # per-batch cost — but the union's plan depth and pinned slice
+    # count grow until compact() collapses them.
+    compact_every: int | None = 16
+    _since_compact: int = field(default=0, init=False, repr=False)
 
     @classmethod
     def from_corpus(cls, corpus: DataFrame, **kw) -> "StreamingIngestDedup":
@@ -101,15 +113,43 @@ class StreamingIngestDedup:
         fp_index, band_index = build_corpus_index(corpus, **idx_kw)
         return cls(corpus=corpus, fp_index=fp_index, band_index=band_index, **kw)
 
+    def compact(self) -> None:
+        """Merge the accepted-batch slices back into ONE materialized
+        table per index artifact and reset the union chain.
+
+        The grow-on-accept path appends one checkpointed slice per
+        accepted batch; without compaction a long-running gate
+        accumulates an unbounded union — plan depth, task count, and
+        pinned slice RDDs all grow with batches ingested, and a
+        save_index/resume cycle inherits the fragmentation as one
+        parquet file-set per slice. Compaction re-materializes each
+        union into a single checkpointed table (the old slice RDDs
+        unpin once unreferenced), so probe-join plan depth returns to
+        O(1). At scale this is the index-file rewrite every corpus
+        store performs (merge small appended segments into the base);
+        here it is a localCheckpoint of the union. Runs automatically
+        every ``compact_every`` accepted batches and before
+        ``save_index``; verdict-neutral by construction — the union's
+        CONTENT is unchanged (pinned by
+        tests/test_ingest_dedup_stream.py)."""
+        self.fp_index = maybe_checkpoint(self.fp_index)
+        self.band_index = maybe_checkpoint(self.band_index)
+        if self.accepted_docs is not None:
+            self.accepted_docs = maybe_checkpoint(self.accepted_docs)
+        self._since_compact = 0
+
     def save_index(self, path: str) -> None:
         """Persist the (possibly grown) index artifacts as parquet —
         the durable form a restarted gate resumes from, written after
-        a drop completes so accepted docs' entries survive. The grown
+        a drop completes so accepted docs' entries survive.
+        Compacts first: the parquet artifacts are always the merged
+        single-table form, never one file-set per accepted slice. The grown
         ``accepted_docs`` table is included (it is the verify side for
         near-dup checks against accepted content), as is a params
         sidecar (k/bands/threshold): band hashes are a function of
         k and bands, so resuming with different knobs would silently
         never match the stored bands."""
+        self.compact()
         self.fp_index.write.mode("overwrite").parquet(f"{path}/fp_index")
         self.band_index.write.mode("overwrite").parquet(f"{path}/band_index")
         acc = self.accepted_docs
@@ -240,32 +280,41 @@ class StreamingIngestDedup:
                 if self.grow_index:
                     # accepted docs join the index, so duplicates of an
                     # accepted doc in LATER batches are rejected too.
-                    # localCheckpoint bounds the growing lineage; at
-                    # scale this is an append to the index files.
+                    # Only the NEW slice is checkpointed (it derives
+                    # from the transient batch_df, which unpersists at
+                    # batch end, so it must materialize NOW): per-batch
+                    # cost is O(batch), not O(grown index). The union
+                    # itself stays lazy; compact() periodically
+                    # collapses the slice chain (at scale: the append
+                    # to + rewrite of the persisted index files).
                     # No distinct: kept fps can be in neither the index
                     # (they'd have been flagged exact) nor each other
                     # (keep-first admits one doc per fp) — the union is
                     # duplicate-free by construction, and a per-batch
                     # distinct would shuffle the WHOLE grown index.
                     kept_ids = flagged.filter("_keep").select(idc)
-                    self.fp_index = maybe_checkpoint(
-                        self.fp_index.unionByName(
+                    self.fp_index = self.fp_index.unionByName(
+                        maybe_checkpoint(
                             fps.join(kept_ids, idc, "left_semi").select("fp")
                         )
                     )
-                    self.band_index = maybe_checkpoint(
-                        self.band_index.unionByName(
-                            new_bands.join(kept_ids, idc, "left_semi")
-                        )
+                    self.band_index = self.band_index.unionByName(
+                        maybe_checkpoint(new_bands.join(kept_ids, idc, "left_semi"))
                     )
-                    kept_docs = (
+                    kept_docs = maybe_checkpoint(
                         flagged.filter("_keep").select(idc, txc)
                     )
-                    self.accepted_docs = maybe_checkpoint(
+                    self.accepted_docs = (
                         kept_docs
                         if self.accepted_docs is None
                         else self.accepted_docs.unionByName(kept_docs)
                     )
+                    self._since_compact += 1
+                    if (
+                        self.compact_every is not None
+                        and self._since_compact >= self.compact_every
+                    ):
+                        self.compact()
             finally:
                 flagged.unpersist()
         finally:

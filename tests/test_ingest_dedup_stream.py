@@ -155,3 +155,76 @@ def test_index_persistence_roundtrip(spark, tmp_path):
     h = dd2.history[0]
     assert h["n_exact"] == 1  # the copy of accepted doc 400
     assert h["n_kept"] == 1  # doc 501 is genuinely new
+
+
+def test_compaction_is_verdict_neutral_and_resume_equals_compacted(spark, tmp_path):
+    """compact() (auto every N accepted batches) must change NOTHING
+    about verdicts: run 3x-plus-N batches through a compacting gate
+    (N=2) and an identical non-compacting gate (compact_every=None) —
+    per-batch histories, kept sets, and the final index CONTENTS must
+    be identical; and a gate resumed from save_index (which compacts
+    before writing) must hold exactly the compacted index."""
+
+    def vocab(prefix):
+        return [prefix + w for w in _BASE]
+
+    def doc(prefix):
+        return " ".join(vocab(prefix))
+
+    def near(prefix):
+        return " ".join(["zz"] + vocab(prefix)[1:])  # Jaccard ~0.94 >= 0.9
+
+    batches = [
+        [(600, doc("a")), (601, doc("b"))],  # both kept
+        [(610, doc("a")), (611, doc("c"))],  # exact dup of accepted + novel
+        [(620, near("c")), (621, doc("d"))],  # near-dup of accepted + novel
+        [(630, doc("b")), (631, doc("e"))],
+        [(640, near("e")), (641, doc("f"))],
+        [(650, doc("f"))],
+        [(660, doc("a")), (661, doc("g"))],
+    ]
+
+    def run(compact_every):
+        kept = set()
+        dd = StreamingIngestDedup.from_corpus(
+            _corpus(spark),
+            threshold=0.9,
+            compact_every=compact_every,
+            on_kept=lambda df, bid: kept.update(r["doc_id"] for r in df.collect()),
+        )
+        for i, rows in enumerate(batches):
+            dd.process_batch(
+                spark.createDataFrame(rows, "doc_id long, text string"), i
+            )
+        return dd, kept
+
+    dd_c, kept_c = run(2)
+    dd_n, kept_n = run(None)
+    assert dd_c._since_compact < len(batches)  # compaction actually fired
+    assert dd_n._since_compact == len(batches)  # and the control never did
+    assert dd_c.history == dd_n.history
+    assert kept_c == kept_n == {600, 601, 611, 621, 631, 641, 661}
+
+    def contents(dd):
+        return (
+            sorted(r.fp for r in dd.fp_index.collect()),
+            sorted(map(tuple, dd.band_index.collect())),
+            sorted(map(tuple, dd.accepted_docs.collect())),
+        )
+
+    assert contents(dd_c) == contents(dd_n)
+
+    idx = str(tmp_path / "idx")
+    dd_c.save_index(idx)
+    dd_r = StreamingIngestDedup.from_index_path(spark, _corpus(spark), idx)
+    assert contents(dd_r) == contents(dd_c)
+    # the resumed gate still rejects dups of pre-save accepted docs
+    dd_r.process_batch(
+        spark.createDataFrame(
+            [(700, doc("g")), (701, near("d")), (702, doc("h"))],
+            "doc_id long, text string",
+        ),
+        99,
+    )
+    h = dd_r.history[0]
+    assert h["n_exact"] == 1 and h["n_near"] >= 1 and h["n_kept"] == 1
