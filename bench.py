@@ -71,6 +71,7 @@ HEADLINE = [
     "q115_exact_substr_apply",
     "q116_inverted_index",
     "q117_bm25_topk",
+    "q130_bm25_ln_topk",
 ]
 
 
@@ -212,6 +213,29 @@ def main() -> None:
                 "value": round(time.monotonic() - t0, 3),
                 "unit": "sec",
             }
+
+    # the composed artifact-to-artifact pipeline run (spans -> budget ->
+    # keep -> copies -> chunks -> manifest, each stage persisted as
+    # parquet and re-read by the next): the wall time a staged
+    # production build pays, vs the fused single-plan q114
+    try:
+        import shutil
+        import tempfile
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from run_pipeline import run_pipeline
+
+        proot = tempfile.mkdtemp(prefix="bench_pipeline_")
+        try:
+            rep = run_pipeline(spark, SF_DIR, proot, verify=False)
+            out["pipeline"] = {
+                "total_sec": rep["total_sec"],
+                "stages": {k: v["sec"] for k, v in rep["stages"].items()},
+            }
+        finally:
+            shutil.rmtree(proot, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001 — keep the rest of the artifact
+        out["pipeline_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps(out))
     spark.stop()

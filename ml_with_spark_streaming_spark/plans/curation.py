@@ -1678,28 +1678,13 @@ ORDER BY shard
 """
 
 
-@query("q114_training_mix_export", Q114_SQL)
-def q114_training_mix_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The assembled ENDGAME a pretraining corpus build actually ships:
-    curation keep-list (q113's four gates) → per-doc epoch copies from
-    the language-mixing recipe (q104/q107) → sliding context-window
-    chunking (q108) → deterministic shard assignment (first hex char of
-    md5(doc#copy#start) → 16 shards) → the per-shard MANIFEST (sequence
-    /doc/token counts + fingerprint range) that a training job reads.
-
-    Every stage is the already-oracled operator; this query pins the
-    full composition bit-for-bit against DuckDB. The manifest stands in
-    for the shard WRITE (``.write.partitionBy("shard")`` on the seqs
-    table is the production sink — the driver contract wants a
-    DataFrame back, and counts + fingerprints pin the identical
-    content).
-
-    Scale shape: chunks are computed ONCE per (doc, start) and joined
-    to the copy explosion (never re-fingerprinted per copy); the copy
-    table is doc_id-keyed and tiny (kept docs × small epoch counts);
-    the 5-row mixing recipe is broadcast; the final shuffle carries 16
-    shard groups of 5 counter fields. Data-sized shuffles are keyed by
-    doc_id (gates, chunk join) — the same keys as every upstream stage."""
+def curation_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q113/q114's four-gate keep list as a standalone STAGE:
+    ``(doc_id, lang)`` for docs that are (1) their dedup component's
+    canonical member, (2) quality >= 0.5, (3) repetition-clean
+    (dup-bigram fraction <= 0.2), (4) scored positive by the
+    corpus-trained classifier. The pipeline runner persists this as
+    the ``keep`` artifact; q114 composes it in-query."""
     from ml_with_spark_streaming_spark.operators.quality_clf import heuristic_labels
     from ml_with_spark_streaming_spark.operators.textstats import quality_score_expr
 
@@ -1709,7 +1694,7 @@ def q114_training_mix_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     pres = maybe_checkpoint(feature_presence(d))
     lab = maybe_checkpoint(heuristic_labels(d))
     sc = classifier_scores(pres, classifier_weights(pres, lab))
-    keep = (
+    return (
         d.select("doc_id", "lang", quality_score_expr("text").alias("quality"))
         .join(assigned, "doc_id")
         .join(rep, "doc_id")
@@ -1722,9 +1707,23 @@ def q114_training_mix_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang")
     )
-    plan = _mixing_plan(spark, sf_dir).select("lang", F.col("repeat_factor").alias("rf"))
+
+
+def epoch_copies(spark: SparkSession, sf_dir: str, keep: DataFrame) -> DataFrame:
+    """Stage: per-kept-doc epoch copy counts ``(doc_id, n_copies)``
+    from the q104/q107 language-mixing recipe — floor(repeat_factor)
+    plus a deterministic md5-bucket bonus copy realizing the
+    fractional part (identical arithmetic to q107/q114's SQL twin).
+    The 5-row recipe is broadcast; output is keep-list-sized."""
+    plan = _mixing_plan(spark, sf_dir).select(
+        "lang", F.col("repeat_factor").alias("rf")
+    )
     bucket = F.substring(
-        F.md5(F.encode(F.concat_ws("#", F.col("doc_id").cast("string"), F.lit("mix")), "UTF-8")),
+        F.md5(
+            F.encode(
+                F.concat_ws("#", F.col("doc_id").cast("string"), F.lit("mix")), "UTF-8"
+            )
+        ),
         1,
         8,
     )
@@ -1733,43 +1732,66 @@ def q114_training_mix_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "%08x",
         F.least(F.floor(frac * F.lit(float(2**32))).cast("long"), F.lit(2**32 - 1)),
     )
-    # two consumers (copy explosion + the chunking semi-join) over the
-    # whole gate lineage — materialize the tiny (doc_id, n_copies) table
-    copies = maybe_checkpoint(
-        keep.join(F.broadcast(plan), "lang").select(
-            "doc_id",
-            (F.floor("rf").cast("long") + F.when(bucket < thr, F.lit(1)).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("n_copies"),
-        )
-    )
-    reps = copies.filter(F.col("n_copies") >= 1).select(
+    return keep.join(F.broadcast(plan), "lang").select(
         "doc_id",
-        F.explode(F.sequence(F.lit(1), F.col("n_copies").cast("int"))).alias("copy_idx"),
+        (
+            F.floor("rf").cast("long")
+            + F.when(bucket < thr, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_copies"),
     )
+
+
+def context_chunks(d: DataFrame, kept_ids: DataFrame) -> DataFrame:
+    """Stage: q108's sliding context-window chunking restricted to kept
+    docs: ``(doc_id, start, chunk_len, fp)``. Chunks are fingerprinted
+    ONCE per (doc, start) — the copy explosion joins to this table, so
+    no chunk is ever re-hashed per copy."""
     toks = (
         d.select("doc_id", tokens_expr(clean_text_expr("text")).alias("_toks"))
         .filter(F.size("_toks") > 0)
-        # fingerprint only KEPT docs: the inner join below would prune
-        # the rest anyway, but a semi-join BEFORE chunking skips the
-        # md5 work for dropped docs entirely (identical result — the
-        # oracle computes chunks unfiltered and inner-joins, same set)
-        .join(copies.filter(F.col("n_copies") >= 1).select("doc_id"), "doc_id", "left_semi")
+        # fingerprint only KEPT docs: the inner join downstream would
+        # prune the rest anyway, but a semi-join BEFORE chunking skips
+        # the md5 work for dropped docs entirely (identical result)
+        .join(kept_ids, "doc_id", "left_semi")
         .repartition("doc_id")
     )
-    chunks = toks.select(
+    return toks.select(
         "doc_id",
         "_toks",
-        F.explode(F.sequence(F.lit(1), F.size("_toks"), F.lit(_CHUNK_STRIDE))).alias("start"),
+        F.explode(F.sequence(F.lit(1), F.size("_toks"), F.lit(_CHUNK_STRIDE))).alias(
+            "start"
+        ),
     ).select(
         "doc_id",
         "start",
-        F.least(F.lit(_CHUNK_LEN), F.size("_toks") - F.col("start") + 1).alias("chunk_len"),
+        F.least(F.lit(_CHUNK_LEN), F.size("_toks") - F.col("start") + 1).alias(
+            "chunk_len"
+        ),
         F.substring(
-            F.md5(F.encode(F.concat_ws(" ", F.slice("_toks", F.col("start"), _CHUNK_LEN)), "UTF-8")),
+            F.md5(
+                F.encode(
+                    F.concat_ws(" ", F.slice("_toks", F.col("start"), _CHUNK_LEN)),
+                    "UTF-8",
+                )
+            ),
             1,
             16,
         ).alias("fp"),
+    )
+
+
+def shard_manifest(copies: DataFrame, chunks: DataFrame) -> DataFrame:
+    """Stage: explode copy counts to (doc, copy_idx), join the chunk
+    table, assign each sequence its deterministic shard (first hex char
+    of md5(doc#copy#start) — 16 shards), and aggregate the per-shard
+    manifest a training job reads."""
+    reps = copies.filter(F.col("n_copies") >= 1).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies").cast("int"))).alias(
+            "copy_idx"
+        ),
     )
     seqs = reps.join(chunks, "doc_id")
     shard = F.substring(
@@ -1799,6 +1821,45 @@ def q114_training_mix_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query("q114_training_mix_export", Q114_SQL)
+def q114_training_mix_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled ENDGAME a pretraining corpus build actually ships:
+    curation keep-list (q113's four gates) → per-doc epoch copies from
+    the language-mixing recipe (q104/q107) → sliding context-window
+    chunking (q108) → deterministic shard assignment (first hex char of
+    md5(doc#copy#start) → 16 shards) → the per-shard MANIFEST (sequence
+    /doc/token counts + fingerprint range) that a training job reads.
+
+    Every stage is the already-oracled operator; this query pins the
+    full composition bit-for-bit against DuckDB. The manifest stands in
+    for the shard WRITE (``.write.partitionBy("shard")`` on the seqs
+    table is the production sink — the driver contract wants a
+    DataFrame back, and counts + fingerprints pin the identical
+    content).
+
+    Scale shape: chunks are computed ONCE per (doc, start) and joined
+    to the copy explosion (never re-fingerprinted per copy); the copy
+    table is doc_id-keyed and tiny (kept docs × small epoch counts);
+    the 5-row mixing recipe is broadcast; the final shuffle carries 16
+    shard groups of 5 counter fields. Data-sized shuffles are keyed by
+    doc_id (gates, chunk join) — the same keys as every upstream stage.
+
+    The stage functions (curation_keep_list / epoch_copies /
+    context_chunks / shard_manifest) are SHARED with the
+    artifact-to-artifact runner ``tools/run_pipeline.py``, which
+    persists each stage as parquet and reproduces this manifest
+    hash-exactly — one code path, two execution disciplines."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = curation_keep_list(spark, sf_dir)
+    # two consumers (copy explosion + the chunking semi-join) over the
+    # whole gate lineage — materialize the tiny (doc_id, n_copies) table
+    copies = maybe_checkpoint(epoch_copies(spark, sf_dir, keep))
+    chunks = context_chunks(
+        d, copies.filter(F.col("n_copies") >= 1).select("doc_id")
+    )
+    return shard_manifest(copies, chunks)
 
 
 # ---------------------------------------------------------------------------
