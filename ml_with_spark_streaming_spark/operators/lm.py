@@ -1,0 +1,154 @@
+"""Bigram language-model scoring — perplexity-style quality filtering
+(the CCNet discipline, Wenzek et al. 2019: score every document under
+a reference LM and gate/ bucket on per-token negative log-likelihood).
+
+The model is an add-one-smoothed bigram LM:
+
+    P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
+
+with c(·) corpus counts and V the distinct-vocabulary size. A
+document's score is the sum of −ln P over its adjacent token pairs,
+surfaced as ``nll_x1e6`` (total, micro-nats) and ``mean_nll_x1e6``
+(per-bigram mean) — both BIGINT.
+
+Engine-exact ln: −ln P = ln((c1 + V)/(c12 + 1)), whose argument is
+always ≥ 1 (c12 ≤ c1 and V ≥ 1), computed with the same
+correctly-rounded sqrt+atanh construction as log-BM25
+(``operators/retrieval.ln_x1e6_sql``) and quantized HALF-UP at 1e-6 —
+so scores are bit-identical across engines and partition layouts and
+the whole operator is DuckDB-oracled, unlike a libm ``ln()``.
+int64 bounds: per-bigram nll6 ≤ ln(c1_max + V)·1e6 ≤ 33e6 even at
+1e14 corpus tokens; a 1e6-token document sums to ≤ 3.3e13.
+
+Scale shape (all counts are one map-side-combinable aggregate each):
+tokenize once (checkpointed); unigram counts and V are vocab-sized;
+bigram counts are bigram-vocab-sized (Zipf-bounded, NOT corpus-sized).
+Scoring aggregates each doc's bigram OCCURRENCES to per-doc DISTINCT
+bigram counts first (map-side combine), joins the bigram-vocab score
+table once, and weight-sums per doc — the corpus-sized table crosses
+the shuffle exactly twice (bigram-key join, doc-key sum).
+
+At production scale the count tables are a REFERENCE-corpus artifact
+(train once on trusted text, score every candidate drop); here the
+corpus scores itself, which is the same plan with the count lineage
+swapped for a parquet read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ml_with_spark_streaming_spark.functions.text import clean_text_expr, tokens_expr
+from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
+from ml_with_spark_streaming_spark.operators.retrieval import ln_x1e6_sql
+
+# −ln P(w2|w1) in micro-nats over columns c1 (unigram count), c12
+# (bigram count), v (vocab size): ln((c1+v)/(c12+1)), argument >= 1.
+BIGRAM_NLL6_SQL = ln_x1e6_sql(
+    "((CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)) / (CAST(c12 AS DOUBLE) + 1.0))"
+)
+
+# HALF-UP(total/n) for the per-bigram mean, both BIGINT
+MEAN_NLL_SQL = "(nll_x1e6 * 2 + n_bigrams) {div} (2 * n_bigrams)"
+
+
+def _bigram_occurrences(toks: DataFrame, id_col: str) -> DataFrame:
+    """(id, w1, w2, n_occ): per-doc distinct adjacent pairs with
+    occurrence counts — the map-side-combinable form scoring joins."""
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("_toks", i).alias("w1"),
+                    F.element_at("_toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("_p"),
+    ).select(F.col(id_col), F.col("_p.w1"), F.col("_p.w2"))
+    return pairs.groupBy(id_col, "w1", "w2").agg(
+        F.count("*").cast("long").alias("n_occ")
+    )
+
+
+def bigram_lm_counts(toks: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(unigrams, bigrams, vocab): the LM's count artifacts over a
+    tokenized corpus — ``(w1, c1)``, ``(w1, w2, c12)``, and the 1-row
+    ``(v)`` vocabulary size. Each is ONE aggregate; at scale these are
+    persisted reference-corpus tables."""
+    uni = (
+        toks.select(F.explode("_toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+    uni = maybe_checkpoint(uni)
+    big = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_toks", i).alias("w1"),
+                        F.element_at("_toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p.w1"), F.col("_p.w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    vocab = uni.agg(F.count("*").cast("long").alias("v"))
+    return uni, big, vocab
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document LM score table ``(id_col, n_bigrams, nll_x1e6,
+    mean_nll_x1e6)`` — total and per-bigram-mean negative log-
+    likelihood in micro-nats, BIGINT, ordered by id. Documents with
+    fewer than 2 tokens surface with zeros (full-spine convention)."""
+    toks = maybe_checkpoint(
+        df.select(
+            F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_toks")
+        ).filter(F.size("_toks") >= 2)
+    )
+    uni, big, vocab = bigram_lm_counts(toks)
+    # score each DISTINCT bigram once (bigram-vocab-sized work), then
+    # weight by per-doc occurrence counts
+    scored = (
+        big.join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .selectExpr("w1", "w2", f"{BIGRAM_NLL6_SQL} AS nll6")
+    )
+    occ = _bigram_occurrences(toks, id_col)
+    per_doc = (
+        occ.join(scored, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_bigrams"),
+            F.sum(F.col("n_occ") * F.col("nll6")).cast("long").alias("nll_x1e6"),
+        )
+        .selectExpr(
+            id_col,
+            "n_bigrams",
+            "nll_x1e6",
+            f"CAST({MEAN_NLL_SQL.format(div='DIV')} AS LONG) AS mean_nll_x1e6",
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("nll_x1e6", F.lit(0)).cast("long").alias("nll_x1e6"),
+            F.coalesce("mean_nll_x1e6", F.lit(0)).cast("long").alias("mean_nll_x1e6"),
+        )
+        .orderBy(id_col)
+    )

@@ -769,3 +769,81 @@ def q130_bm25_ln_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bm25_ln_topk(d, _BM25_TERMS, k=20, text_col="text", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q131 — bigram-LM perplexity scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+def _q131_sql() -> str:
+    from ml_with_spark_streaming_spark.operators.lm import (
+        BIGRAM_NLL6_SQL,
+        MEAN_NLL_SQL,
+    )
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+tk AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+pos AS (
+  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+  FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+),
+uni AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(t) AS w1 FROM tk) GROUP BY w1
+),
+big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM pos GROUP BY w1, w2),
+voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+scored AS (
+  SELECT w1, w2, {BIGRAM_NLL6_SQL} AS nll6
+  FROM big JOIN uni USING (w1) CROSS JOIN voc
+),
+occ AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM pos GROUP BY 1, 2, 3
+),
+pd AS (
+  SELECT doc_id,
+         CAST(SUM(n_occ) AS BIGINT) AS n_bigrams,
+         CAST(SUM(n_occ * nll6) AS BIGINT) AS nll_x1e6
+  FROM occ JOIN scored USING (w1, w2) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(pd.nll_x1e6, 0) AS BIGINT) AS nll_x1e6,
+       CAST(COALESCE({MEAN_NLL_SQL.format(div='//')}, 0) AS BIGINT) AS mean_nll_x1e6
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("q131_bigram_lm_nll", _q131_sql())
+def q131_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style LM quality scoring (CCNet, Wenzek et al. 2019)
+    — the standard corpus-curation signal this family was missing:
+    every document scored under an add-one-smoothed bigram LM, surfaced
+    as total and per-bigram-mean negative log-likelihood in micro-nats
+    (BIGINT). High mean-NLL = text the reference distribution finds
+    improbable (gibberish, boilerplate soup) — the gate/bucket key of a
+    perplexity filter.
+
+    Engine-exact: −ln P = ln((c1+V)/(c12+1)) with the q130
+    sqrt-constructed correctly-rounded ln (argument always >= 1), so
+    the whole scorer is hash-exact against DuckDB — a distributed LM
+    scoring job whose output is reproducible bit-for-bit at any
+    partition layout (operators/lm.py documents the int64 bounds).
+
+    Scale shape: tokenize once (checkpointed); unigram/bigram count
+    tables are vocab-/bigram-vocab-sized (Zipf-bounded), scored ONCE
+    per distinct bigram; the corpus-sized occurrence table is
+    pre-aggregated per (doc, w1, w2) map-side before its single join.
+    At production scale the count tables come from a persisted
+    reference-corpus artifact instead of self-counts — same plan, the
+    count lineage swapped for a parquet read."""
+    from ml_with_spark_streaming_spark.operators.lm import bigram_lm_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, "text", "doc_id")

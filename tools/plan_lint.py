@@ -220,6 +220,13 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "maybe_checkpoint-materialized token table at runtime — one documents scan, one "
         "explode pass",
     ),
+    "q131_bigram_lm_nll": (
+        frozenset({"DupFactScan"}),
+        "visible only under SPARK_GRAFT_NO_CHECKPOINT: unigram counts, bigram counts, "
+        "the per-doc occurrence table, and the doc_id spine all share ONE "
+        "maybe_checkpoint-materialized token table at runtime — one documents scan, "
+        "one tokenize pass (the count tables are reference-corpus artifacts at scale)",
+    ),
     "q130_bm25_ln_topk": (
         frozenset({"DupFactScan"}),
         "q117's waived shape: corpus-stats spine (dl/N/T), the query-term tf table, and "
