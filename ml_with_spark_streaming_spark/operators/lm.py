@@ -104,6 +104,79 @@ def bigram_lm_counts(toks: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     return uni, big, vocab
 
 
+def bigram_nll_table(
+    uni: DataFrame, big: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """``(w1, w2, nll6)``: every KNOWN bigram scored once —
+    bigram-vocab-sized work, the reusable scoring artifact."""
+    return (
+        big.join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .selectExpr("w1", "w2", f"{BIGRAM_NLL6_SQL} AS nll6")
+    )
+
+
+def score_against_lm(
+    df: DataFrame,
+    uni: DataFrame,
+    big: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score ``df`` under a PREBUILT bigram LM (the reference-corpus
+    form: counts trained once on trusted text — or loaded from a
+    persisted artifact — then applied to every candidate document or
+    ingest drop). Returns ``(id_col, n_bigrams, nll_x1e6,
+    mean_nll_x1e6)`` over the FULL document spine (zeros for docs with
+    < 2 tokens).
+
+    Unseen events back off pessimistically and exactly: a bigram whose
+    LEFT unigram is known scores ln((c1+V)/1) (c12 = 0 — add-one mass
+    only); a bigram with an unknown left word scores ln(V) (c1 = 0,
+    c12 = 0) — the uniform-over-vocab floor. Both arise from the same
+    shared fragment with COALESCEd zero counts, so batch and stream
+    score identically wherever the model is the same."""
+    toks = maybe_checkpoint(
+        df.select(
+            F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_toks")
+        ).filter(F.size("_toks") >= 2)
+    )
+    occ = _bigram_occurrences(toks, id_col)
+    r = (
+        occ.join(big, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("c12", F.coalesce("c12", F.lit(0)))
+        .withColumn("c1", F.coalesce("c1", F.lit(0)))
+    )
+    per_doc = (
+        r.selectExpr(id_col, "n_occ", f"{BIGRAM_NLL6_SQL} AS nll6")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_bigrams"),
+            F.sum(F.col("n_occ") * F.col("nll6")).cast("long").alias("nll_x1e6"),
+        )
+        .selectExpr(
+            id_col,
+            "n_bigrams",
+            "nll_x1e6",
+            f"CAST({MEAN_NLL_SQL.format(div='DIV')} AS LONG) AS mean_nll_x1e6",
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("nll_x1e6", F.lit(0)).cast("long").alias("nll_x1e6"),
+            F.coalesce("mean_nll_x1e6", F.lit(0)).cast("long").alias("mean_nll_x1e6"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def bigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",
@@ -112,7 +185,11 @@ def bigram_lm_scores(
     """Per-document LM score table ``(id_col, n_bigrams, nll_x1e6,
     mean_nll_x1e6)`` — total and per-bigram-mean negative log-
     likelihood in micro-nats, BIGINT, ordered by id. Documents with
-    fewer than 2 tokens surface with zeros (full-spine convention)."""
+    fewer than 2 tokens surface with zeros (full-spine convention).
+    Self-scoring form: the count tables are built from ``df`` itself
+    (q131's oracled shape — every scored bigram is then known, so the
+    no-backoff inner join and :func:`score_against_lm`'s COALESCE form
+    agree, pinned by test)."""
     toks = maybe_checkpoint(
         df.select(
             F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_toks")
@@ -121,11 +198,7 @@ def bigram_lm_scores(
     uni, big, vocab = bigram_lm_counts(toks)
     # score each DISTINCT bigram once (bigram-vocab-sized work), then
     # weight by per-doc occurrence counts
-    scored = (
-        big.join(uni, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .selectExpr("w1", "w2", f"{BIGRAM_NLL6_SQL} AS nll6")
-    )
+    scored = bigram_nll_table(uni, big, vocab)
     occ = _bigram_occurrences(toks, id_col)
     per_doc = (
         occ.join(scored, ["w1", "w2"])

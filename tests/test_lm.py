@@ -64,3 +64,111 @@ def test_bigram_lm_layout_independent(spark):
     ga = sorted(map(tuple, bigram_lm_scores(a).collect()))
     gb = sorted(map(tuple, bigram_lm_scores(b).collect()))
     assert ga == gb
+
+
+def test_score_against_lm_agrees_with_self_scoring(spark):
+    """On the training corpus itself every bigram is known, so the
+    reference-artifact form (COALESCEd backoff) must equal the q131
+    self-scoring form bit-for-bit."""
+    from ml_with_spark_streaming_spark.operators.lm import score_against_lm
+    from ml_with_spark_streaming_spark.streaming.perplexity_filter import train_lm
+
+    df = spark.createDataFrame(_ROWS, "doc_id long, text string")
+    uni, big, vocab = train_lm(df)
+    got = sorted(map(tuple, score_against_lm(df, uni, big, vocab).collect()))
+    want = sorted(map(tuple, bigram_lm_scores(df).collect()))
+    assert got == want
+
+
+def test_score_against_lm_backoff_for_unseen(spark):
+    """Unseen events score pessimistically and exactly: known-left
+    unseen bigram -> ln((c1+V)/1); unknown-left -> ln(V)."""
+    import math
+
+    from ml_with_spark_streaming_spark.operators.lm import score_against_lm
+    from ml_with_spark_streaming_spark.streaming.perplexity_filter import train_lm
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat ran")], "doc_id long, text string"
+    )
+    uni, big, vocab = train_lm(train)  # vocab: the cat sat ran -> V=4
+    new = spark.createDataFrame(
+        [(10, "the dog"), (11, "zz qq")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.nll_x1e6 for r in score_against_lm(new, uni, big, vocab).collect()}
+    # "the dog": left 'the' known (c1=2), 'the dog' unseen -> ln((2+4)/1)
+    assert got[10] == math.floor(math.log(6.0) * 1e6 + 0.5)
+    # "zz qq": left unknown -> ln((0+4)/1)
+    assert got[11] == math.floor(math.log(4.0) * 1e6 + 0.5)
+
+
+def test_streaming_perplexity_filter_equals_batch(spark, tmp_path):
+    """Stream-equals-batch: the micro-batch gate's verdicts equal the
+    batch operator's on the same rows, across a model save/resume."""
+    import json
+    import os
+
+    from ml_with_spark_streaming_spark.operators.lm import score_against_lm
+    from ml_with_spark_streaming_spark.streaming.perplexity_filter import (
+        StreamingPerplexityFilter,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the mat tonight " * 3) for i in range(4)]
+        + [(9, "the dog ran over the rug today " * 3)],
+        "doc_id long, text string",
+    )
+    incoming = [
+        (100, "the cat sat on the mat tonight the cat sat"),  # in-distribution
+        (101, "colorless green ideas sleep furiously zz qq"),  # improbable
+        (102, "x"),  # unscorable (1 token)
+    ]
+    kept = set()
+    f = StreamingPerplexityFilter.from_corpus(corpus, threshold_x1e6=0)
+    # calibrate the gate the way a deployment does: score a labeled
+    # slice under the trained LM, put the threshold between the
+    # in-distribution doc and the improbable one
+    batch_df = spark.createDataFrame(incoming, "doc_id long, text string")
+    cal = {
+        r.doc_id: r.mean_nll_x1e6
+        for r in score_against_lm(batch_df, f.uni, f.big, f.vocab).collect()
+    }
+    assert cal[100] < cal[101]  # the improbable doc really scores worse
+    thr = (cal[100] + cal[101]) // 2
+    # save + resume: the gate that runs is loaded from the artifact
+    mp = str(tmp_path / "lm")
+    f.save_model(mp)
+    f2 = StreamingPerplexityFilter.from_model_path(
+        spark,
+        mp,
+        threshold_x1e6=thr,
+        on_kept=lambda df, bid: kept.update(r["doc_id"] for r in df.collect()),
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.jsonl"), "w") as fh:
+        for doc_id, text in incoming:
+            fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    docs = (
+        spark.readStream.format("json")
+        .schema("doc_id long, text string")
+        .load(src)
+    )
+    q = f2.attach(docs, checkpoint=str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination()
+
+    batch = {
+        r.doc_id: r.mean_nll_x1e6
+        for r in score_against_lm(batch_df, f2.uni, f2.big, f2.vocab).collect()
+    }
+    assert batch == cal  # the resumed model scores identically
+    want_kept = {
+        d
+        for d, t in incoming
+        if (batch[d] <= thr and len(t.split()) >= 2) or len(t.split()) < 2
+    }
+    assert kept == want_kept
+    assert 100 in kept and 102 in kept and 101 not in kept
+    h = f2.history[0]
+    assert h["n_docs"] == 3 and h["n_kept"] == len(want_kept) and h["n_unscored"] == 1
