@@ -1,16 +1,19 @@
-"""The composed ingest pipeline: dedup -> decontaminate -> quality,
-per micro-batch — the full accept/reject path a production corpus runs
-at the door (novelty first, so later gates never score documents about
-to be discarded as duplicates; benchmark overlap second; quality last;
-all three gates are the EXACT batch operators, so stream verdicts
-equal batch verdicts).
+"""The composed ingest pipeline: dedup -> decontaminate -> quality ->
+perplexity, per micro-batch — the full accept/reject path a production
+corpus runs at the door (novelty first, so later gates never score
+documents about to be discarded as duplicates; benchmark overlap
+second; the cheap classifier gate third; the LM perplexity gate last,
+on the smallest surviving slice; all gates are the EXACT batch
+operators, so stream verdicts equal batch verdicts).
 
 Composes ``StreamingIngestDedup`` (q105's gates against the corpus
 fingerprint/band indexes), an optional
-``StreamingDecontaminationFilter`` (q101's 13-gram eval overlap), and
-``StreamingQualityFilter`` (the frozen q112 weight table). Each stage
-keeps its own per-batch history; the pipeline adds a combined ledger
-row per batch: (n_in, n_after_dedup, n_after_decon, n_accepted).
+``StreamingDecontaminationFilter`` (q101's 13-gram eval overlap),
+``StreamingQualityFilter`` (the frozen q112 weight table), and an
+optional ``StreamingPerplexityFilter`` (the frozen q131 bigram LM).
+Each stage keeps its own per-batch history; the pipeline adds a
+combined ledger row per batch: (n_in, n_after_dedup, n_after_decon,
+n_after_quality, n_accepted).
 """
 
 from __future__ import annotations
@@ -25,22 +28,26 @@ from ml_with_spark_streaming_spark.streaming.decon_filter import (
 )
 from ml_with_spark_streaming_spark.streaming.foreach import attach_foreach_batch
 from ml_with_spark_streaming_spark.streaming.ingest_dedup import StreamingIngestDedup
+from ml_with_spark_streaming_spark.streaming.perplexity_filter import (
+    StreamingPerplexityFilter,
+)
 from ml_with_spark_streaming_spark.streaming.quality_filter import StreamingQualityFilter
 
 
 @dataclass
 class StreamingIngestPipeline:
-    """Chain the dedup, (optional) decontamination, and quality gates
-    over one document stream.
+    """Chain the dedup, (optional) decontamination, quality, and
+    (optional) perplexity gates over one document stream.
 
     ``on_accepted`` receives each batch's fully-accepted slice (novel,
-    clean of eval overlap, AND high-quality) — the write-to-storage
-    hook.
+    clean of eval overlap, high-quality, AND in-distribution under the
+    reference LM) — the write-to-storage hook.
     """
 
     dedup: StreamingIngestDedup
     quality: StreamingQualityFilter
     decon: StreamingDecontaminationFilter | None = None
+    perplexity: StreamingPerplexityFilter | None = None
     on_accepted: object = None
     ledger: list[dict] = field(default_factory=list)
 
@@ -50,6 +57,7 @@ class StreamingIngestPipeline:
         self._dedup_hook = self.dedup.on_kept
         self._decon_hook = self.decon.on_kept if self.decon is not None else None
         self._quality_hook = self.quality.on_kept
+        self._ppl_hook = self.perplexity.on_kept if self.perplexity is not None else None
 
     @classmethod
     def build(
@@ -57,6 +65,7 @@ class StreamingIngestPipeline:
         corpus: DataFrame,
         weights: list[tuple[str, int]],
         eval_corpus: DataFrame | None = None,
+        perplexity_threshold_x1e6: int | None = None,
         on_accepted: object = None,
         **dedup_kw,
     ) -> "StreamingIngestPipeline":
@@ -70,10 +79,18 @@ class StreamingIngestPipeline:
             if eval_corpus is not None
             else None
         )
+        ppl = (
+            StreamingPerplexityFilter.from_corpus(
+                corpus, threshold_x1e6=perplexity_threshold_x1e6, **col_kw
+            )
+            if perplexity_threshold_x1e6 is not None
+            else None
+        )
         return cls(
             dedup=StreamingIngestDedup.from_corpus(corpus, **dedup_kw),
             quality=StreamingQualityFilter(weights=weights, **col_kw),
             decon=decon,
+            perplexity=ppl,
             on_accepted=on_accepted,
         )
 
@@ -120,8 +137,24 @@ class StreamingIngestPipeline:
         ) -> None:
             if ran_quality and self._quality_hook is not None:
                 self._quality_hook(accepted_df, bid)
+            if self.perplexity is None:
+                _after_ppl(accepted_df, bid, ran_ppl=False)
+            elif accepted_df.isEmpty():
+                self._zero_row(
+                    self.perplexity.history,
+                    bid,
+                    ("n_docs", "n_kept", "n_unscored"),
+                )
+                _after_ppl(accepted_df, bid, ran_ppl=False)
+            else:
+                self.perplexity.on_kept = _after_ppl
+                self.perplexity.process_batch(accepted_df, bid)
+
+        def _after_ppl(final_df: DataFrame, bid: int, ran_ppl: bool = True) -> None:
+            if ran_ppl and self._ppl_hook is not None:
+                self._ppl_hook(final_df, bid)
             if self.on_accepted is not None:
-                self.on_accepted(accepted_df, bid)
+                self.on_accepted(final_df, bid)
 
         self.dedup.on_kept = _after_dedup
         self.dedup.process_batch(batch_df, batch_id)
@@ -130,13 +163,20 @@ class StreamingIngestPipeline:
         dh = self.dedup.history[-1]
         ch = self.decon.history[-1] if self.decon is not None else None
         qh = self.quality.history[-1] if self.quality.history else None
+        n_after_quality = qh["n_kept"] if qh is not None else 0
+        ph = (
+            self.perplexity.history[-1]
+            if self.perplexity is not None and self.perplexity.history
+            else None
+        )
         self.ledger.append(
             {
                 "batch_id": batch_id,
                 "n_in": dh["n_docs"],
                 "n_after_dedup": dh["n_kept"],
                 "n_after_decon": ch["n_kept"] if ch is not None else dh["n_kept"],
-                "n_accepted": qh["n_kept"] if qh is not None else 0,
+                "n_after_quality": n_after_quality,
+                "n_accepted": ph["n_kept"] if ph is not None else n_after_quality,
             }
         )
 

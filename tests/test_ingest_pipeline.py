@@ -141,10 +141,64 @@ def test_fully_rejected_batch_keeps_histories_aligned(spark):
     pipe.process_batch(batch, 7)
 
     assert pipe.ledger == [
-        {"batch_id": 7, "n_in": 1, "n_after_dedup": 0, "n_after_decon": 0, "n_accepted": 0}
+        {
+            "batch_id": 7,
+            "n_in": 1,
+            "n_after_dedup": 0,
+            "n_after_decon": 0,
+            "n_after_quality": 0,
+            "n_accepted": 0,
+        }
     ]
     assert pipe.dedup.history[-1]["batch_id"] == 7
     assert pipe.decon.history[-1] == {
         "batch_id": 7, "n_docs": 0, "n_contaminated": 0, "n_kept": 0
     }
     assert pipe.quality.history[-1] == {"batch_id": 7, "n_docs": 0, "n_kept": 0}
+
+
+def test_pipeline_with_perplexity_gate(spark):
+    """Four-gate pipeline: a novel, clean, classifier-positive doc can
+    still be rejected by the LM perplexity gate (vocabulary the
+    reference distribution has never seen scores the ln(V) floor per
+    bigram, above a threshold calibrated on in-distribution text)."""
+    from ml_with_spark_streaming_spark.operators.lm import score_against_lm
+    from ml_with_spark_streaming_spark.streaming.perplexity_filter import train_lm
+
+    corpus = _docs(spark)
+    frozen = freeze_weights(
+        classifier_weights(feature_presence(corpus), heuristic_labels(corpus))
+    )
+    hi_words = [_HI_WORDS[(5 + j) % len(_HI_WORDS)] for j in range(40)]
+    hi = " ".join(hi_words)
+    # the scrambled doc has the SAME token set as in-distribution text
+    # (so the presence-feature classifier scores it identically and it
+    # passes that gate) but REVERSED word order — every bigram is
+    # unseen by the LM, scoring the pessimistic ln((c1+V)/1) backoff
+    scrambled = " ".join(reversed(hi_words))
+    batch = [(1200, "spectra " + hi), (1201, "spectra " + scrambled)]
+
+    # calibrate the threshold between the two docs under the corpus LM
+    uni, big, voc = train_lm(corpus)
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    cal = {r.doc_id: r.mean_nll_x1e6 for r in score_against_lm(bdf, uni, big, voc).collect()}
+    assert cal[1200] < cal[1201]
+    thr = (cal[1200] + cal[1201]) // 2
+
+    accepted: set[int] = set()
+    pipe = StreamingIngestPipeline.build(
+        corpus,
+        frozen,
+        perplexity_threshold_x1e6=thr,
+        threshold=0.9,
+        on_accepted=lambda df, bid: accepted.update(r["doc_id"] for r in df.collect()),
+    )
+    batch_df = spark.createDataFrame(batch, "doc_id long, text string")
+    pipe.process_batch(batch_df, 0)
+
+    row = pipe.ledger[0]
+    assert row["n_in"] == 2 and row["n_after_dedup"] == 2
+    assert row["n_after_quality"] == 2  # both pass the classifier
+    assert row["n_accepted"] == 1  # the LM gate rejects the gibberish
+    assert accepted == {1200}
+    assert pipe.perplexity.history[0]["n_kept"] == 1
