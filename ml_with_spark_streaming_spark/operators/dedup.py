@@ -58,7 +58,12 @@ def lsh_s_curve_error(
     return w_fp * fp + w_fn * fn
 
 
-def derive_minhash_knobs(n_docs: int, target_jaccard: float = 0.5) -> tuple[int, int]:
+def derive_minhash_knobs(
+    n_docs: int,
+    target_jaccard: float = 0.5,
+    w_fp: float = 0.5,
+    w_fn: float = 0.5,
+) -> tuple[int, int]:
     """(k, bands) for :func:`minhash_candidates`, DERIVED from corpus
     size and the similarity threshold instead of fixture-tuned
     constants (the q100 ``derive_signlsh_knobs`` discipline).
@@ -78,11 +83,21 @@ def derive_minhash_knobs(n_docs: int, target_jaccard: float = 0.5) -> tuple[int,
     of k at the target threshold — for (k=16, t=0.5) this lands on
     b=4 (threshold (1/4)^(1/4) ≈ 0.71), the constants q50/q58 shipped
     with; at 1e7 docs it returns (32, 8), at 1e9 (64, 16). Pinned by
-    tests/test_dedup.py::test_derive_minhash_knobs."""
+    tests/test_dedup.py::test_derive_minhash_knobs.
+
+    ``w_fp``/``w_fn`` weight the two error masses. The symmetric
+    default fits candidate-ANALYSIS jobs (q50/q58: every candidate is
+    exact-verified, both error kinds cost one unit of work). An ingest
+    GATE is asymmetric — a missed duplicate enters the corpus forever,
+    a false candidate costs one verify join — so a gate should derive
+    with w_fn ≫ w_fp: at t = 0.9 the symmetric optimum is (16, 1)
+    (one 16-row AND band, recall at s = 0.94 only ~0.37), while
+    w_fn = 0.95 picks b = 4 (recall ~0.998) — exactly the banding
+    `streaming/ingest_dedup.py` ships (pinned by test)."""
     k = 16 if n_docs <= 1_000_000 else 32 if n_docs <= 100_000_000 else 64
     best_b = min(
         (b for b in range(1, k + 1) if k % b == 0),
-        key=lambda b: lsh_s_curve_error(b, k // b, target_jaccard),
+        key=lambda b: lsh_s_curve_error(b, k // b, target_jaccard, w_fp, w_fn),
     )
     return k, best_b
 

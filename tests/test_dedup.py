@@ -215,3 +215,18 @@ def test_minhash_derived_knobs_recall_and_bucket_cap(spark):
         .collect()[0][0]
     )
     assert mx <= 8 < _MINHASH_MAX_BUCKET
+
+
+def test_derive_minhash_knobs_gate_weighting():
+    """The FP/FN weighting story: a candidate-analysis job (symmetric
+    costs) at t=0.9 gets the sharp (16, 1) AND-band with terrible
+    recall just above threshold, while a dedup GATE (missed dup =
+    permanent corpus damage) derives recall-heavy and lands on the
+    b=4 banding the streaming ingest gate ships."""
+    from ml_with_spark_streaming_spark.operators.dedup import derive_minhash_knobs
+
+    assert derive_minhash_knobs(500, 0.9) == (16, 1)
+    assert derive_minhash_knobs(500, 0.9, w_fp=0.05, w_fn=0.95) == (16, 4)
+    # recall at s = 0.94 under each banding
+    p = lambda b, r: 1 - (1 - 0.94**r) ** b  # noqa: E731
+    assert p(1, 16) < 0.4 < 0.99 < p(4, 4)
