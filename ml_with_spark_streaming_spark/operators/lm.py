@@ -195,11 +195,21 @@ def bigram_lm_scores(
             F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_toks")
         ).filter(F.size("_toks") >= 2)
     )
-    uni, big, vocab = bigram_lm_counts(toks)
+    # ONE corpus-sized bigram explode: the per-doc occurrence table is
+    # computed first (map-side combinable) and the global bigram counts
+    # ROLL UP from it (c12 = Σ n_occ — a bigram-vocab-sized second
+    # aggregate), instead of a second explode pass over the corpus
+    occ = maybe_checkpoint(_bigram_occurrences(toks, id_col))
+    uni = maybe_checkpoint(
+        toks.select(F.explode("_toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+    big = occ.groupBy("w1", "w2").agg(F.sum("n_occ").cast("long").alias("c12"))
+    vocab = uni.agg(F.count("*").cast("long").alias("v"))
     # score each DISTINCT bigram once (bigram-vocab-sized work), then
     # weight by per-doc occurrence counts
     scored = bigram_nll_table(uni, big, vocab)
-    occ = _bigram_occurrences(toks, id_col)
     per_doc = (
         occ.join(scored, ["w1", "w2"])
         .groupBy(id_col)
