@@ -110,3 +110,74 @@ def contamination_counts(
             (F.coalesce("n_contaminated", F.lit(0)) == 0).cast("int").alias("keep"),
         )
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    e_id: str = "eval_id",
+    e_vec: str = "vec",
+) -> DataFrame:
+    """Embedding-level decontamination: flag every corpus vector whose
+    cosine similarity to ANY eval/benchmark vector reaches
+    ``threshold`` (the semantic sibling of the 13-gram lexical gate —
+    catches paraphrased/reformatted test data that shares no 13-gram
+    with the benchmark; the n-gram policy is blind to those).
+
+    Returns one row per corpus vector:
+    ``(c_id, nearest_eval_id, max_cosine, contaminated)`` — the full
+    audit view, not just the flagged slice, so the keep-list AND the
+    near-miss margin are both inspectable.
+
+    Scale shape — the decisive structural fact is that the eval side
+    is benchmark-sized while the corpus is 100 TB, so the ONLY sane
+    plan is a broadcast of the packed eval set and a single corpus
+    scan with ZERO shuffles:
+
+    * eval vectors (+ precomputed norms) are packed into ONE row via
+      ``collect_list(struct(...))`` and broadcast;
+    * each corpus row folds over that array with JVM higher-order
+      functions — ``transform`` builds (cosine, -eval_id) candidate
+      structs, ``array_max`` takes the lexicographic max, giving the
+      argmax with min-eval-id tie-break in one pass, no explode, no
+      groupBy, no window;
+    * nothing data-sized is collected or shuffled — the output is a
+      pure projection of the corpus scan.
+
+    Cosine matches the q53 oracle formulation bit-for-bit: double
+    left-fold dot / (safe_denom(norm) product), rounded to 4 decimals
+    BEFORE the argmax and the threshold compare, so ranking and
+    flagging agree with any engine replaying the same arithmetic.
+    """
+    from ml_with_spark_streaming_spark.operators.similarity import (
+        dot_expr,
+        norm_expr,
+        safe_denom,
+    )
+
+    ev = eval_df.select(
+        F.col(e_id).cast("long").alias("eval_id"), F.col(e_vec).alias("vec")
+    ).withColumn("norm", norm_expr(F.col("vec")))
+    packed = ev.agg(F.collect_list(F.struct("eval_id", "vec", "norm")).alias("evals"))
+
+    cn = corpus.withColumn("_cn", norm_expr(F.col(c_vec)))
+    joined = cn.crossJoin(F.broadcast(packed))
+
+    def _cand(e: Column) -> Column:
+        cos = F.round(
+            dot_expr(F.col(c_vec), e["vec"])
+            / (safe_denom(F.col("_cn")) * safe_denom(e["norm"])),
+            4,
+        )
+        return F.struct(cos.alias("cos"), (-e["eval_id"]).alias("nid"))
+
+    best = F.array_max(F.transform(F.col("evals"), _cand))
+    return joined.select(
+        F.col(c_id),
+        (-best["nid"]).alias("nearest_eval_id"),
+        best["cos"].alias("max_cosine"),
+        (best["cos"] >= F.lit(threshold)).cast("long").alias("contaminated"),
+    )

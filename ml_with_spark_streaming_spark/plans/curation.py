@@ -2116,3 +2116,64 @@ def q125_packing_after_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _pack_from_counts(nt)
+
+
+# ---------------------------------------------------------------------------
+# q133 — leakage-safe train/heldout split (split by DEDUP COMPONENT)
+# ---------------------------------------------------------------------------
+
+Q133_SQL = f"""
+WITH RECURSIVE {_DEDUP_COMPONENT_CTES}
+SELECT a.doc_id, a.component,
+       CASE WHEN substr(md5(CAST(a.component AS VARCHAR) || '#' || 'split'), 1, 8)
+                 < 'cccccccc'
+            THEN 'train' ELSE 'heldout' END AS split
+FROM assigned a
+ORDER BY a.doc_id
+"""
+
+
+@query("q133_leakage_safe_split", Q133_SQL)
+def q133_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80:20 train/heldout split that CANNOT leak near-duplicates
+    across the boundary: the split key is the document's q90 dedup
+    COMPONENT (LSH candidates → exact-Jaccard ≥ 0.9 verify → connected
+    components), so every member of a near-dup cluster inherits one
+    verdict — a paraphrased copy of a heldout doc can never land in
+    train. Splitting doc-wise (the naive `hash_sample(doc_id)`)
+    silently leaks: any cluster with ≥ 2 docs has a ~2·p·(1−p) chance
+    per pair of straddling the boundary, which inflates eval exactly
+    like benchmark contamination does.
+
+    The split itself is the q84 content-hash rule applied to the
+    component id (md5(component # 'split') first-8-hex < 0.8·2^32) —
+    deterministic across layouts, engines, and reruns; changing the
+    salt redraws the split without touching the clustering.
+
+    Scale: component assignment is q90's pipeline (bucketed LSH, never
+    all-pairs; O(diameter) join rounds); the split adds ONE md5
+    projection — no new shuffle. Test pins the no-leak invariant:
+    every verified near-dup pair has both sides in the same split.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    assigned = dedup_components(d)
+    bucket = F.substring(
+        F.md5(
+            F.encode(
+                F.concat_ws("#", F.col("component").cast("string"), F.lit("split")),
+                "UTF-8",
+            )
+        ),
+        1,
+        8,
+    )
+    return (
+        assigned.select(
+            "doc_id",
+            "component",
+            F.when(bucket < F.lit("cccccccc"), F.lit("train"))
+            .otherwise(F.lit("heldout"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )

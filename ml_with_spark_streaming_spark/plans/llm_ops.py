@@ -580,3 +580,61 @@ def q129_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit",
         exact_round_div(F.col("n_hit"), F.col("n_exact")).alias("recall_at_10"),
     ).orderBy("nprobe")
+
+
+# ---------------------------------------------------------------------------
+# q132 — semantic decontamination (embedding-cosine eval-set gate)
+# ---------------------------------------------------------------------------
+
+Q132_SQL = f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding AS vec FROM embeddings WHERE vec_id < 20
+),
+scored AS (
+  SELECT c.vec_id, e.eval_id,
+         ROUND({_COS.format(a='c.embedding', b='e.vec')}, 4) AS cosine
+  FROM embeddings c, ev e
+  WHERE c.vec_id >= 20
+),
+best AS (
+  SELECT vec_id, eval_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, eval_id) AS rn
+  FROM scored
+)
+SELECT vec_id,
+       CAST(eval_id AS BIGINT) AS nearest_eval_id,
+       cosine AS max_cosine,
+       CAST(CASE WHEN cosine >= 0.35 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM best WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+@query("q132_semantic_decontamination", Q132_SQL)
+def q132_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-level) benchmark decontamination — the
+    paraphrase-robust sibling of q101's 13-gram lexical gate: a corpus
+    vector is flagged when its cosine to ANY eval vector reaches the
+    threshold, with the nearest eval id and the margin kept for audit.
+
+    Eval set = vec_id < 20 (benchmark-sized, fixed); corpus = the
+    rest. Threshold 0.35 is calibrated to THIS synthetic table (max
+    corpus-to-eval cosine ≈ 0.49, p90 ≈ 0.32 — random-ish vectors);
+    production semantic decon runs >= 0.95 on real encoder output.
+    The plan shape is threshold-independent.
+
+    Scale: the oracle's quadratic join is replayable because the
+    corpus side here is tiny; the ENGINE plan is the 100 TB shape —
+    packed eval broadcast + per-row fold, zero shuffles (see
+    operators/decontaminate.py::semantic_contamination).
+    """
+    from ml_with_spark_streaming_spark.operators.decontaminate import (
+        semantic_contamination,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("vec")
+    )
+    corpus = e.filter(F.col("vec_id") >= 20)
+    return semantic_contamination(corpus, ev, threshold=0.35).orderBy("vec_id")

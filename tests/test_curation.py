@@ -401,3 +401,54 @@ def test_temperature_mixing_hand_checked(spark, tmp_path):
     # temperature flattens: sqrt share (33%) > natural share (20%) for
     # the low-resource language
     assert got["en"].temp_share_x1e4 > 2000
+
+
+def test_leakage_safe_split_no_cross_split_neardups(spark, tmp_path):
+    """q133: every verified near-dup pair lands on ONE side of the
+    split (the invariant the operator exists for), on a corpus where
+    the naive per-doc hash split demonstrably leaks."""
+    import hashlib
+    import os
+
+    from ml_with_spark_streaming_spark.plans.curation import (
+        dedup_components,
+        q133_leakage_safe_split,
+    )
+    from ml_with_spark_streaming_spark.operators.dedup import (
+        jaccard_verify,
+        minhash_candidates,
+    )
+
+    base = " ".join(f"tok{chr(97 + i)}{chr(97 + j)}" for i in range(6) for j in range(6))
+    other = " ".join(f"uniq{chr(97 + i)}{chr(97 + j)}" for i in range(6) for j in range(6))
+    rows = [
+        (0, base, "en", "s", 0),  # near-dup cluster {0, 1}
+        (1, base, "en", "s", 0),
+        (2, other, "en", "s", 0),  # singleton
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    # the planted pair would LEAK under a per-doc hash split: doc 0
+    # buckets train, doc 1 heldout (hand-checked md5 buckets)
+    def naive(x: int) -> bool:
+        return hashlib.md5(f"{x}#split".encode()).hexdigest()[:8] < "cccccccc"
+
+    assert naive(0) != naive(1)
+
+    got = {r.doc_id: r for r in q133_leakage_safe_split(spark, d).collect()}
+    assert set(got) == {0, 1, 2}
+    # cluster members inherit one verdict — no leak
+    assert got[0].component == got[1].component == 0
+    assert got[0].split == got[1].split
+    assert got[2].component == 2
+
+    # the invariant holds for EVERY verified pair, not just the planted one
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    cands = minhash_candidates(docs, "text", "doc_id", k=16, bands=4)
+    edges = jaccard_verify(cands, docs, "text", "doc_id", threshold=0.9)
+    for e in edges.collect():
+        assert got[e.id1].split == got[e.id2].split

@@ -308,3 +308,36 @@ def test_kcenter_layout_independent(spark):
     got_a = [tuple(r) for r in kcenter_select(a, m=6).orderBy("rank").collect()]
     got_b = [tuple(r) for r in kcenter_select(b, m=6).orderBy("rank").collect()]
     assert got_a == got_b
+
+
+def test_semantic_contamination_planted(spark):
+    """semantic_contamination on hand-built vectors: exact-copy vec is
+    flagged, orthogonal vec is not, ties break to the SMALLER eval id,
+    and the zero vector scores 0 (safe_denom guard)."""
+    from ml_with_spark_streaming_spark.operators.decontaminate import (
+        semantic_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "eval_id long, vec array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0, 0.0]),  # scaled copy of eval 100 -> cos 1.0
+            (2, [0.0, 0.0, 1.0, 0.0]),  # orthogonal to both -> cos 0.0
+            (3, [1.0, 1.0, 0.0, 0.0]),  # cos 0.7071 to BOTH -> tie
+            (4, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> cos 0.0, no NaN
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: r
+        for r in semantic_contamination(corpus, ev, threshold=0.95).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1].nearest_eval_id, got[1].max_cosine, got[1].contaminated) == (100, 1.0, 1)
+    assert (got[2].max_cosine, got[2].contaminated) == (0.0, 0)
+    # tie on cosine -> min eval id wins
+    assert (got[3].nearest_eval_id, got[3].max_cosine, got[3].contaminated) == (100, 0.7071, 0)
+    assert (got[4].max_cosine, got[4].contaminated) == (0.0, 0)

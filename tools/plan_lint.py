@@ -282,6 +282,13 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "in production it is a separate benchmark-sized table scanned once and broadcast. "
         "Third scan is the doc_id-only join-back (column-pruned).",
     ),
+    "q132_semantic_decontamination": (
+        frozenset({"DupFactScan"}),
+        "q101's testdata artifact at the embedding level: eval slice (vec_id<20) and "
+        "corpus slice (vec_id>=20) are DISJOINT pushed-filter roles of one table; in "
+        "production the eval set is a separate benchmark-sized table packed into one "
+        "broadcast row — the corpus side is scanned exactly once, zero shuffles.",
+    ),
 }
 
 BAD = {
