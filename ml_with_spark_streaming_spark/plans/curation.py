@@ -33,7 +33,7 @@ from ml_with_spark_streaming_spark.operators.textstats import (
 from ml_with_spark_streaming_spark.functions.text import clean_text_expr, tokens_expr
 from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
 from ml_with_spark_streaming_spark.plans.registry import query
-from ml_with_spark_streaming_spark.plans.text_ml import CLEAN_SQL
+from ml_with_spark_streaming_spark.plans.text_ml import CLEAN_SQL, QUALITY_TABLE_SQL
 from ml_with_spark_streaming_spark.sources.batch import load_table
 
 # ---------------------------------------------------------------------------
@@ -2177,3 +2177,129 @@ def q133_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — quality-aware canonical selection (best doc per near-dup cluster)
+# ---------------------------------------------------------------------------
+
+Q134_SQL = f"""
+WITH RECURSIVE {_DEDUP_COMPONENT_CTES},
+q AS (SELECT * FROM {QUALITY_TABLE_SQL} qt),
+r AS (
+  SELECT a.doc_id, a.component, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY a.component
+                            ORDER BY q.quality DESC, a.doc_id) AS rn
+  FROM assigned a JOIN q ON q.doc_id = a.doc_id
+)
+SELECT doc_id, component, quality,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+FROM r
+ORDER BY doc_id
+"""
+
+
+@query("q134_canonical_selection", Q134_SQL)
+def q134_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within every q90 near-dup
+    cluster keep the HIGHEST-quality member (q45's engine-exact score;
+    doc_id breaks ties), not the arbitrary min-doc_id that q90's
+    is_canonical flag uses. This is what production dedup actually
+    ships — when a page was crawled five times, you keep the cleanest
+    copy, not the one that happened to get the smallest id.
+
+    Scale: component assignment is q90's bucketed pipeline; the
+    quality score is one codegen projection on the same documents
+    scan; selection is a window PARTITIONED BY component (cluster-
+    sized partitions — verified clusters are tiny by construction at
+    threshold 0.9, so no skewed window partition is possible).
+    """
+    from ml_with_spark_streaming_spark.operators.textstats import quality_score_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    assigned = dedup_components(d)
+    q = d.select("doc_id", quality_score_expr("text").alias("quality"))
+    w = W.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        assigned.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "component",
+            "quality",
+            (F.col("rn") == 1).cast("long").alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q135 — DSIR importance-weighted data selection (hashed unigram models)
+# ---------------------------------------------------------------------------
+
+
+def _q135_sql() -> str:
+    from ml_with_spark_streaming_spark.operators.dsir import (
+        BUCKET_LOGW6_SQL,
+        HASH_BUCKET_DUCK,
+    )
+
+    bucket = HASH_BUCKET_DUCK.format(tok="tok", b=512)
+    return f"""
+WITH occ AS (
+  SELECT doc_id, lang, {bucket} AS bucket, CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM (
+    SELECT doc_id, lang, unnest(string_split({CLEAN_SQL}, ' ')) AS tok
+    FROM documents WHERE length({CLEAN_SQL}) > 0
+  )
+  WHERE tok <> ''
+  GROUP BY 1, 2, 3
+),
+cs AS (SELECT bucket, CAST(SUM(n_occ) AS BIGINT) AS cs FROM occ GROUP BY bucket),
+ct AS (SELECT bucket, CAST(SUM(n_occ) AS BIGINT) AS ct FROM occ WHERE lang = 'en' GROUP BY bucket),
+tot AS (
+  SELECT CAST(SUM(n_occ) AS BIGINT) AS ns,
+         CAST(SUM(CASE WHEN lang = 'en' THEN n_occ ELSE 0 END) AS BIGINT) AS nt
+  FROM occ
+),
+w AS (
+  SELECT cs.bucket, {BUCKET_LOGW6_SQL} AS w6
+  FROM (SELECT cs.bucket, cs.cs, COALESCE(ct.ct, 0) AS ct
+        FROM cs LEFT JOIN ct ON ct.bucket = cs.bucket) cs,
+       (SELECT ns, nt, CAST(512 AS BIGINT) AS b FROM tot) t
+),
+per_doc AS (
+  SELECT o.doc_id,
+         CAST(SUM(o.n_occ) AS BIGINT) AS n_tokens,
+         CAST(SUM(o.n_occ * w.w6) AS BIGINT) AS logw_x1e6
+  FROM occ o JOIN w ON w.bucket = o.bucket
+  GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.logw_x1e6, 0) AS logw_x1e6,
+       CAST(CASE WHEN COALESCE(p.logw_x1e6, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("q135_dsir_selection", _q135_sql())
+def q135_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): score every document by
+    its log importance weight between the TARGET distribution (here
+    the 'en' slice — the trusted/in-domain corpus) and the RAW corpus
+    distribution, both modeled as add-one-smoothed categoricals over
+    512 hashed unigram buckets; keep docs whose total weight is
+    positive ("looks more target-like than corpus-like").
+
+    All arithmetic is quantized-BIGINT (four >=1-argument lns per
+    bucket via the sqrt+atanh construction), so the oracle is
+    hash-exact; see operators/dsir.py for the int64/ln-range bounds
+    and the two-shuffle scale shape (model tables are 512 rows
+    REGARDLESS of vocabulary — DSIR's hashing point).
+    """
+    from ml_with_spark_streaming_spark.operators.dsir import dsir_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_scores(d, F.col("lang") == "en", n_buckets=512)

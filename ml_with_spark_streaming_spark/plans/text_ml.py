@@ -176,21 +176,26 @@ def q44_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q45_SQL = f"""
-WITH c AS (
+# Per-doc quality as a reusable parenthesized subquery — q45 surfaces
+# it directly; q134 joins it onto the dedup-component spine.
+QUALITY_TABLE_SQL = f"""(
   SELECT doc_id,
-         length(text) AS n,
-         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS na,
-         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS np,
-         least(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END, 50) AS wcap
-  FROM documents
-)
-SELECT doc_id,
-       CASE WHEN n > 0
-            THEN {exact_round_div_sql('250 * na + 100 * (n - np) + 3 * wcap * n', '500 * n')}
-            ELSE 0.2 END AS quality
-FROM c
+         CASE WHEN n > 0
+              THEN {exact_round_div_sql('250 * na + 100 * (n - np) + 3 * wcap * n', '500 * n')}
+              ELSE 0.2 END AS quality
+  FROM (
+    SELECT doc_id,
+           length(text) AS n,
+           length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS na,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS np,
+           least(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END, 50) AS wcap
+    FROM documents
+  )
+)"""
+
+Q45_SQL = f"""
+SELECT doc_id, quality FROM {QUALITY_TABLE_SQL} q
 ORDER BY doc_id
 """
 

@@ -452,3 +452,78 @@ def test_leakage_safe_split_no_cross_split_neardups(spark, tmp_path):
     edges = jaccard_verify(cands, docs, "text", "doc_id", threshold=0.9)
     for e in edges.collect():
         assert got[e.id1].split == got[e.id2].split
+
+
+def test_canonical_selection_keeps_best_not_min_id(spark, tmp_path):
+    """q134: within a near-dup cluster the KEPT doc is the quality
+    argmax, not q90's min doc_id — exactly one kept per component."""
+    import os
+
+    from ml_with_spark_streaming_spark.plans.curation import q134_canonical_selection
+
+    base = " ".join(f"tok{chr(97 + i)}{chr(97 + j)}" for i in range(6) for j in range(6))
+    rows = [
+        # doc 0: the near-dup cluster's min id, degraded with heavy
+        # punctuation (lower alpha ratio -> lower quality)
+        (0, base + " !!!! #### $$$$ %%%% @@@@ ^^^^", "en", "s", 0),
+        (1, base, "en", "s", 0),  # clean copy — higher quality
+        (2, "solo " + " ".join(f"u{chr(97 + i)}" for i in range(20)), "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {r.doc_id: r for r in q134_canonical_selection(spark, d).collect()}
+    assert got[0].component == got[1].component == 0
+    assert got[1].quality > got[0].quality
+    # the better copy wins even though doc 0 is the component label
+    assert (got[0].is_kept, got[1].is_kept) == (0, 1)
+    assert got[2].is_kept == 1  # singleton keeps itself
+    per_comp = {}
+    for r in got.values():
+        per_comp[r.component] = per_comp.get(r.component, 0) + r.is_kept
+    assert all(v == 1 for v in per_comp.values())
+
+
+def test_dsir_selects_by_content_not_label(spark):
+    """q135's operator: a doc whose TOKENS are target-like is selected
+    even though its lang label is not 'en' — DSIR's whole point
+    (select raw data that LOOKS like the target). Token sets are
+    chosen so target/source classes land in disjoint hash buckets
+    (md5-checked above the fixture)."""
+    import hashlib
+
+    from ml_with_spark_streaming_spark.operators.dsir import dsir_scores
+    from pyspark.sql import functions as F
+
+    tgt = ["alpha", "beta", "gamma", "delta"]
+    src = ["zulu", "yankee", "xray", "whiskey"]
+
+    def bucket(t, B=64):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % B
+
+    assert not (set(map(bucket, tgt)) & set(map(bucket, src)))  # fixture guard
+
+    t_text = " ".join(tgt * 5)
+    s_text = " ".join(src * 5)
+    rows = (
+        [(i, t_text, "en") for i in range(3)]  # the target slice
+        + [(10 + i, s_text, "fr") for i in range(3)]  # raw-only docs
+        + [(20, t_text, "fr")]  # target-LIKE content, non-target label
+        + [(21, "", "fr")]  # token-less doc -> zeros, not selected
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: r
+        for r in dsir_scores(df, F.col("lang") == "en", n_buckets=64).collect()
+    }
+    assert set(got) == {0, 1, 2, 10, 11, 12, 20, 21}
+    for i in (0, 1, 2, 20):  # target-like content selected...
+        assert got[i].logw_x1e6 > 0 and got[i].selected == 1
+    for i in (10, 11, 12):  # ...source-like content not
+        assert got[i].logw_x1e6 < 0 and got[i].selected == 0
+    assert (got[21].n_tokens, got[21].logw_x1e6, got[21].selected) == (0, 0, 0)
+    # identical content => identical score regardless of label
+    assert got[20].logw_x1e6 == got[0].logw_x1e6

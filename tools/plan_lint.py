@@ -282,6 +282,21 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "in production it is a separate benchmark-sized table scanned once and broadcast. "
         "Third scan is the doc_id-only join-back (column-pruned).",
     ),
+    "q134_canonical_selection": (
+        frozenset({"DupFactScan"}),
+        "q90's waived two-pass LSH shape (signature pass + candidate-verify pass) plus "
+        "the quality-score role: one column-pruned (doc_id, text) scan computing a single "
+        "codegen projection; at scale both the components and the quality scores are "
+        "persisted per-doc artifacts of earlier pipeline stages, joined not recomputed.",
+    ),
+    "q135_dsir_selection": (
+        frozenset({"DupFactScan"}),
+        "visible only under SPARK_GRAFT_NO_CHECKPOINT: cs/ct/totals/per-doc all roll up "
+        "from ONE maybe_checkpoint-materialized (doc, bucket, n_occ) occurrence table at "
+        "runtime (q131's shape) — one documents scan + one tokenize pass; the fifth scan "
+        "is the doc_id-only spine join-back (column-pruned). At scale the 512-row weight "
+        "table is a persisted trusted-corpus artifact.",
+    ),
     "q132_semantic_decontamination": (
         frozenset({"DupFactScan"}),
         "q101's testdata artifact at the embedding level: eval slice (vec_id<20) and "
