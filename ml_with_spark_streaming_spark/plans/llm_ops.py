@@ -638,3 +638,76 @@ def q132_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     corpus = e.filter(F.col("vec_id") >= 20)
     return semantic_contamination(corpus, ev, threshold=0.35).orderBy("vec_id")
+
+
+@query("q136_pq_recall")  # rows-only: KMeans codebooks aren't SQL-expressible
+def q136_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization index evaluation: recall@10 of PQ-ADC
+    scoring (operators/pq.py — m=4 subspaces x 16 codes = 4 bytes per
+    vector, 64x compression of the d=64 corpus) against exact
+    brute-force cosine top-10, per query. The q126 gauge for the
+    COMPRESSED index family: what a 100 TB embedding store monitors
+    when deciding whether in-memory PQ codes can serve first-pass
+    retrieval (with exact re-rank on the shortlist) or the index
+    needs more codebook bits.
+
+    Plan: codebook fit is m seeded layout-pinned KMeans runs (model
+    state driver-trivial); encode is a packed-codebook broadcast +
+    one corpus projection (zero shuffles); ADC is the q53 broadcast
+    fan-out over the CODES table; recall is a semi-join + two grouped
+    counts. Only integer hits and the exact-rational recall surface.
+    """
+    from ml_with_spark_streaming_spark.operators.pq import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+        pq_topk_rerank,
+    )
+    from ml_with_spark_streaming_spark.operators.similarity import brute_force_topk
+    from ml_with_spark_streaming_spark.operators.textstats import exact_round_div
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = maybe_checkpoint(
+        brute_force_topk(queries, e, k=10).select("q_id", "vec_id")
+    )
+    # one shared fit + encode for both retrieval modes
+    cb = maybe_checkpoint(pq_codebooks(e, m=4, k_sub=16))
+    codes = maybe_checkpoint(pq_encode(e, cb, m=4))
+    modes = {
+        "adc": pq_topk(queries, e, k=10, m=4, codebooks=cb, codes=codes),
+        "adc_rerank50": pq_topk_rerank(
+            queries, e, k=10, shortlist=50, m=4, codebooks=cb, codes=codes
+        ),
+    }
+    outs = []
+    for mode, approx in modes.items():
+        hits = exact.join(
+            approx.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi"
+        )
+        per_q = (
+            exact.groupBy("q_id")
+            .agg(F.count("*").cast("long").alias("n_exact"))
+            .join(
+                hits.groupBy("q_id").agg(F.count("*").cast("long").alias("n_hit")),
+                "q_id",
+                "left",
+            )
+            .select(
+                F.lit(mode).alias("method"),
+                "q_id",
+                "n_exact",
+                F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            )
+        )
+        outs.append(per_q)
+    out = outs[0].unionByName(outs[1])
+    return out.select(
+        "method",
+        "q_id",
+        "n_exact",
+        "n_hit",
+        exact_round_div(F.col("n_hit"), F.col("n_exact")).alias("recall_at_10"),
+    ).orderBy("method", "q_id")

@@ -341,3 +341,68 @@ def test_semantic_contamination_planted(spark):
     # tie on cosine -> min eval id wins
     assert (got[3].nearest_eval_id, got[3].max_cosine, got[3].contaminated) == (100, 0.7071, 0)
     assert (got[4].max_cosine, got[4].contaminated) == (0.0, 0)
+
+
+def test_pq_encode_deterministic_and_layout_independent(spark):
+    """PQ codes are a pure function of vector CONTENT: same corpus in
+    a different partition layout encodes identically, and codes have
+    exactly m entries in [0, k_sub)."""
+    import random
+
+    from ml_with_spark_streaming_spark.operators.pq import pq_codebooks, pq_encode
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = spark.createDataFrame(list(reversed(rows)), "vec_id long, embedding array<float>").repartition(7)
+
+    cb_a = pq_codebooks(a, m=4, k_sub=4)
+    cb_b = pq_codebooks(b, m=4, k_sub=4)
+    got_a = {r.vec_id: list(r.codes) for r in pq_encode(a, cb_a, m=4).collect()}
+    got_b = {r.vec_id: list(r.codes) for r in pq_encode(b, cb_b, m=4).collect()}
+    assert got_a == got_b
+    assert all(len(c) == 4 and all(0 <= x < 4 for x in c) for c in got_a.values())
+
+
+def test_pq_recall_high_on_clustered_vectors(spark):
+    """On PLANTED clusters (where real encoder output lives) PQ-ADC
+    retrieves the query's own cluster: every top-(size-1) neighbor of
+    each query is a same-cluster member, and rerank orders them by
+    exact cosine."""
+    import random
+
+    from ml_with_spark_streaming_spark.operators.pq import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+        pq_topk_rerank,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+    dim, n_clusters, per = 16, 4, 8
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    for c, ctr in enumerate(centers):
+        for i in range(per):
+            rows.append(
+                (c * 100 + i, [x + rng.uniform(-0.02, 0.02) for x in ctr])
+            )
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cb = pq_codebooks(corpus, m=4, k_sub=8)
+    codes = pq_encode(corpus, cb, m=4)
+    k = per - 1
+    adc = pq_topk(queries, corpus, k=k, m=4, codebooks=cb, codes=codes).collect()
+    assert all(r.q_id // 100 == r.vec_id // 100 for r in adc)  # same cluster
+    rr = pq_topk_rerank(
+        queries, corpus, k=k, shortlist=2 * k, m=4, codebooks=cb, codes=codes
+    ).collect()
+    assert all(r.q_id // 100 == r.vec_id // 100 for r in rr)
+    # rerank surfaces exact cosines, descending per query
+    by_q = {}
+    for r in sorted(rr, key=lambda r: (r.q_id, r.rank)):
+        by_q.setdefault(r.q_id, []).append(r.cosine)
+    assert all(cs == sorted(cs, reverse=True) for cs in by_q.values())

@@ -289,6 +289,15 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "codegen projection; at scale both the components and the quality scores are "
         "persisted per-doc artifacts of earlier pipeline stages, joined not recomputed.",
     ),
+    "q136_pq_recall": (
+        frozenset({"DupFactScan"}),
+        "q126's waived evaluation-harness shape for the PQ index: exact baseline (q53's "
+        "broadcast fan-out), m=4 layout-pinned KMeans codebook fits, the packed-codebook "
+        "encode, and both retrieval modes all read embeddings; at runtime the codebooks, "
+        "codes, and exact top-10 are maybe_checkpoint-materialized ONCE and shared — the "
+        "x14 exists only under SPARK_GRAFT_NO_CHECKPOINT lineage replay. At scale "
+        "codebooks/codes are persisted index artifacts.",
+    ),
     "q135_dsir_selection": (
         frozenset({"DupFactScan"}),
         "visible only under SPARK_GRAFT_NO_CHECKPOINT: cs/ct/totals/per-doc all roll up "
