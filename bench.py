@@ -72,6 +72,8 @@ HEADLINE = [
     "q116_inverted_index",
     "q117_bm25_topk",
     "q130_bm25_ln_topk",
+    "q132_semantic_decontamination",
+    "q135_dsir_selection",
 ]
 
 

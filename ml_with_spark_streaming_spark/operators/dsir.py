@@ -94,9 +94,14 @@ def _bucket_occurrences(
 def dsir_weight_table(
     occ: DataFrame, target_pred: Column, n_buckets: int
 ) -> DataFrame:
-    """``(bucket, w6)`` over every bucket present in the RAW corpus:
-    B-row work — two bucket-keyed aggregates over the occurrence
-    table, one 1-row totals broadcast, four quantized lns per row."""
+    """``(bucket, w6)`` DENSE over all ``n_buckets`` buckets (buckets
+    unseen in the raw corpus get the add-one floor), so the table is a
+    complete, apply-anywhere model artifact — a stream scoring a doc
+    whose tokens hash into a training-unseen bucket still gets a
+    defined weight. B-row work: two bucket-keyed aggregates over the
+    occurrence table, one 1-row totals broadcast, four quantized lns
+    per row."""
+    spark = occ.sparkSession
     cs = occ.groupBy("bucket").agg(F.sum("n_occ").cast("long").alias("cs"))
     ct = (
         occ.filter(target_pred)
@@ -109,12 +114,54 @@ def dsir_weight_table(
         .cast("long")
         .alias("nt"),
     )
+    dense = spark.range(n_buckets).select(F.col("id").alias("bucket"))
     return (
-        cs.join(ct, "bucket", "left")
+        dense.join(cs, "bucket", "left")
+        .join(ct, "bucket", "left")
+        .withColumn("cs", F.coalesce("cs", F.lit(0)))
         .withColumn("ct", F.coalesce("ct", F.lit(0)))
         .crossJoin(F.broadcast(totals))
         .withColumn("b", F.lit(n_buckets).cast("long"))
         .selectExpr("bucket", f"{BUCKET_LOGW6_SQL} AS w6")
+    )
+
+
+def dsir_score_against(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    occ: DataFrame | None = None,
+) -> DataFrame:
+    """Score ``df`` against a PREBUILT dense weight table (the
+    production apply form: weights trained once on the trusted corpus
+    — or loaded from a persisted artifact — then applied to every
+    candidate document or ingest drop). Returns ``(id_col, n_tokens,
+    logw_x1e6, selected)`` over the full spine; the batch query and
+    the streaming gate both call this, so verdicts agree wherever the
+    model is the same. Pass ``occ`` to reuse an already-materialized
+    occurrence table (q135's self-scoring form — one tokenize pass)."""
+    if occ is None:
+        occ = _bucket_occurrences(df, text_col, id_col, n_buckets, carry=[])
+    per_doc = (
+        occ.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_tokens"),
+            F.sum(F.col("n_occ") * F.col("w6")).cast("long").alias("logw_x1e6"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("logw_x1e6", F.lit(0)).cast("long").alias("logw_x1e6"),
+            (F.coalesce("logw_x1e6", F.lit(0)) > 0).cast("long").alias("selected"),
+        )
+        .orderBy(id_col)
     )
 
 
@@ -136,22 +183,6 @@ def dsir_scores(
         _bucket_occurrences(df, text_col, id_col, n_buckets, carry)
     )
     weights = dsir_weight_table(occ, target_pred, n_buckets)
-    per_doc = (
-        occ.join(F.broadcast(weights), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.sum("n_occ").cast("long").alias("n_tokens"),
-            F.sum(F.col("n_occ") * F.col("w6")).cast("long").alias("logw_x1e6"),
-        )
-    )
-    return (
-        df.select(F.col(id_col))
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            F.coalesce("logw_x1e6", F.lit(0)).cast("long").alias("logw_x1e6"),
-            (F.coalesce("logw_x1e6", F.lit(0)) > 0).cast("long").alias("selected"),
-        )
-        .orderBy(id_col)
+    return dsir_score_against(
+        df, weights, text_col=text_col, id_col=id_col, n_buckets=n_buckets, occ=occ
     )

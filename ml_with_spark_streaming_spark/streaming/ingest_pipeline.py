@@ -9,11 +9,14 @@ operators, so stream verdicts equal batch verdicts).
 Composes ``StreamingIngestDedup`` (q105's gates against the corpus
 fingerprint/band indexes), an optional
 ``StreamingDecontaminationFilter`` (q101's 13-gram eval overlap),
-``StreamingQualityFilter`` (the frozen q112 weight table), and an
-optional ``StreamingPerplexityFilter`` (the frozen q131 bigram LM).
-Each stage keeps its own per-batch history; the pipeline adds a
-combined ledger row per batch: (n_in, n_after_dedup, n_after_decon,
-n_after_quality, n_accepted).
+``StreamingQualityFilter`` (the frozen q112 weight table), an
+optional ``StreamingPerplexityFilter`` (the frozen q131 bigram LM),
+and an optional ``StreamingDSIRFilter`` (the frozen q135 importance-
+resampling weight table — the distribution-match gate, last because
+it is the most selective). Each stage keeps its own per-batch
+history; the pipeline adds a combined ledger row per batch: (n_in,
+n_after_dedup, n_after_decon, n_after_quality, n_accepted) — where
+n_accepted is whatever the LAST configured gate kept.
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ml_with_spark_streaming_spark.streaming.decon_filter import (
     StreamingDecontaminationFilter,
 )
+from ml_with_spark_streaming_spark.streaming.dsir_filter import StreamingDSIRFilter
 from ml_with_spark_streaming_spark.streaming.foreach import attach_foreach_batch
 from ml_with_spark_streaming_spark.streaming.ingest_dedup import StreamingIngestDedup
 from ml_with_spark_streaming_spark.streaming.perplexity_filter import (
@@ -48,6 +52,7 @@ class StreamingIngestPipeline:
     quality: StreamingQualityFilter
     decon: StreamingDecontaminationFilter | None = None
     perplexity: StreamingPerplexityFilter | None = None
+    dsir: StreamingDSIRFilter | None = None
     on_accepted: object = None
     ledger: list[dict] = field(default_factory=list)
 
@@ -58,6 +63,7 @@ class StreamingIngestPipeline:
         self._decon_hook = self.decon.on_kept if self.decon is not None else None
         self._quality_hook = self.quality.on_kept
         self._ppl_hook = self.perplexity.on_kept if self.perplexity is not None else None
+        self._dsir_hook = self.dsir.on_kept if self.dsir is not None else None
 
     @classmethod
     def build(
@@ -66,6 +72,8 @@ class StreamingIngestPipeline:
         weights: list[tuple[str, int]],
         eval_corpus: DataFrame | None = None,
         perplexity_threshold_x1e6: int | None = None,
+        dsir_weights: list[tuple[int, int]] | None = None,
+        dsir_n_buckets: int = 512,
         on_accepted: object = None,
         **dedup_kw,
     ) -> "StreamingIngestPipeline":
@@ -86,11 +94,19 @@ class StreamingIngestPipeline:
             if perplexity_threshold_x1e6 is not None
             else None
         )
+        dsir = (
+            StreamingDSIRFilter(
+                weights=dsir_weights, n_buckets=dsir_n_buckets, **col_kw
+            )
+            if dsir_weights is not None
+            else None
+        )
         return cls(
             dedup=StreamingIngestDedup.from_corpus(corpus, **dedup_kw),
             quality=StreamingQualityFilter(weights=weights, **col_kw),
             decon=decon,
             perplexity=ppl,
+            dsir=dsir,
             on_accepted=on_accepted,
         )
 
@@ -153,6 +169,18 @@ class StreamingIngestPipeline:
         def _after_ppl(final_df: DataFrame, bid: int, ran_ppl: bool = True) -> None:
             if ran_ppl and self._ppl_hook is not None:
                 self._ppl_hook(final_df, bid)
+            if self.dsir is None:
+                _after_dsir(final_df, bid, ran_dsir=False)
+            elif final_df.isEmpty():
+                self._zero_row(self.dsir.history, bid, ("n_docs", "n_kept"))
+                _after_dsir(final_df, bid, ran_dsir=False)
+            else:
+                self.dsir.on_kept = _after_dsir
+                self.dsir.process_batch(final_df, bid)
+
+        def _after_dsir(final_df: DataFrame, bid: int, ran_dsir: bool = True) -> None:
+            if ran_dsir and self._dsir_hook is not None:
+                self._dsir_hook(final_df, bid)
             if self.on_accepted is not None:
                 self.on_accepted(final_df, bid)
 
@@ -169,6 +197,12 @@ class StreamingIngestPipeline:
             if self.perplexity is not None and self.perplexity.history
             else None
         )
+        n_after_ppl = ph["n_kept"] if ph is not None else n_after_quality
+        sh = (
+            self.dsir.history[-1]
+            if self.dsir is not None and self.dsir.history
+            else None
+        )
         self.ledger.append(
             {
                 "batch_id": batch_id,
@@ -176,7 +210,7 @@ class StreamingIngestPipeline:
                 "n_after_dedup": dh["n_kept"],
                 "n_after_decon": ch["n_kept"] if ch is not None else dh["n_kept"],
                 "n_after_quality": n_after_quality,
-                "n_accepted": ph["n_kept"] if ph is not None else n_after_quality,
+                "n_accepted": sh["n_kept"] if sh is not None else n_after_ppl,
             }
         )
 

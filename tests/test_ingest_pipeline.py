@@ -202,3 +202,67 @@ def test_pipeline_with_perplexity_gate(spark):
     assert row["n_accepted"] == 1  # the LM gate rejects the gibberish
     assert accepted == {1200}
     assert pipe.perplexity.history[0]["n_kept"] == 1
+
+
+def test_pipeline_with_dsir_gate(spark):
+    """Five-gate wiring: a novel, classifier-positive doc is rejected
+    by the DSIR gate when its content matches the RAW side of the
+    importance model, and accepted when it matches the TARGET side —
+    both docs being equally 'high quality' (same classifier-positive
+    vocabulary class), so only the distribution-match gate separates
+    them."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ml_with_spark_streaming_spark.operators.dsir import (
+        _bucket_occurrences,
+        dsir_weight_table,
+    )
+    from ml_with_spark_streaming_spark.streaming.dsir_filter import (
+        freeze_weights as freeze_dsir,
+    )
+
+    corpus = _docs(spark)
+    frozen_q = freeze_weights(
+        classifier_weights(feature_presence(corpus), heuristic_labels(corpus))
+    )
+
+    tgt, src = ["signal", "lattice", "theorem"], ["kernel", "manifold", "gradient"]
+
+    def dbucket(t, B=64):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % B
+
+    # fixture guard: target/source vocab in disjoint DSIR buckets
+    assert not (set(map(dbucket, tgt)) & set(map(dbucket, src)))
+
+    train = spark.createDataFrame(
+        [(i, " ".join(tgt * 5), "en") for i in range(3)]
+        + [(10 + i, " ".join(src * 5), "fr") for i in range(3)],
+        "doc_id long, text string, lang string",
+    )
+    occ = _bucket_occurrences(train, "text", "doc_id", 64, carry=["lang"])
+    frozen_d = freeze_dsir(dsir_weight_table(occ, F.col("lang") == "en", 64))
+
+    accepted: set[int] = set()
+    pipe = StreamingIngestPipeline.build(
+        corpus,
+        frozen_q,
+        dsir_weights=frozen_d,
+        dsir_n_buckets=64,
+        threshold=0.9,
+        on_accepted=lambda df, bid: accepted.update(r["doc_id"] for r in df.collect()),
+    )
+    batch = [
+        (1300, "spectra " + " ".join(tgt * 10)),  # target-like -> accepted
+        (1301, "spectra " + " ".join(src * 10)),  # raw-like -> DSIR-rejected
+    ]
+    batch_df = spark.createDataFrame(batch, "doc_id long, text string")
+    pipe.process_batch(batch_df, 0)
+
+    row = pipe.ledger[0]
+    assert row["n_in"] == 2 and row["n_after_dedup"] == 2
+    assert row["n_after_quality"] == 2  # both pass the classifier
+    assert row["n_accepted"] == 1  # DSIR separates them
+    assert accepted == {1300}
+    assert pipe.dsir.history[0] == {"batch_id": 0, "n_docs": 2, "n_kept": 1}
