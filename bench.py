@@ -74,6 +74,7 @@ HEADLINE = [
     "q130_bm25_ln_topk",
     "q132_semantic_decontamination",
     "q135_dsir_selection",
+    "q137_segment_dedup",
 ]
 
 

@@ -2303,3 +2303,58 @@ def q135_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return dsir_scores(d, F.col("lang") == "en", n_buckets=512)
+
+
+# ---------------------------------------------------------------------------
+# q137 — segment-level (paragraph) dedup, CCNet/C4 boilerplate removal
+# ---------------------------------------------------------------------------
+
+Q137_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), seg AS (
+  SELECT doc_id, CAST(g.i AS INT) AS pos,
+         array_to_string(ts[(g.i*10+1):(g.i*10+10)], ' ') AS para
+  FROM toks, LATERAL (SELECT unnest(range((len(ts)+9)//10)) AS i) g
+), ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY substr(md5(para),1,16)
+                            ORDER BY doc_id, pos) = 1 AS keep
+  FROM seg
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_segs,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY pos) AS text_kept
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_segs, 0) AS n_segs,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.text_kept, '') AS text_kept
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@query("q137_segment_dedup", Q137_SQL)
+def q137_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level (paragraph) dedup — the CCNet/C4 curation stage
+    (Wenzek et al. 2020; Raffel et al. 2020 §2.2): repeated segments
+    (boilerplate, license blocks, navigation text) are cut corpus-wide,
+    first occurrence in (doc_id, pos) order wins, and every document is
+    reassembled from its surviving segments. Granularity sits between
+    document-level (q46/q50) and token-span-level (q110/q115) dedup.
+
+    Segments here are fixed 10-token windows (the fixture corpus has no
+    newlines; real corpora pass a newline split — same plan). Scale
+    shape: ONE corpus-sized exchange keyed by a 16-hex md5 segment-hash
+    prefix (row_number window partitioned by hash), one per-doc
+    regroup; no self-join, no global sort, nothing collected. See
+    operators/segment_dedup.py.
+    """
+    from ml_with_spark_streaming_spark.operators.segment_dedup import segment_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return segment_dedup(d).orderBy("doc_id")
