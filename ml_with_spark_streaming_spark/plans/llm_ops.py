@@ -711,3 +711,96 @@ def q136_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit",
         exact_round_div(F.col("n_hit"), F.col("n_exact")).alias("recall_at_10"),
     ).orderBy("method", "q_id")
+
+
+# ---------------------------------------------------------------------------
+# q138 — PCA dimensionality reduction + reduced-space ANN recall sweep
+# ---------------------------------------------------------------------------
+
+
+@query("q138_pca_ann_sweep")  # rows-only: the PCA eigenbasis isn't SQL-expressible
+def q138_pca_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-reduced similarity search, evaluated: recall@10 of L2 top-10
+    computed in a k-dim PCA projection (k = 4/8/16/32 of d=64) against
+    exact full-dimension L2 top-10, direct and with exact re-rank of a
+    50-shortlist — the tuning table for the cheapest footprint cut an
+    embedding store can make (operators/pca.py; the rotation/truncation
+    sibling of the q136 PQ gauge).
+
+    Plan: ONE MLlib PCA fit at k=32 (PCA axes are nested, so every
+    narrower k is a prefix slice of the same projection — no refit, no
+    reprojection); corpus and queries projected once each via the
+    packed-broadcast fold (zero shuffles, pure codegen) and
+    checkpointed; per sweep point the reduced search is the q53-style
+    broadcast fan-out over k-dim arrays (k/64th the arithmetic) and the
+    re-rank touches full vectors for shortlist·n_queries rows only.
+    Only integer hit counts and exact-rational recalls surface.
+    """
+    from ml_with_spark_streaming_spark.operators.pca import (
+        _l2sq_expr,
+        fit_pca,
+        l2_topk,
+        pca_project,
+    )
+    from ml_with_spark_streaming_spark.operators.textstats import exact_round_div
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = maybe_checkpoint(l2_topk(queries, e, k=10).select("q_id", "vec_id"))
+
+    mean, pc = fit_pca(e, k=32)
+    cp = maybe_checkpoint(
+        pca_project(e, mean, pc).select("vec_id", "proj")
+    )
+    qp = maybe_checkpoint(
+        pca_project(queries, mean, pc, vec_col="q_vec", out_col="q_proj").select(
+            "q_id", "q_vec", "q_proj"
+        )
+    )
+
+    outs = []
+    for k_dims in (4, 8, 16, 32):
+        qk = qp.select("q_id", F.slice("q_proj", 1, k_dims).alias("q_proj_k"))
+        ck = cp.select("vec_id", F.slice("proj", 1, k_dims).alias("proj_k"))
+        red = l2_topk(
+            qk, ck, k=50, q_vec="q_proj_k", c_vec="proj_k"
+        ).select("q_id", "vec_id", "rank")
+        shortlist = red.select("q_id", "vec_id")
+        rr = (
+            shortlist.join(e, "vec_id")
+            .join(F.broadcast(queries), "q_id")
+            .select(
+                "q_id",
+                "vec_id",
+                F.round(_l2sq_expr(F.col("q_vec"), F.col("embedding")), 6).alias("l2sq"),
+            )
+        )
+        wrr = W.partitionBy("q_id").orderBy(F.col("l2sq").asc(), F.col("vec_id"))
+        modes = {
+            "reduced": red.filter(F.col("rank") <= 10).select("q_id", "vec_id"),
+            "rerank50": rr.withColumn("rk", F.row_number().over(wrr))
+            .filter(F.col("rk") <= 10)
+            .select("q_id", "vec_id"),
+        }
+        for mode, approx in modes.items():
+            hits = exact.join(approx, ["q_id", "vec_id"], "left_semi")
+            outs.append(
+                exact.agg(F.count("*").cast("long").alias("n_exact"))
+                .crossJoin(hits.agg(F.count("*").cast("long").alias("n_hit")))
+                .select(
+                    F.lit(k_dims).cast("long").alias("k_dims"),
+                    F.lit(mode).alias("method"),
+                    "n_exact",
+                    "n_hit",
+                    exact_round_div(F.col("n_hit"), F.col("n_exact")).alias(
+                        "recall_at_10"
+                    ),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("k_dims", "method")

@@ -290,6 +290,15 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "codegen projection; at scale both the components and the quality scores are "
         "persisted per-doc artifacts of earlier pipeline stages, joined not recomputed.",
     ),
+    "q138_pca_ann_sweep": (
+        frozenset({"DupFactScan"}),
+        "q126's waived evaluation-harness shape for the PCA index: exact L2 baseline, "
+        "one MLlib PCA fit (mean + Gramian passes), the packed-model projection, and "
+        "the per-sweep-point rerank (full-vector role) all read embeddings; at runtime "
+        "the exact top-10 and both projection tables are maybe_checkpoint-materialized "
+        "ONCE and shared — the x56 exists only under SPARK_GRAFT_NO_CHECKPOINT lineage "
+        "replay. At scale the (mean, pc) model and projections are persisted artifacts.",
+    ),
     "q136_pq_recall": (
         frozenset({"DupFactScan"}),
         "q126's waived evaluation-harness shape for the PQ index: exact baseline (q53's "
