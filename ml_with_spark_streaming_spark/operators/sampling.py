@@ -64,3 +64,42 @@ def stratified_hash_sample(
     for stratum, frac in sorted(fractions.items()):
         thr = F.when(F.col(stratum_col) == stratum, F.lit(fraction_threshold(frac))).otherwise(thr)
     return df.filter(_hash_bucket(F.col(key_col), salt) < thr)
+
+
+def training_order(
+    df: DataFrame, key_col: str = "doc_id", n_shards: int = 16, salt: str = "shuffle"
+) -> DataFrame:
+    """Reproducible global shuffle for training export: assign every
+    row a shard and a position within that shard, both pure functions
+    of (key, salt) — the order a training run reads is identical
+    across reruns, partitionings, executor counts, and engines
+    (``ORDER BY rand()`` is none of those, and a global ``ORDER BY
+    hash`` is a full sort). Changing the salt draws a fresh
+    independent permutation (epoch reshuffle).
+
+    Returns ``(key_col, shard, pos)``: shard = first 32 md5 bits mod
+    ``n_shards`` (uniform, so shard sizes concentrate at n/S), pos =
+    rank of the full 128-bit md5 within the shard (key tie-break —
+    total order even on hash collisions).
+
+    Scale shape: ONE exchange keyed by shard. The per-shard rank is a
+    window here so positions are oracle-checkable; the production
+    write path doesn't materialize pos at all — it is
+    ``repartition(shard).sortWithinPartitions(hx, key)`` straight into
+    the shard files, same order, no second shuffle, and S is chosen
+    ~ the target file count so partitions stay write-sized.
+    """
+    from pyspark.sql import Window as W
+
+    hx = F.md5(
+        F.encode(F.concat_ws("#", F.col(key_col).cast("string"), F.lit(salt)), "UTF-8")
+    )
+    shard = (
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % F.lit(n_shards)
+    ).alias("shard")
+    w = W.partitionBy("shard").orderBy("_hx", key_col)
+    return (
+        df.select(F.col(key_col), hx.alias("_hx"), shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(key_col, "shard", "pos")
+    )

@@ -2358,3 +2358,44 @@ def q137_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return segment_dedup(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q139 — reproducible training-order shuffle (hash-sharded)
+# ---------------------------------------------------------------------------
+
+Q139_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR) || '#shuffle') AS hx
+  FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 16 AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 16
+              ORDER BY hx, doc_id) AS BIGINT) AS pos
+FROM h
+ORDER BY shard, pos
+"""
+
+
+@query("q139_training_order", Q139_SQL)
+def q139_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle for training export: every document
+    gets a (shard, pos) — a deterministic permutation that is a pure
+    function of (doc_id, salt), identical across reruns, partition
+    layouts, and engines. The stage between the q114 manifest and the
+    training run: models want shuffled data, pipelines want the
+    shuffle REPRODUCIBLE (restart mid-epoch, re-export byte-identical
+    shards, debug a loss spike at step N by reading exactly what the
+    model saw). Salt change = fresh epoch permutation.
+
+    Scale shape: one exchange keyed by shard; production writes skip
+    the pos column entirely via repartition(shard) +
+    sortWithinPartitions (see operators/sampling.py::training_order).
+    """
+    from ml_with_spark_streaming_spark.operators.sampling import training_order
+
+    d = load_table(spark, sf_dir, "documents")
+    return training_order(d, n_shards=16).orderBy("shard", "pos")

@@ -53,3 +53,26 @@ def test_fraction_threshold_edges():
 def test_full_fraction_keeps_every_row(spark):
     df = spark.range(0, 5000)
     assert hash_sample(df, "id", 1.0).count() == 5000
+
+
+def test_training_order_is_deterministic_permutation(spark):
+    from ml_with_spark_streaming_spark.operators.sampling import training_order
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = training_order(df, n_shards=8).collect()
+    b = training_order(df.repartition(7), n_shards=8).collect()
+    # pure function of (key, salt): layout-independent
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # a real permutation: every (shard, pos) unique, positions contiguous from 1
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert sum(len(v) for v in by_shard.values()) == 500
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # uniform-ish shard sizes (md5 on 8 shards, 500 keys)
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(by_shard) == 8 and min(sizes) > 30
+    # a different salt draws a different permutation
+    c = training_order(df, n_shards=8, salt="epoch2").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
