@@ -426,3 +426,80 @@ def exact_dedup(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame
         .drop("_k")
         .select(id_col, "group_size")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    stop_df: int = 20,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT (Broder 1997):
+    C(A,B) = |S(A) ∩ S(B)| / |S(A)|. Catches the duplicates symmetric
+    Jaccard is structurally blind to — a truncated copy, a doc embedded
+    in a longer one, a page plus appended boilerplate: when |A| ≪ |B|,
+    Jaccard ≈ |A|/|B| stays tiny while C(A,B) ≈ 1.
+
+    Returns ``(id1, id2, c_ab, c_ba, relation)`` for pairs with
+    max(C) ≥ threshold, id1 < id2; relation classifies the direction:
+    'mutual' (both ≥ τ — ordinary near-dups), 'a_in_b' (id1 nearly
+    contained in id2), 'b_in_a'.
+
+    Scale shape: candidate pairs form ONLY inside shared-shingle
+    postings, and shingles with document frequency > ``stop_df`` are
+    dropped first (the q128 stop-fingerprint guard — common shingles
+    are exactly the hot keys that would make the posting join
+    quadratic; they also carry no containment signal). Set sizes are
+    counted AFTER the stop filter so both containment directions use
+    the same informative-shingle universe (documented semantics: an
+    all-boilerplate doc has an empty effective set and pairs with
+    nothing). One shingle-keyed window for the df filter, one posting
+    join, one per-pair count — the same bounded-quadratic envelope as
+    winnowing overlap.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_expr(clean_text_expr(text_col)).alias("_t")
+    ).repartition("id")
+    grams = (
+        toks.select(
+            "id", F.explode(shingles_expr(F.col("_t"), n)).alias("_g")
+        )
+        .select("id", F.substring(F.md5(F.encode("_g", "UTF-8")), 1, 16).alias("g"))
+        .distinct()
+    )
+    gf = maybe_checkpoint(
+        grams.withColumn("dfc", F.count("*").over(W.partitionBy("g")))
+        .filter(F.col("dfc") <= stop_df)
+        .select("id", "g")
+    )
+    sizes = gf.groupBy("id").agg(F.count("*").alias("n"))
+    a = gf.select(F.col("id").alias("id1"), "g")
+    b = gf.select(F.col("id").alias("id2"), F.col("g").alias("g2"))
+    inter = (
+        a.join(b, (a.g == b.g2) & (a.id1 < b.id2))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("id").alias("id1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id2"), F.col("n").alias("nb"))
+    scored = (
+        inter.join(sa, "id1")
+        .join(sb, "id2")
+        .withColumn("c_ab", F.round(F.col("c") / F.col("na"), 4))
+        .withColumn("c_ba", F.round(F.col("c") / F.col("nb"), 4))
+        .filter(F.greatest("c_ab", "c_ba") >= threshold)
+    )
+    return scored.select(
+        "id1",
+        "id2",
+        "c_ab",
+        "c_ba",
+        F.when((F.col("c_ab") >= threshold) & (F.col("c_ba") >= threshold), "mutual")
+        .when(F.col("c_ab") >= threshold, "a_in_b")
+        .otherwise("b_in_a")
+        .alias("relation"),
+    )

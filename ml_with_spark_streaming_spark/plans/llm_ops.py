@@ -804,3 +804,68 @@ def q138_pca_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("k_dims", "method")
+
+
+# ---------------------------------------------------------------------------
+# q140 — containment near-dup pairs (asymmetric: truncations/supersets)
+# ---------------------------------------------------------------------------
+
+Q140_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+grams AS (
+  SELECT DISTINCT doc_id AS id, substr(md5(g), 1, 16) AS g
+  FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                   i -> array_to_string(t[i:i+2], ' '))) AS g
+    FROM toks
+  )
+),
+gf AS (
+  SELECT id, g FROM (
+    SELECT id, g, COUNT(*) OVER (PARTITION BY g) AS dfc FROM grams
+  ) WHERE dfc <= 20
+),
+sz AS (SELECT id, COUNT(*) AS n FROM gf GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS c
+  FROM gf a JOIN gf b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id1, id2,
+         ROUND(c * 1.0 / sa.n, 4) AS c_ab,
+         ROUND(c * 1.0 / sb.n, 4) AS c_ba
+  FROM inter JOIN sz sa ON sa.id = inter.id1 JOIN sz sb ON sb.id = inter.id2
+)
+SELECT id1, id2, c_ab, c_ba,
+       CASE WHEN c_ab >= 0.8 AND c_ba >= 0.8 THEN 'mutual'
+            WHEN c_ab >= 0.8 THEN 'a_in_b'
+            ELSE 'b_in_a' END AS relation
+FROM scored
+WHERE greatest(c_ab, c_ba) >= 0.8
+ORDER BY id1, id2
+"""
+
+
+@query("q140_containment_pairs", Q140_SQL)
+def q140_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle containment (Broder 1997):
+    C(A,B) = |S(A)∩S(B)|/|S(A)| ≥ 0.8 in either direction. The dedup
+    modality symmetric Jaccard (q50/q51/q58) is structurally blind to:
+    a truncated copy or a doc-plus-appended-boilerplate has Jaccard
+    ≈ |A|/|B| (tiny) but containment ≈ 1 — these survive the Jaccard
+    pipeline and still leak near-duplicate content into training.
+
+    Scale shape: pairs form only inside shared-shingle postings, with
+    shingles above document-frequency 20 dropped first (the q128
+    stop-fingerprint guard bounds the posting join; common shingles
+    carry no containment signal). See operators/dedup.py
+    ::containment_pairs.
+    """
+    from ml_with_spark_streaming_spark.operators.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(d, threshold=0.8, stop_df=20).orderBy("id1", "id2")

@@ -230,3 +230,52 @@ def test_derive_minhash_knobs_gate_weighting():
     # recall at s = 0.94 under each banding
     p = lambda b, r: 1 - (1 - 0.94**r) ** b  # noqa: E731
     assert p(1, 16) < 0.4 < 0.99 < p(4, 4)
+
+
+def test_containment_pairs_catch_truncations_jaccard_misses(spark):
+    from ml_with_spark_streaming_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    # letters only: the clean chain strips digits
+    words = ["tok" + chr(97 + i // 26) + chr(97 + i % 26) for i in range(40)]
+    long_doc = " ".join(words)
+    trunc = " ".join(words[:10])        # strict prefix: contained, low Jaccard
+    rows = [
+        (1, long_doc),
+        (2, trunc),
+        (3, long_doc),                   # identical to 1 -> mutual
+        (4, " ".join("zzz" + chr(97 + i) for i in range(26))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id1"], r["id2"]): r
+        for r in containment_pairs(df, threshold=0.8, stop_df=20).collect()
+    }
+    assert got[(1, 2)]["relation"] == "b_in_a" and got[(1, 2)]["c_ba"] == 1.0
+    assert got[(1, 3)]["relation"] == "mutual"
+    assert got[(2, 3)]["relation"] == "a_in_b"
+    assert not any(4 in k for k in got)
+    # the pair containment catches is invisible to symmetric Jaccard:
+    # |S(trunc)| = 8 of |S(long)| = 38 shingles -> J ~ 0.21
+    jac = {
+        (r["id1"], r["id2"])
+        for r in jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac
+
+
+def test_containment_stop_gram_guard_drops_hot_shingles(spark):
+    from ml_with_spark_streaming_spark.operators.dedup import containment_pairs
+
+    # 30 docs sharing ONE hot boilerplate line (df=30 > stop_df=20) and
+    # otherwise disjoint -> the hot shingles are dropped, no pairs form
+    rows = [
+        (i, "all rights reserved by us "
+         + " ".join("u" + chr(97 + i // 26) + chr(97 + i % 26)
+                    + "w" + chr(97 + j) for j in range(10)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert containment_pairs(df, threshold=0.5, stop_df=20).count() == 0

@@ -290,6 +290,12 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "codegen projection; at scale both the components and the quality scores are "
         "persisted per-doc artifacts of earlier pipeline stages, joined not recomputed.",
     ),
+    "q140_containment_pairs": (
+        frozenset({"DupFactScan"}),
+        "visible only under SPARK_GRAFT_NO_CHECKPOINT: posting a/b roles and the "
+        "set-size table all read one maybe_checkpoint-materialized stop-filtered "
+        "shingle table at runtime — one documents scan (q51's waived posting shape).",
+    ),
     "q138_pca_ann_sweep": (
         frozenset({"DupFactScan"}),
         "q126's waived evaluation-harness shape for the PCA index: exact L2 baseline, "
