@@ -852,3 +852,49 @@ def q131_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bigram_lm_scores(d, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q141 — heavy-hitter n-grams: Misra-Gries candidates + exact verify
+# ---------------------------------------------------------------------------
+
+Q141_SQL = f"""
+WITH toks AS (
+  SELECT string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+grams AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                i -> array_to_string(t[i:i+1], ' '))) AS gram
+  FROM toks
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM grams),
+cnt AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM grams GROUP BY gram)
+SELECT gram, cnt
+FROM cnt, tot
+WHERE cnt * 1024 > n
+ORDER BY cnt DESC, gram
+"""
+
+
+@query("q141_frequent_ngrams", Q141_SQL)
+def q141_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter bigrams: every bigram whose global count exceeds
+    n/1024, with EXACT counts — found with bounded memory via
+    per-partition Misra-Gries sketches (k=1023 counters) whose union
+    is a provable superset of all heavy hitters, then exact-verified
+    (operators/sketch.py — the theorem means the sketch affects
+    MEMORY, never the answer, so a Python sketch pass still yields a
+    hash-exact DuckDB oracle; the oracle just counts exactly).
+
+    The boilerplate/template-discovery primitive: the direct
+    groupBy(gram) needs a gram-cardinality combine map per task, which
+    grows with the corpus; MG caps it at k counters per task and the
+    verify groupBy only carries ≤ partitions·k candidate grams.
+    """
+    from ml_with_spark_streaming_spark.operators.sketch import frequent_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    return frequent_ngrams(d, "text", k=1023, ngram=2).orderBy(
+        F.col("cnt").desc(), "gram"
+    )

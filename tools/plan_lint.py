@@ -290,6 +290,14 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "codegen projection; at scale both the components and the quality scores are "
         "persisted per-doc artifacts of earlier pipeline stages, joined not recomputed.",
     ),
+    "q141_frequent_ngrams": (
+        frozenset({"DupFactScan"}),
+        "the designed two-pass sketch algorithm: the Misra-Gries candidate pass and the "
+        "exact-verify gram pass each read documents once (2 scans AT RUNTIME, by "
+        "construction — the memory bound is the point); the third lineage scan is the "
+        "total-count branch, which shares the maybe_checkpoint-materialized gram table "
+        "at runtime.",
+    ),
     "q140_containment_pairs": (
         frozenset({"DupFactScan"}),
         "visible only under SPARK_GRAFT_NO_CHECKPOINT: posting a/b roles and the "
