@@ -7,16 +7,19 @@ on the smallest surviving slice; all gates are the EXACT batch
 operators, so stream verdicts equal batch verdicts).
 
 Composes ``StreamingIngestDedup`` (q105's gates against the corpus
-fingerprint/band indexes), an optional
-``StreamingDecontaminationFilter`` (q101's 13-gram eval overlap),
-``StreamingQualityFilter`` (the frozen q112 weight table), an
-optional ``StreamingPerplexityFilter`` (the frozen q131 bigram LM),
-and an optional ``StreamingDSIRFilter`` (the frozen q135 importance-
-resampling weight table — the distribution-match gate, last because
-it is the most selective). Each stage keeps its own per-batch
-history; the pipeline adds a combined ledger row per batch: (n_in,
-n_after_dedup, n_after_decon, n_after_quality, n_accepted) — where
-n_accepted is whatever the LAST configured gate kept.
+fingerprint/band indexes), an optional ``StreamingSegmentDedup``
+(q137's boilerplate REWRITE — runs right after document dedup so
+every later gate scores the text that would actually be stored),
+an optional ``StreamingDecontaminationFilter`` (q101's 13-gram eval
+overlap), ``StreamingQualityFilter`` (the frozen q112 weight table),
+an optional ``StreamingPerplexityFilter`` (the frozen q131 bigram
+LM), and an optional ``StreamingDSIRFilter`` (the frozen q135
+importance-resampling weight table — the distribution-match gate,
+last because it is the most selective). Each stage keeps its own
+per-batch history; the pipeline adds a combined ledger row per
+batch: (n_in, n_after_dedup, n_after_rewrite, n_after_decon,
+n_after_quality, n_accepted) — where n_accepted is whatever the LAST
+configured gate kept.
 """
 
 from __future__ import annotations
@@ -36,6 +39,9 @@ from ml_with_spark_streaming_spark.streaming.perplexity_filter import (
     StreamingPerplexityFilter,
 )
 from ml_with_spark_streaming_spark.streaming.quality_filter import StreamingQualityFilter
+from ml_with_spark_streaming_spark.streaming.segment_dedup_filter import (
+    StreamingSegmentDedup,
+)
 
 
 @dataclass
@@ -50,6 +56,7 @@ class StreamingIngestPipeline:
 
     dedup: StreamingIngestDedup
     quality: StreamingQualityFilter
+    segdedup: StreamingSegmentDedup | None = None
     decon: StreamingDecontaminationFilter | None = None
     perplexity: StreamingPerplexityFilter | None = None
     dsir: StreamingDSIRFilter | None = None
@@ -60,6 +67,7 @@ class StreamingIngestPipeline:
         # the pipeline drives the stages through their on_kept hooks;
         # user-supplied stage hooks are preserved and still called
         self._dedup_hook = self.dedup.on_kept
+        self._seg_hook = self.segdedup.on_kept if self.segdedup is not None else None
         self._decon_hook = self.decon.on_kept if self.decon is not None else None
         self._quality_hook = self.quality.on_kept
         self._ppl_hook = self.perplexity.on_kept if self.perplexity is not None else None
@@ -71,6 +79,7 @@ class StreamingIngestPipeline:
         corpus: DataFrame,
         weights: list[tuple[str, int]],
         eval_corpus: DataFrame | None = None,
+        segment_width: int | None = None,
         perplexity_threshold_x1e6: int | None = None,
         dsir_weights: list[tuple[int, int]] | None = None,
         dsir_n_buckets: int = 512,
@@ -101,9 +110,15 @@ class StreamingIngestPipeline:
             if dsir_weights is not None
             else None
         )
+        segdedup = (
+            StreamingSegmentDedup.from_corpus(corpus, width=segment_width, **col_kw)
+            if segment_width is not None
+            else None
+        )
         return cls(
             dedup=StreamingIngestDedup.from_corpus(corpus, **dedup_kw),
             quality=StreamingQualityFilter(weights=weights, **col_kw),
+            segdedup=segdedup,
             decon=decon,
             perplexity=ppl,
             dsir=dsir,
@@ -126,6 +141,24 @@ class StreamingIngestPipeline:
         def _after_dedup(kept_df: DataFrame, bid: int) -> None:
             if self._dedup_hook is not None:
                 self._dedup_hook(kept_df, bid)
+            if self.segdedup is None:
+                _after_seg(kept_df, bid, ran_seg=False)
+            elif kept_df.isEmpty():
+                self._zero_row(
+                    self.segdedup.history,
+                    bid,
+                    ("n_docs", "n_segs", "n_cut", "n_docs_kept"),
+                )
+                _after_seg(kept_df, bid, ran_seg=False)
+            else:
+                self.segdedup.on_kept = _after_seg
+                self.segdedup.process_batch(kept_df, bid)
+
+        def _after_seg(kept_df: DataFrame, bid: int, ran_seg: bool = True) -> None:
+            # the rewrite stage emits (id_col, text_col) only — the
+            # surviving text IS the document from here on
+            if ran_seg and self._seg_hook is not None:
+                self._seg_hook(kept_df, bid)
             if self.decon is not None:
                 if kept_df.isEmpty():
                     self._zero_row(
@@ -189,6 +222,12 @@ class StreamingIngestPipeline:
         # the ledger is derived from the stage histories (each stage
         # already counted its batch) — no extra Spark actions
         dh = self.dedup.history[-1]
+        gh = (
+            self.segdedup.history[-1]
+            if self.segdedup is not None and self.segdedup.history
+            else None
+        )
+        n_after_rewrite = gh["n_docs_kept"] if gh is not None else dh["n_kept"]
         ch = self.decon.history[-1] if self.decon is not None else None
         qh = self.quality.history[-1] if self.quality.history else None
         n_after_quality = qh["n_kept"] if qh is not None else 0
@@ -208,7 +247,8 @@ class StreamingIngestPipeline:
                 "batch_id": batch_id,
                 "n_in": dh["n_docs"],
                 "n_after_dedup": dh["n_kept"],
-                "n_after_decon": ch["n_kept"] if ch is not None else dh["n_kept"],
+                "n_after_rewrite": n_after_rewrite,
+                "n_after_decon": ch["n_kept"] if ch is not None else n_after_rewrite,
                 "n_after_quality": n_after_quality,
                 "n_accepted": sh["n_kept"] if sh is not None else n_after_ppl,
             }

@@ -145,6 +145,7 @@ def test_fully_rejected_batch_keeps_histories_aligned(spark):
             "batch_id": 7,
             "n_in": 1,
             "n_after_dedup": 0,
+            "n_after_rewrite": 0,
             "n_after_decon": 0,
             "n_after_quality": 0,
             "n_accepted": 0,
@@ -266,3 +267,45 @@ def test_pipeline_with_dsir_gate(spark):
     assert row["n_accepted"] == 1  # DSIR separates them
     assert accepted == {1300}
     assert pipe.dsir.history[0] == {"batch_id": 0, "n_docs": 2, "n_kept": 1}
+
+
+def test_pipeline_with_segment_rewrite_stage(spark):
+    """The rewrite stage runs after doc-level dedup: a novel document
+    carrying a corpus boilerplate segment loses that segment but
+    continues through the quality gate as its surviving text; the
+    ledger records the rewrite column."""
+    corpus = _docs(spark)
+    frozen = freeze_weights(
+        classifier_weights(feature_presence(corpus), heuristic_labels(corpus))
+    )
+    # width=10 segments: corpus doc 0's FIRST 10 tokens form a segment
+    # the batch doc repeats verbatim AFTER 30 novel tokens (so the
+    # boilerplate lands exactly on a segment boundary). The novel part
+    # mixes hi-vocab (to pass the classifier) with ten fresh words (to
+    # stay below the 0.9 near-dup Jaccard vs the cyclic corpus docs).
+    corpus_seg = " ".join(_HI_WORDS[j % len(_HI_WORDS)] for j in range(10))
+    fresh = " ".join("fresh" + chr(97 + j) for j in range(10))
+    novel = " ".join(_HI_WORDS[(1 + j) % len(_HI_WORDS)] for j in range(20)) + " " + fresh
+
+    accepted: dict[int, str] = {}
+    pipe = StreamingIngestPipeline.build(
+        corpus,
+        frozen,
+        segment_width=10,
+        threshold=0.9,
+        on_accepted=lambda df, bid: accepted.update(
+            {r["doc_id"]: r["text"] for r in df.collect()}
+        ),
+    )
+    # novel text FIRST: the exact-dedup gate fingerprints the first 8
+    # tokens, which must not collide with corpus doc 0's prefix
+    batch = [(1400, novel + " " + corpus_seg)]  # 30 novel + 10 boilerplate tokens
+    pipe.process_batch(spark.createDataFrame(batch, "doc_id long, text string"), 0)
+
+    row = pipe.ledger[0]
+    assert row["n_in"] == 1 and row["n_after_dedup"] == 1
+    assert row["n_after_rewrite"] == 1 and row["n_accepted"] == 1
+    assert pipe.segdedup.history[0]["n_cut"] >= 1
+    # the trailing boilerplate segment is cut; the accepted text is
+    # exactly the 30 novel tokens
+    assert accepted == {1400: novel}
