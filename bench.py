@@ -75,6 +75,8 @@ HEADLINE = [
     "q132_semantic_decontamination",
     "q135_dsir_selection",
     "q137_segment_dedup",
+    "q140_containment_pairs",
+    "q141_frequent_ngrams",
 ]
 
 

@@ -100,6 +100,33 @@ class StreamingSegmentDedup:
         self._slices = []
         self._accepted_since_compact = 0
 
+    def save_index(self, path: str) -> None:
+        """Persist the (possibly grown) segment-hash set as parquet —
+        the durable artifact a restarted gate resumes from. Compacts
+        first, so the artifact is always one merged table; a params
+        sidecar stores the segment width (hashes are a function of the
+        segmentation, so resuming with a different width would
+        silently never match)."""
+        self.compact()
+        self.seg_index.write.mode("overwrite").parquet(f"{path}/seg_index")
+        self.seg_index.sparkSession.createDataFrame(
+            [(self.width,)], "width int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+    @classmethod
+    def from_index_path(cls, spark, path: str, **kw) -> "StreamingSegmentDedup":
+        """Resume a gate from a persisted index (``save_index``) — no
+        corpus rescan. Width comes from the params sidecar; passing a
+        conflicting width raises."""
+        p = spark.read.parquet(f"{path}/params").collect()[0]
+        if "width" in kw and kw["width"] != int(p["width"]):
+            raise ValueError(
+                f"index at {path} was built with width={int(p['width'])}; "
+                f"got width={kw['width']} — rebuild the index or drop the override"
+            )
+        kw["width"] = int(p["width"])
+        return cls(seg_index=spark.read.parquet(f"{path}/seg_index"), **kw)
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             self.history.append(

@@ -74,3 +74,28 @@ def test_rewrite_emits_surviving_text(spark):
     assert kept[0] == {100: f"{B} {C}"}
     h = gate.history[0]
     assert (h["n_segs"], h["n_cut"]) == (3, 1)
+
+
+def test_index_save_load_roundtrip(spark, tmp_path):
+    corpus_rows = [(1, f"{A} {BOILER}")]
+    b1 = [(100, f"{BOILER} {C}")]
+    b2 = [(200, f"{C} {D}")]
+
+    gate = StreamingSegmentDedup.from_corpus(_df(spark, corpus_rows), width=W)
+    gate.process_batch(_df(spark, b1), 0)
+    gate.save_index(str(tmp_path / "idx"))
+
+    resumed = StreamingSegmentDedup.from_index_path(spark, str(tmp_path / "idx"))
+    assert resumed.width == W
+    kept: dict[int, str] = {}
+    resumed.on_kept = lambda df, b: kept.update(
+        {r["doc_id"]: r["text"] for r in df.collect()}
+    )
+    resumed.process_batch(_df(spark, b2), 1)
+    # C was accepted in b1 BEFORE the save -> the resumed gate cuts it
+    assert kept == {200: D}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        StreamingSegmentDedup.from_index_path(spark, str(tmp_path / "idx"), width=5)
