@@ -2399,3 +2399,113 @@ def q139_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return training_order(d, n_shards=16).orderBy("shard", "pos")
+
+
+# ---------------------------------------------------------------------------
+# q142 — per-source corpus scorecard (the governance rollup)
+# ---------------------------------------------------------------------------
+
+Q142_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+grams AS (
+  SELECT DISTINCT doc_id, substr(md5(g), 1, 16) AS g FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(t) - 12, 0)),
+                                 i -> array_to_string(t[i:i+12], ' '))) AS g
+    FROM toks
+  )
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+contam AS (
+  SELECT c.doc_id,
+         CAST(CASE WHEN COUNT(ev.g) > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_contam
+  FROM (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0) c
+  LEFT JOIN ev ON ev.g = c.g
+  GROUP BY c.doc_id
+),
+pop AS (
+  SELECT d.doc_id, d.source, d.text,
+         md5(array_to_string(string_split({CLEAN_SQL}, ' ')[1:8], ' ')) AS fp,
+         q.quality
+  FROM documents d JOIN {QUALITY_TABLE_SQL} q ON q.doc_id = d.doc_id
+  WHERE d.doc_id % 97 <> 0
+),
+flags AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY fp)
+              THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+         CAST(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END AS BIGINT) AS is_lowq,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM pop
+)
+SELECT f.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f.is_dup) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(f.is_lowq) AS BIGINT) AS n_low_quality,
+       CAST(SUM(COALESCE(c.is_contam, 0)) AS BIGINT) AS n_contaminated,
+       CAST(SUM(f.n_chars) AS BIGINT) AS n_chars_total
+FROM flags f LEFT JOIN contam c ON c.doc_id = f.doc_id
+GROUP BY f.source
+ORDER BY f.source
+"""
+
+
+@query("q142_source_scorecard", Q142_SQL)
+def q142_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus governance scorecard: for every ingestion
+    source, how many documents it contributes and how many of them are
+    duplicates (non-canonical under q46's fingerprint dedup), low
+    quality (q45's exact-rational score < 0.5 — an integer-safe
+    threshold on the already-engine-exact rounded value), or
+    benchmark-contaminated (≥1 13-gram hit against the q101 eval
+    slice). THE table a data team reads when deciding which source to
+    upweight, cap, or cut — every per-doc signal already exists as its
+    own query; this is their one-scan-each rollup keyed by provenance.
+
+    All outputs are BIGINT counts (no float aggregation crosses the
+    boundary). Scale shape: the fingerprint window shuffles by fp, the
+    contamination branch is q101's broadcast-eval shape, and the final
+    rollup is one groupBy(source) over per-doc flags — each corpus
+    pass is an independent aggregate lineage over the checkpointed
+    population slice.
+    """
+    from ml_with_spark_streaming_spark.operators.decontaminate import (
+        contamination_counts,
+        eval_ngrams,
+    )
+    from ml_with_spark_streaming_spark.operators.textstats import (
+        fingerprint_expr,
+        quality_score_expr,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pop = maybe_checkpoint(d.filter(F.col("doc_id") % 97 != 0))
+    ev = eval_ngrams(d.filter(F.col("doc_id") % 97 == 0))
+    contam = contamination_counts(pop, ev).select(
+        "doc_id", (F.col("n_contaminated") > 0).cast("long").alias("is_contam")
+    )
+    w = W.partitionBy("_fp")
+    flags = (
+        pop.withColumn("_fp", fingerprint_expr("text", 8))
+        .withColumn(
+            "is_dup",
+            (F.col("doc_id") != F.min("doc_id").over(w)).cast("long"),
+        )
+        .withColumn("is_lowq", (quality_score_expr("text") < 0.5).cast("long"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    return (
+        flags.join(contam, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dup_docs"),
+            F.sum("is_lowq").cast("long").alias("n_low_quality"),
+            F.sum(F.coalesce("is_contam", F.lit(0))).cast("long").alias("n_contaminated"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+        .orderBy("source")
+    )

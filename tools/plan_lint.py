@@ -290,6 +290,13 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "codegen projection; at scale both the components and the quality scores are "
         "persisted per-doc artifacts of earlier pipeline stages, joined not recomputed.",
     ),
+    "q142_source_scorecard": (
+        frozenset({"DupFactScan"}),
+        "q93's waived composed-rollup shape: the eval-slice n-gram branch, the "
+        "contamination gram explode, and the per-doc flag projection are separate "
+        "aggregate lineages; at runtime the flag/contamination branches share one "
+        "maybe_checkpoint-materialized population slice.",
+    ),
     "q141_frequent_ngrams": (
         frozenset({"DupFactScan"}),
         "the designed two-pass sketch algorithm: the Misra-Gries candidate pass and the "
