@@ -283,3 +283,73 @@ def bm25_topk_batch(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def positional_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional postings ``(id, pos, term)`` — the positional half
+    of an inverted index (0-based positions over the cleaned token
+    stream). One posexplode; at scale this is the table a phrase/
+    proximity index persists term-sharded (sorted by (term, id, pos))
+    so phrase queries touch only the probed terms' shards."""
+    return positional_postings_from_tokens(
+        df.select(
+            F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("__toks")
+        ),
+        tokens_col="__toks",
+        id_col=id_col,
+    )
+
+
+def positional_postings_from_tokens(
+    df: DataFrame, tokens_col: str = "t", id_col: str = "doc_id"
+) -> DataFrame:
+    """``positional_postings`` over an already-tokenized column —
+    lets a query that needs both a token table and a postings table
+    materialize the tokenize ONCE (maybe_checkpoint) and derive both."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.col(tokens_col)).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+
+
+def phrase_match(
+    postings: DataFrame, phrases: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact phrase search by positional-postings intersection.
+
+    ``phrases``: a SMALL table ``(phrase: string)`` of space-separated
+    query phrases. Each phrase is split into ``(off, term)`` pairs
+    (phrase-length rows each) and BROADCAST against the postings: a
+    posting at position ``pos`` matching the phrase term at offset
+    ``off`` votes for a match starting at ``start = pos − off``; a
+    start where ALL offsets voted is a full occurrence (correct even
+    for phrases with repeated terms — a posting row joins once per
+    offset its term occupies, each vote landing on a different start).
+
+    Scale shape: the corpus-sized side is touched once (the postings
+    scan, filtered by the broadcast semi-join on term — only postings
+    of query terms survive the map side); candidate starts combine
+    map-side in the ``(phrase, id, start)`` groupBy. No corpus
+    self-join, no regex scan over full text. Returns per-(phrase, doc)
+    occurrence counts.
+    """
+    pt = phrases.select(
+        "phrase", F.posexplode(F.split("phrase", " ")).alias("off", "term")
+    )
+    plen = phrases.select(
+        "phrase", F.size(F.split("phrase", " ")).alias("n_terms")
+    )
+    votes = postings.join(F.broadcast(pt), "term").select(
+        "phrase", id_col, (F.col("pos") - F.col("off")).alias("start")
+    )
+    full = (
+        votes.groupBy("phrase", id_col, "start")
+        .agg(F.count("*").alias("n_votes"))
+        .join(F.broadcast(plen), "phrase")
+        .filter(F.col("n_votes") == F.col("n_terms"))
+    )
+    return full.groupBy("phrase", id_col).agg(
+        F.count("*").cast("long").alias("n_matches")
+    )

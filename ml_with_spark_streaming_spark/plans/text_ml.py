@@ -898,3 +898,206 @@ def q141_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_ngrams(d, "text", k=1023, ngram=2).orderBy(
         F.col("cnt").desc(), "gram"
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — exact phrase search via positional postings intersection
+# ---------------------------------------------------------------------------
+
+# The oracle deliberately uses a DIFFERENT algorithm (direct sliding-
+# window trigram extraction + count) than the engine (positional-
+# postings vote join), so a hash match proves the index-intersection
+# semantics, not just a shared formulation.
+Q143_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+tri AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS phrase
+  FROM tok, unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+),
+top3 AS (
+  SELECT phrase FROM (
+    SELECT phrase, COUNT(*) AS n FROM tri GROUP BY phrase
+    ORDER BY n DESC, phrase LIMIT 3
+  )
+)
+SELECT phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM tri JOIN top3 USING (phrase)
+GROUP BY phrase, doc_id
+ORDER BY phrase, doc_id
+"""
+
+
+@query("q143_phrase_search", Q143_SQL)
+def q143_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search (positional inverted index): take the 3
+    globally most frequent trigram phrases (deterministic tie-break:
+    count desc, phrase asc), then find every occurrence of each via
+    positional-postings intersection (operators/retrieval.py::
+    phrase_match — broadcast of the 9-row (phrase, off, term) table
+    against one postings scan; candidate starts combine map-side).
+
+    The query-phrase discovery pass is itself one explode + one
+    gram-keyed groupBy + TakeOrdered(3); at 100 TB the postings table
+    would be a persisted term-sharded index and only the probed
+    terms' shards are read — here discovery and postings derive from
+    ONE maybe_checkpoint-materialized token table (one documents
+    scan), and the 3-row phrase table is materialized so its two
+    phrase_match roles (offsets + lengths) don't re-run discovery.
+    The oracle recomputes matches by brute sliding-window extraction,
+    an independent formulation.
+    """
+    from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
+    from ml_with_spark_streaming_spark.operators.retrieval import (
+        phrase_match,
+        positional_postings_from_tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = maybe_checkpoint(
+        d.select("doc_id", tokens_expr(clean_text_expr("text")).alias("t")).filter(
+            F.size("t") > 0
+        )
+    )
+    tris = toks.filter(F.size("t") >= 3).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3),"
+                " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+            )
+        ).alias("phrase")
+    )
+    top3 = maybe_checkpoint(
+        tris.groupBy("phrase")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "phrase")
+        .limit(3)
+        .select("phrase")
+    )
+    postings = positional_postings_from_tokens(toks)
+    return phrase_match(postings, top3).orderBy("phrase", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q144 — vocabulary growth profile (Heaps'-law curve)
+# ---------------------------------------------------------------------------
+
+_Q144_BUCKET = "(({col} - mn) * 20) {div} (mx - mn + 1)"
+
+Q144_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+bounds AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM tok),
+dl AS (
+  SELECT {_Q144_BUCKET.format(col="doc_id", div="//")} AS bucket, len(t) AS n_tokens
+  FROM tok, bounds
+),
+docs_b AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+  FROM dl GROUP BY bucket
+),
+first_doc AS (
+  SELECT tkn, MIN(doc_id) AS fd
+  FROM (SELECT doc_id, unnest(t) AS tkn FROM tok)
+  WHERE tkn <> '' GROUP BY tkn
+),
+new_v AS (
+  SELECT {_Q144_BUCKET.format(col="fd", div="//")} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS new_vocab
+  FROM first_doc, bounds GROUP BY bucket
+)
+SELECT d.bucket, d.n_docs,
+       COALESCE(n.new_vocab, 0) AS new_vocab,
+       CAST(SUM(d.bucket_tokens) OVER (ORDER BY d.bucket) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(n.new_vocab, 0)) OVER (ORDER BY d.bucket) AS BIGINT) AS cum_vocab
+FROM docs_b d LEFT JOIN new_v n USING (bucket)
+ORDER BY bucket
+"""
+
+
+@query("q144_vocab_growth", Q144_SQL)
+def q144_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) profile: docs bucketed into 20
+    equal-width doc_id ranges; per bucket the number of docs, tokens,
+    NEW vocabulary (tokens whose first occurrence falls in the
+    bucket), and running totals — the curve |V| vs tokens-seen that
+    tokenizer-sizing and dedup-health monitoring read (a corpus whose
+    vocab keeps growing linearly is full of noise/IDs; one that
+    flattens too fast is template-heavy).
+
+    Scale: the vocab pass is one explode + token-keyed groupBy(min) —
+    word-count cost; doc stats are a doc-keyed agg; both derive from
+    ONE maybe_checkpoint-materialized token table (one documents
+    scan). The doc-stat and new-vocab aggregates are union-merged by
+    a second bucket-keyed aggregate so the only window runs DIRECTLY
+    over a ≤20-row aggregate output (spine-bounded, no join in
+    between). First-occurrence uses doc_id order (the corpus's
+    stable ingest order), never a global sort.
+    """
+    from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = maybe_checkpoint(
+        d.select("doc_id", tokens_expr(clean_text_expr("text")).alias("t")).filter(
+            F.size("t") > 0
+        )
+    )
+    bounds = toks.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    bucket = _Q144_BUCKET.format(col="{c}", div="DIV")
+    dl = toks.crossJoin(F.broadcast(bounds)).selectExpr(
+        f"{bucket.format(c='doc_id')} AS bucket", "size(t) AS n_tokens"
+    )
+    docs_b = dl.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bucket_tokens"),
+    )
+    first_doc = (
+        toks.select("doc_id", F.explode("t").alias("tkn"))
+        .filter(F.col("tkn") != "")
+        .groupBy("tkn")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    new_v = (
+        first_doc.crossJoin(F.broadcast(bounds))
+        .selectExpr(f"{bucket.format(c='fd')} AS bucket")
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("new_vocab"))
+    )
+    # Union-merge the two bucket aggregates (new_v's buckets are a
+    # subset of docs_b's: a bucket with a first occurrence has ≥1 doc)
+    # so the running-total window sits directly on an aggregate.
+    merged = (
+        docs_b.select("bucket", "n_docs", "bucket_tokens", F.lit(0).alias("new_vocab"))
+        .unionByName(
+            new_v.select(
+                "bucket",
+                F.lit(0).alias("n_docs"),
+                F.lit(0).alias("bucket_tokens"),
+                "new_vocab",
+            )
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("bucket_tokens").cast("long").alias("bucket_tokens"),
+            F.sum("new_vocab").cast("long").alias("new_vocab"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return merged.select(
+        "bucket",
+        "n_docs",
+        "new_vocab",
+        F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("new_vocab").over(w).cast("long").alias("cum_vocab"),
+    ).orderBy("bucket")

@@ -260,3 +260,54 @@ def test_bm25_ln_order_differs_from_raw_and_matches_textbook(spark, tmp_path):
             scores[i] = s
     ref = sorted(scores, key=lambda i: (-scores[i], i))
     assert ln == ref
+
+
+# ---------------------------------------------------------------------------
+# phrase search (q143 machinery)
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_match_hand_checked(spark):
+    """Positional-postings intersection on a corpus with overlapping
+    occurrences and a repeated-term phrase."""
+    from ml_with_spark_streaming_spark.operators.retrieval import (
+        phrase_match,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # "a b a b a": "a b a" occurs at starts 0 and 2 (overlap)
+            (0, "a b a b a"),
+            # repeated-term phrase "x x" occurs at starts 0,1 (run of 3)
+            (1, "x x x y"),
+            # phrase terms present but never adjacent
+            (2, "a c b c a"),
+        ],
+        "doc_id: long, text: string",
+    )
+    postings = positional_postings(docs)
+    phrases = spark.createDataFrame([("a b a",), ("x x",)], "phrase: string")
+    got = {
+        (r.phrase, r.doc_id): r.n_matches
+        for r in phrase_match(postings, phrases).collect()
+    }
+    assert got == {("a b a", 0): 2, ("x x", 1): 2}
+
+
+def test_phrase_match_no_partial_credit(spark):
+    """A start where only SOME offsets vote is not a match."""
+    from ml_with_spark_streaming_spark.operators.retrieval import (
+        phrase_match,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "spark fast engine"), (1, "spark slow engine")],
+        "doc_id: long, text: string",
+    )
+    phrases = spark.createDataFrame([("spark fast engine",)], "phrase: string")
+    got = phrase_match(positional_postings(docs), phrases).collect()
+    assert [(r.phrase, r.doc_id, r.n_matches) for r in got] == [
+        ("spark fast engine", 0, 1)
+    ]

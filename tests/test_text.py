@@ -211,3 +211,31 @@ def test_bpe_packing_arithmetic_consistent(spark):
         else:
             assert r.chunk_first == (r.cum_tokens - r.n_tokens) // _CTX
             assert r.chunk_last == (r.cum_tokens - 1) // _CTX
+
+
+def test_q144_vocab_growth_invariants(spark):
+    """Final cum_vocab equals the corpus distinct-token count; cum
+    columns are non-decreasing; every new_vocab ≥ 0."""
+    from pyspark.sql import functions as F
+
+    from ml_with_spark_streaming_spark.functions.text import (
+        clean_text_expr,
+        tokens_expr,
+    )
+    from ml_with_spark_streaming_spark.plans.text_ml import q144_vocab_growth
+    from ml_with_spark_streaming_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q144_vocab_growth(spark, sf).collect()
+    assert rows == sorted(rows, key=lambda r: r.bucket)
+    assert all(r.new_vocab >= 0 and r.n_docs > 0 for r in rows)
+    cums = [(r.cum_tokens, r.cum_vocab) for r in rows]
+    assert cums == sorted(cums)
+    d = load_table(spark, sf, "documents")
+    vocab = (
+        d.select(F.explode(tokens_expr(clean_text_expr("text"))).alias("t"))
+        .filter(F.col("t") != "")
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+    )
+    assert rows[-1].cum_vocab == vocab

@@ -290,6 +290,19 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "codegen projection; at scale both the components and the quality scores are "
         "persisted per-doc artifacts of earlier pipeline stages, joined not recomputed.",
     ),
+    "q143_phrase_search": (
+        frozenset({"DupFactScan"}),
+        "visible only under SPARK_GRAFT_NO_CHECKPOINT: the trigram-discovery pass, the "
+        "positional-postings pass, and phrase_match's two phrase-table roles (offsets + "
+        "lengths) share one maybe_checkpoint-materialized token table and one 3-row "
+        "top-phrase table at runtime — one documents scan.",
+    ),
+    "q144_vocab_growth": (
+        frozenset({"DupFactScan"}),
+        "visible only under SPARK_GRAFT_NO_CHECKPOINT: the doc-length pass, the "
+        "first-occurrence vocab pass, and the two 1-row bounds branches all read one "
+        "maybe_checkpoint-materialized token table at runtime — one documents scan.",
+    ),
     "q142_source_scorecard": (
         frozenset({"DupFactScan"}),
         "q93's waived composed-rollup shape: the eval-slice n-gram branch, the "
