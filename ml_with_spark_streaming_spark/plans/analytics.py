@@ -639,3 +639,108 @@ def q127_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — trade-flow PageRank (weighted, integer fixed-point, engine-exact)
+# ---------------------------------------------------------------------------
+
+
+def _q145_sql(iters: int = 5, scale: int = 10**12, d: int = 85) -> str:
+    """Unrolled-iteration SQL twin of ``operators.graph.pagerank``.
+
+    The oracle replays the exact integer recurrence as ``iters`` chained
+    CTEs (r0 -> r1 -> ... -> r{iters}) — feasible precisely because the
+    operator is defined in fixed-point BIGINT arithmetic with floor
+    division: no float ever appears, so an independent SQL engine
+    reproduces every iterate bit-for-bit. Sums are cast back to BIGINT
+    (DuckDB widens SUM(BIGINT) to HUGEINT; the house canon bans HUGEINT
+    at the boundary and the engine stays int64 throughout).
+    """
+    parts = [
+        f"""WITH e AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+outw AS (SELECT src AS id, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+r0 AS (SELECT id, CAST({scale} // nn.n AS BIGINT) AS r FROM nodes CROSS JOIN nn)"""
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        parts.append(
+            f"""d{k} AS (
+  SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm
+  FROM {p} LEFT JOIN outw USING (id) WHERE ow IS NULL
+),
+c{k} AS (
+  SELECT e.dst AS id, CAST(SUM((pr.r * e.w) // o.ow) AS BIGINT) AS inc
+  FROM e JOIN {p} pr ON e.src = pr.id JOIN outw o ON e.src = o.id
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT nodes.id,
+         CAST(((100 - {d}) * ({scale} // nn.n)
+               + {d} * (COALESCE(c{k}.inc, 0) + d{k}.dm // nn.n)) // 100 AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn CROSS JOIN d{k} LEFT JOIN c{k} ON nodes.id = c{k}.id
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT n.n_name AS nation, rf.r AS rank_x1e12
+FROM r{iters} rf JOIN nation n ON rf.id = n.n_nationkey
+ORDER BY rank_x1e12 DESC, nation"""
+    )
+
+
+@query("q145_nation_pagerank", _q145_sql())
+def q145_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the trade-flow graph (supplier nation -> customer
+    nation, edge weight = lineitem count): which markets concentrate
+    inbound trade influence. The graph-centrality modality the engine
+    was missing next to connected components — same join+groupBy
+    iterative dataflow (``operators/graph.py::pagerank``), reusable on
+    any edge list (e.g. a document citation/near-dup graph).
+
+    Engine-exact by construction: integer fixed-point ranks (BIGINT out
+    of 1e12), floor-division damping — distributed float PageRank is
+    never bit-reproducible, this is. Oracle = the recurrence unrolled
+    as chained CTEs.
+
+    Scale shape: edge-building shuffles lineitem ONCE into a
+    nation-pair aggregate (map-side combined, dims broadcast); the
+    iteration then runs on the aggregated edge list — node- and
+    edge-table-sized work per round, one keyed shuffle each,
+    O(1) scalars to the driver, lineage checkpointed. On a 100 TB
+    web-graph-sized edge list the identical loop holds: rank join is
+    node-keyed, contribution agg is dst-keyed, both map-side
+    combinable.
+    """
+    from ml_with_spark_streaming_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    pr = pagerank(edges, "src", "dst", "w", damping_pct=85, iters=5)
+    return (
+        pr.join(F.broadcast(n), pr["id"] == n["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), F.col("rank").alias("rank_x1e12"))
+        .orderBy(F.col("rank_x1e12").desc(), "nation")
+    )

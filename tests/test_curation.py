@@ -527,3 +527,61 @@ def test_dsir_selects_by_content_not_label(spark):
     assert (got[21].n_tokens, got[21].logw_x1e6, got[21].selected) == (0, 0, 0)
     # identical content => identical score regardless of label
     assert got[20].logw_x1e6 == got[0].logw_x1e6
+
+
+# ---------------------------------------------------------------------------
+# pagerank (operators/graph.py) — integer fixed-point, vs a pure-Python
+# replay of the exact same recurrence
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_py(edges, iters=5, scale=10**12, d=85):
+    """Driver-side replay of the documented integer recurrence."""
+    from collections import defaultdict
+
+    w = defaultdict(int)
+    for u, v, ww in edges:
+        w[(u, v)] += ww
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    n = len(nodes)
+    outw = defaultdict(int)
+    for (u, _), ww in w.items():
+        outw[u] += ww
+    base = scale // n
+    r = {v: base for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r[v] for v in nodes if outw[v] == 0)
+        inc = defaultdict(int)
+        for (u, v), ww in w.items():
+            inc[v] += (r[u] * ww) // outw[u]
+        r = {
+            v: ((100 - d) * base + d * (inc[v] + dangling // n)) // 100
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_matches_python_recurrence(spark):
+    from ml_with_spark_streaming_spark.operators.graph import pagerank
+
+    # hub-and-spoke with a dangling node (4 has no out-edges) and a
+    # multi-edge (1->2 twice, must pre-aggregate to w=5)
+    edges = [(1, 2, 3), (1, 2, 2), (2, 3, 1), (3, 1, 1), (1, 4, 1), (2, 4, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {
+        row["id"]: row["rank"]
+        for row in pagerank(df, "src", "dst", "w", iters=5).collect()
+    }
+    assert got == _pagerank_py(edges, iters=5)
+    # fixed-point mass conservation: floor-division loses < 1 unit per
+    # node per division site, so total mass stays within n*iters*3 of scale
+    assert abs(sum(got.values()) - 10**12) <= 4 * 5 * 3
+
+
+def test_pagerank_unweighted_uniform_cycle(spark):
+    from ml_with_spark_streaming_spark.operators.graph import pagerank
+
+    # a 3-cycle is symmetric: all ranks equal at every iteration
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    ranks = {r["rank"] for r in pagerank(df, "src", "dst", iters=4).collect()}
+    assert len(ranks) == 1
