@@ -744,3 +744,36 @@ def q145_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), F.col("rank").alias("rank_x1e12"))
         .orderBy(F.col("rank_x1e12").desc(), "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — Z-order layout planning: per-file skipping stats, zorder vs linear
+# ---------------------------------------------------------------------------
+
+from ml_with_spark_streaming_spark.operators.layout import (  # noqa: E402
+    zorder_file_stats,
+    zorder_oracle_sql,
+)
+
+Q146_SQL = zorder_oracle_sql("lineitem", "l_partkey", "l_suppkey")
+
+
+@query("q146_zorder_layout", Q146_SQL)
+def q146_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout planning for lineitem over
+    (l_partkey, l_suppkey): per-file min/max skipping statistics under
+    the z-ordered file assignment vs the default single-key (linear)
+    sort — the decision table behind a Delta/Iceberg-style
+    ``OPTIMIZE ZORDER BY``, computed as one scan + one projection +
+    one unpivot + one groupBy (``operators/layout.py``).
+
+    Why it matters at 100 TB: min/max file pruning is the first-order
+    scan cost lever; linear layout leaves the second key's per-file
+    span at the full domain (zero pruning), z-order bounds both. The
+    bit-interleave and min/max normalization are generated from ONE
+    Python loop in two SQL dialects, so the oracle is hash-exact by
+    construction; file assignment is value-based bucketing (top bits
+    of the z-value) — no global sort, no window, fully parallel.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return zorder_file_stats(li, "l_partkey", "l_suppkey")
