@@ -777,3 +777,101 @@ def q146_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return zorder_file_stats(li, "l_partkey", "l_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# q147 — Bloom-filter semi-join pruning with exact false-positive accounting
+# ---------------------------------------------------------------------------
+
+from ml_with_spark_streaming_spark.operators.bloom import (  # noqa: E402
+    BLOOM_BITS_DUCK,
+    BLOOM_HASH_DUCK,
+    bloom_build,
+    bloom_probe,
+)
+
+_B_HASH = BLOOM_HASH_DUCK.format(v="v", i="CAST(i AS VARCHAR)", m="m")
+_P_HASH = BLOOM_HASH_DUCK.format(
+    v="CAST(c_custkey AS VARCHAR)", i="CAST(i AS VARCHAR)", m="m"
+)
+
+# The oracle deliberately uses SET semantics (a distinct bit-position
+# table + join-count) instead of the engine's 32-bit-word bitmap +
+# bitwise probe — a hash match proves the bitmap mechanics, not a
+# shared formulation.
+Q147_SQL = f"""
+WITH members AS (
+  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v, o_custkey
+  FROM orders WHERE o_orderstatus = 'F'
+),
+kb AS (SELECT {BLOOM_BITS_DUCK.format(bpk=8, n="COUNT(*)")} AS m FROM members),
+mp AS (
+  SELECT DISTINCT {_B_HASH} AS p
+  FROM members CROSS JOIN kb CROSS JOIN range(5) AS t(i)
+),
+probe AS (
+  SELECT c_custkey, c_mktsegment, {_P_HASH} AS p
+  FROM customer CROSS JOIN kb CROSS JOIN range(5) AS t(i)
+),
+hits AS (
+  SELECT c_custkey, c_mktsegment,
+         SUM(CASE WHEN mp.p IS NOT NULL THEN 1 ELSE 0 END) AS nh
+  FROM probe LEFT JOIN mp ON probe.p = mp.p
+  GROUP BY 1, 2
+),
+fl AS (
+  SELECT c_mktsegment AS segment,
+         CASE WHEN nh = 5 THEN 1 ELSE 0 END AS pos,
+         CASE WHEN c_custkey IN (SELECT o_custkey FROM members) THEN 1 ELSE 0 END AS mem
+  FROM hits
+)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(pos) AS BIGINT) AS n_bloom_positive,
+       CAST(SUM(mem) AS BIGINT) AS n_members,
+       CAST(SUM(pos * (1 - mem)) AS BIGINT) AS n_false_positive
+FROM fl GROUP BY segment ORDER BY segment
+"""
+
+
+@query("q147_bloom_semijoin", Q147_SQL)
+def q147_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, audited: build a Bloom bitmap
+    over the finished orders' customer keys (``operators/bloom.py`` —
+    bit domain derived IN-PLAN from the member count with integer-only
+    arithmetic), probe every customer, and report per market segment
+    how many customers the filter passes vs truly match — the exact
+    false-positive bill of the pruning filter a 100 TB fact-dim join
+    would push below its shuffle.
+
+    Scale shape: build is one distinct + explode(5) + word-keyed
+    bit_or groupBy (bitmap = m/32 rows, broadcast); probe never
+    shuffles on the key — explode(5), broadcast bitmap join, per-key
+    count. The truth join here exists only to AUDIT the fp rate; a
+    production user just drops rows where the probe misses.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .distinct()
+    )
+    o = maybe_checkpoint(o)
+    knob, bitmap = bloom_build(o, "o_custkey", bits_per_key=8, n_hashes=5)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    probed = bloom_probe(c, "c_custkey", knob, bitmap, n_hashes=5)
+    mem = o.withColumn("is_member", F.lit(1))
+    return (
+        probed.join(mem, probed["c_custkey"] == mem["o_custkey"], "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("bloom_positive").cast("long").alias("n_bloom_positive"),
+            F.sum(F.coalesce("is_member", F.lit(0))).cast("long").alias("n_members"),
+            F.sum(
+                F.col("bloom_positive") * (1 - F.coalesce("is_member", F.lit(0)))
+            )
+            .cast("long")
+            .alias("n_false_positive"),
+        )
+        .orderBy("segment")
+    )
