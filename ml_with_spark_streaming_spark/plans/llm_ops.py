@@ -869,3 +869,123 @@ def q140_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return containment_pairs(d, threshold=0.8, stop_df=20).orderBy("id1", "id2")
+
+
+# ---------------------------------------------------------------------------
+# q148 — hybrid retrieval: BM25 (lexical) + cosine (semantic), RRF-fused
+# ---------------------------------------------------------------------------
+
+from ml_with_spark_streaming_spark.operators.retrieval import (  # noqa: E402
+    BM25_AVGDL_DUCK,
+    BM25_CONTRIB_DUCK,
+    bm25_topk,
+)
+
+_RRF_K = 60  # standard RRF constant (Cormack et al. 2009)
+_RRF_SCALE = 10**9
+_HYB_TERMS = ("hash", "join", "vector")
+_HYB_TERMS_SQL = ", ".join(f"'{t}'" for t in _HYB_TERMS)
+
+# Lexical arm = q117's fixed-point BM25 CTE chain (top-50 with ranks);
+# semantic arm = q53's rounded-cosine ranking for ONE query vector;
+# fusion = integer reciprocal-rank: 1e9 // (60 + rank), summed.
+Q148_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+st AS (
+  SELECT n, tt, CAST({BM25_AVGDL_DUCK} AS BIGINT) AS a
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt FROM dl)
+),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ({_HYB_TERMS_SQL}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+r AS (
+  SELECT tf.doc_id AS doc_id, tf.tf AS tf, dfreq.df AS df, dl.dl AS dl, st.n AS n, st.a AS a
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+),
+lex AS (
+  SELECT doc_id, CAST(SUM({BM25_CONTRIB_DUCK}) AS BIGINT) AS s
+  FROM r GROUP BY doc_id
+),
+lexr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+  FROM lex ORDER BY s DESC, doc_id LIMIT 50
+),
+q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT c2.vec_id, ROUND({_COS.format(a='q.q_vec', b='c2.embedding')}, 4) AS cosine
+  FROM embeddings c2, q WHERE c2.vec_id <> 0
+),
+semr AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS sem_rank
+  FROM scored ORDER BY cosine DESC, vec_id LIMIT 50
+),
+f AS (
+  SELECT COALESCE(lexr.doc_id, semr.vec_id) AS doc_id,
+         COALESCE(lex_rank, 0) AS lex_rank,
+         COALESCE(sem_rank, 0) AS sem_rank,
+         (CASE WHEN lex_rank IS NOT NULL THEN {_RRF_SCALE} // ({_RRF_K} + lex_rank) ELSE 0 END
+          + CASE WHEN sem_rank IS NOT NULL THEN {_RRF_SCALE} // ({_RRF_K} + sem_rank) ELSE 0 END) AS rrf
+  FROM lexr FULL OUTER JOIN semr ON lexr.doc_id = semr.vec_id
+)
+SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem_rank AS BIGINT) AS sem_rank, CAST(rrf AS BIGINT) AS rrf_x1e9
+FROM f ORDER BY rrf_x1e9 DESC, doc_id LIMIT 20
+"""
+
+
+@query("q148_hybrid_retrieval", Q148_SQL)
+def q148_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): the lexical arm is q117's fixed-point BM25 top-50 over
+    documents, the semantic arm is q53's rounded-cosine top-50 over the
+    aligned embeddings table (query = vec 0), fused as the integer
+    reciprocal rank 1e9 // (60 + rank) summed across arms — the
+    standard RAG-stack first-stage ranker, engine-exact end to end
+    (BM25 is integer-rational; cosine ranks on the ROUND(..,4) value
+    both engines agree on; fusion is pure integer arithmetic).
+
+    Scale shape: each arm is its existing top-k operator (TakeOrdered,
+    no global sort); fusion then touches only 2x50 rows — window
+    ranks, the full-outer join, and the RRF sum all run on LIMIT-k
+    outputs, so fusion cost is independent of corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    lex = bm25_topk(d, _HYB_TERMS, k=50, text_col="text", id_col="doc_id")
+    from pyspark.sql import Window as W
+
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score_x1e4").desc(), "doc_id"))
+        .alias("lex_rank"),
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    semr = brute_force_topk(qv, e, k=50).select(
+        "vec_id", F.col("rank").alias("sem_rank")
+    )
+    f = lexr.join(semr, lexr["doc_id"] == semr["vec_id"], "full_outer")
+    rrf = F.expr(
+        f"CASE WHEN lex_rank IS NOT NULL THEN {_RRF_SCALE} DIV ({_RRF_K} + lex_rank) ELSE 0 END"
+        f" + CASE WHEN sem_rank IS NOT NULL THEN {_RRF_SCALE} DIV ({_RRF_K} + sem_rank) ELSE 0 END"
+    )
+    return (
+        f.select(
+            F.coalesce("doc_id", "vec_id").alias("doc_id"),
+            F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).cast("long").alias("sem_rank"),
+            rrf.cast("long").alias("rrf_x1e9"),
+        )
+        .orderBy(F.col("rrf_x1e9").desc(), "doc_id")
+        .limit(20)
+    )

@@ -311,3 +311,23 @@ def test_phrase_match_no_partial_credit(spark):
     assert [(r.phrase, r.doc_id, r.n_matches) for r in got] == [
         ("spark fast engine", 0, 1)
     ]
+
+
+def test_q148_rrf_fusion_is_consistent(spark):
+    """rrf_x1e9 must equal the integer RRF recomputed from the emitted
+    ranks, and the output must be rrf-descending."""
+    from ml_with_spark_streaming_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q148_hybrid_retrieval"](spark, "/root/testdata/sf0.001").collect()
+    assert rows, "hybrid retrieval returned nothing"
+    prev = None
+    for r in rows:
+        want = 0
+        if r["lex_rank"] > 0:
+            want += 10**9 // (60 + r["lex_rank"])
+        if r["sem_rank"] > 0:
+            want += 10**9 // (60 + r["sem_rank"])
+        assert r["rrf_x1e9"] == want
+        if prev is not None:
+            assert r["rrf_x1e9"] <= prev
+        prev = r["rrf_x1e9"]
