@@ -875,3 +875,137 @@ def q147_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — shuffle-skew profile: per-key imbalance diagnostics for join keys
+# ---------------------------------------------------------------------------
+
+Q149_SQL = """
+WITH ks AS (
+  SELECT 'l_orderkey' AS key_col, l_orderkey AS k FROM lineitem
+  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+),
+pk AS (SELECT key_col, k, CAST(COUNT(*) AS BIGINT) AS c FROM ks GROUP BY key_col, k),
+st AS (
+  SELECT key_col,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_key_rows,
+         CAST(SUM(CASE WHEN c >= 32 THEN c ELSE 0 END) AS BIGINT) AS hot_rows
+  FROM pk GROUP BY key_col
+)
+SELECT key_col, n_rows, n_keys, max_key_rows,
+       CAST((max_key_rows * n_keys * 1000000) // n_rows AS BIGINT) AS imbalance_x1e6,
+       CAST((hot_rows * 1000000) // n_rows AS BIGINT) AS hot_share_x1e6
+FROM st ORDER BY key_col
+"""
+
+
+@query("q149_shuffle_skew_profile", Q149_SQL)
+def q149_shuffle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostics for lineitem's three join keys — the
+    pre-flight check for "will this join melt a reducer at 1000
+    executors": per candidate shuffle key, the row count, distinct-key
+    count, heaviest key's row count, the imbalance factor
+    max*keys/rows (1e6 = perfectly uniform; k×1e6 = the hottest
+    partition-of-one-key holds k× its fair share) and the share of
+    rows in keys with >= 32 rows (the salting candidates
+    ``operators/skew.py::salted_join`` would split).
+
+    Scale shape: one scan unpivoted to (key_col, k) map-side, one
+    (key_col, k)-keyed partial-aggregated groupBy, then a 3-group
+    rollup — all integer arithmetic (floor division), oracle-exact.
+    The output is what decides between plain shuffle join, AQE skew
+    split, and explicit salting before a 100 TB join runs.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    ks = li.selectExpr(
+        "stack(3, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey,"
+        " 'l_suppkey', l_suppkey) AS (key_col, k)"
+    )
+    pk = ks.groupBy("key_col", "k").agg(F.count("*").cast("long").alias("c"))
+    st = pk.groupBy("key_col").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_key_rows"),
+        F.sum(F.when(F.col("c") >= 32, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("hot_rows"),
+    )
+    return st.selectExpr(
+        "key_col",
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        "CAST((max_key_rows * n_keys * 1000000) DIV n_rows AS BIGINT) AS imbalance_x1e6",
+        "CAST((hot_rows * 1000000) DIV n_rows AS BIGINT) AS hot_share_x1e6",
+    ).orderBy("key_col")
+
+
+# ---------------------------------------------------------------------------
+# q150 — small-file compaction planner (bin-pack daily files to a target)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 4000  # rows per output file (stand-in for a byte budget)
+
+Q150_SQL = f"""
+WITH files AS (
+  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+ordered AS (
+  SELECT day, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+  FROM files
+)
+SELECT CAST(prior // {_COMPACT_TARGET} AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       strftime(MIN(day), '%Y-%m-%d') AS day_min,
+       strftime(MAX(day), '%Y-%m-%d') AS day_max
+FROM ordered GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q150_compaction_plan", Q150_SQL)
+def q150_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the other half of table
+    maintenance next to q146's z-order: treat each event day as one
+    file, bin-pack consecutive days into merge groups of ~TARGET rows
+    via an exclusive running sum (bin = prior_rows div TARGET), and
+    emit per-bin file counts, row totals, and day ranges — the merge
+    manifest an OPTIMIZE job would execute.
+
+    Exclusive-prefix binning keeps every bin's overshoot bounded by
+    one input file (the standard bin-pack-by-cumsum guarantee) while
+    preserving day ordering, so time-range pruning still works on the
+    compacted files. The window runs over the per-day AGGREGATE (days,
+    not events — bounded input, the lint's spine rule); at 100 TB the
+    file list comes from the table manifest, making this a pure
+    metadata plan. Integer arithmetic throughout.
+    """
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    files = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    ordered = files.select(
+        "day", "n", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("prior")
+    )
+    return (
+        ordered.groupBy(
+            F.expr(f"CAST(prior DIV {_COMPACT_TARGET} AS BIGINT)").alias("bin_id")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("day_min"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("day_max"),
+        )
+        .orderBy("bin_id")
+    )
