@@ -54,6 +54,44 @@ def derive_bloom_knobs(n_keys: int, bits_per_key: int = 8) -> tuple[int, int]:
     return 1 << x.bit_length(), 5
 
 
+def bloom_words(
+    members: DataFrame, key: str, knob: DataFrame, n_hashes: int = 5
+) -> DataFrame:
+    """(word_idx, word) bitmap rows for ``members.key`` under an
+    EXISTING bit-domain ``knob`` (1-row DF with column ``m``) — the
+    incremental-build primitive: new member slices hash under the same
+    domain so their words OR into an existing bitmap
+    (:func:`bloom_or`). Adding members can only saturate the filter
+    (raise fp rate), never break the no-false-negative guarantee."""
+    pos = (
+        members.select(F.col(key).cast("string").alias("v"))
+        .distinct()
+        .crossJoin(F.broadcast(knob))
+        .select(
+            "v",
+            "m",
+            F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("i"),
+        )
+        .selectExpr(
+            BLOOM_HASH_SPARK.format(v="v", i="CAST(i AS STRING)", m="m") + " AS h"
+        )
+    )
+    return (
+        pos.selectExpr("h div 32 AS word_idx", "CAST(h % 32 AS INT) AS bit")
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("word"))
+    )
+
+
+def bloom_or(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR two bitmaps built under the SAME knob back into unique
+    word_idx rows (probe logic requires one row per word). O(bitmap)
+    work — independent of how many members either side encoded."""
+    return (
+        a.unionByName(b).groupBy("word_idx").agg(F.expr("bit_or(word)").alias("word"))
+    )
+
+
 def bloom_build(
     members: DataFrame, key: str, bits_per_key: int = 8, n_hashes: int = 5
 ) -> tuple[DataFrame, DataFrame]:
@@ -69,23 +107,7 @@ def bloom_build(
     knob = vs.agg(F.count("*").alias("n")).selectExpr(
         BLOOM_BITS_SQL.format(bpk=bits_per_key, n="n") + " AS m"
     )
-    pos = (
-        vs.crossJoin(F.broadcast(knob))
-        .select(
-            "v",
-            "m",
-            F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("i"),
-        )
-        .selectExpr(
-            BLOOM_HASH_SPARK.format(v="v", i="CAST(i AS STRING)", m="m") + " AS h"
-        )
-    )
-    bitmap = (
-        pos.selectExpr("h div 32 AS word_idx", "CAST(h % 32 AS INT) AS bit")
-        .groupBy("word_idx")
-        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("word"))
-    )
-    return knob, bitmap
+    return knob, bloom_words(vs, "v", knob, n_hashes)
 
 
 def bloom_probe(

@@ -41,6 +41,12 @@ from ml_with_spark_streaming_spark.operators.dedup import (
     lsh_bands,
     minhash_signatures,
 )
+from ml_with_spark_streaming_spark.operators.bloom import (
+    bloom_build,
+    bloom_or,
+    bloom_probe,
+    bloom_words,
+)
 from ml_with_spark_streaming_spark.operators.textstats import fingerprint_expr
 
 
@@ -105,7 +111,27 @@ class StreamingIngestDedup:
     # per-batch cost — but the union's plan depth and pinned slice
     # count grow until compact() collapses them.
     compact_every: int | None = 16
+    # Bloom prefilter over the fingerprint index: per batch, only docs
+    # whose fingerprint is bloom-POSITIVE enter the exact-index join —
+    # in the steady state where most ingest is novel, the join input
+    # shrinks to the (actual duplicates + ~fp-rate) slice, and at
+    # production scale the definite-negative docs never touch the
+    # persisted index at all. No false negatives by construction, so
+    # the gate's verdicts are prefilter-invariant (pinned by test).
+    # The bitmap is sized from the initial index with 16 bits/key
+    # headroom; grow-on-accept ORs each accepted slice's words in
+    # (O(bitmap) per batch, corpus-size-independent). Growth can only
+    # saturate the filter — a perf regression, never a correctness one.
+    bloom_prefilter: bool = False
+    _bloom_knob: DataFrame | None = field(default=None, init=False, repr=False)
+    _bloom_bitmap: DataFrame | None = field(default=None, init=False, repr=False)
     _since_compact: int = field(default=0, init=False, repr=False)
+
+    def __post_init__(self) -> None:
+        if self.bloom_prefilter:
+            knob, bitmap = bloom_build(self.fp_index, "fp", bits_per_key=16)
+            self._bloom_knob = maybe_checkpoint(knob)
+            self._bloom_bitmap = maybe_checkpoint(bitmap)
 
     @classmethod
     def from_corpus(cls, corpus: DataFrame, **kw) -> "StreamingIngestDedup":
@@ -205,8 +231,24 @@ class StreamingIngestDedup:
             # (keep-first by id — row_number over the batch's fp groups)
             wfp = W.partitionBy("fp").orderBy(idc)
             fps = fps.withColumn("_rn", F.row_number().over(wfp))
+            probe_fps = fps
+            if self.bloom_prefilter:
+                # definite-new fingerprints (bloom-negative) skip the
+                # index join entirely; no false negatives, so nothing
+                # a prefilter-less gate would flag can slip through
+                pos_fp = (
+                    bloom_probe(
+                        fps.select("fp").distinct(),
+                        "fp",
+                        self._bloom_knob,
+                        self._bloom_bitmap,
+                    )
+                    .filter(F.col("bloom_positive") == 1)
+                    .select("fp")
+                )
+                probe_fps = fps.join(pos_fp, "fp", "left_semi")
             exact_ids = (
-                fps.join(self.fp_index, "fp", "left_semi")
+                probe_fps.join(self.fp_index, "fp", "left_semi")
                 .select(idc)
                 .unionByName(fps.filter(F.col("_rn") > 1).select(idc))
                 .distinct()
@@ -293,11 +335,20 @@ class StreamingIngestDedup:
                     # duplicate-free by construction, and a per-batch
                     # distinct would shuffle the WHOLE grown index.
                     kept_ids = flagged.filter("_keep").select(idc)
-                    self.fp_index = self.fp_index.unionByName(
-                        maybe_checkpoint(
-                            fps.join(kept_ids, idc, "left_semi").select("fp")
-                        )
+                    kept_fps = maybe_checkpoint(
+                        fps.join(kept_ids, idc, "left_semi").select("fp")
                     )
+                    self.fp_index = self.fp_index.unionByName(kept_fps)
+                    if self.bloom_prefilter:
+                        # OR the accepted slice's words in — the bitmap
+                        # stays ONE unique-word table (probe invariant),
+                        # at O(bitmap)+O(batch) cost per accepted batch
+                        self._bloom_bitmap = maybe_checkpoint(
+                            bloom_or(
+                                self._bloom_bitmap,
+                                bloom_words(kept_fps, "fp", self._bloom_knob),
+                            )
+                        )
                     self.band_index = self.band_index.unionByName(
                         maybe_checkpoint(new_bands.join(kept_ids, idc, "left_semi"))
                     )

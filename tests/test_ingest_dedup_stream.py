@@ -228,3 +228,37 @@ def test_compaction_is_verdict_neutral_and_resume_equals_compacted(spark, tmp_pa
     )
     h = dd_r.history[0]
     assert h["n_exact"] == 1 and h["n_near"] >= 1 and h["n_kept"] == 1
+
+
+def test_bloom_prefilter_is_verdict_invariant(spark):
+    """The Bloom prefilter on the exact-fingerprint probe must change
+    NOTHING: drive the same batches (corpus dupes, intra-batch dupes,
+    cross-batch dupes of accepted docs, near-dups, novels) through a
+    prefiltered and an unfiltered gate — histories and kept sets must
+    be identical (a Bloom filter has no false negatives; positives
+    still go through the real index join)."""
+    novel = " ".join("n" + w for w in _BASE)
+    batches = [
+        [(100, " ".join(_BASE)), (200, novel), (201, novel)],  # corpus dup + intra dup
+        [(300, novel), (301, " ".join(["zz"] + ["n" + w for w in _BASE][1:])),
+         (302, " ".join("r" + w for w in _BASE))],  # cross-batch dup + near + novel
+    ]
+
+    def run(bloom):
+        kept = set()
+        dd = StreamingIngestDedup.from_corpus(
+            _corpus(spark),
+            threshold=0.9,
+            bloom_prefilter=bloom,
+            on_kept=lambda df, bid: kept.update(r["doc_id"] for r in df.collect()),
+        )
+        for i, rows in enumerate(batches):
+            dd.process_batch(
+                spark.createDataFrame(rows, "doc_id long, text string"), i
+            )
+        return kept, dd.history
+
+    kept_b, hist_b = run(True)
+    kept_p, hist_p = run(False)
+    assert kept_b == kept_p == {200, 302}
+    assert hist_b == hist_p
