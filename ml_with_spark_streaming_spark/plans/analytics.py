@@ -1009,3 +1009,171 @@ def q150_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — incremental materialized-view maintenance (partial-agg merge)
+# ---------------------------------------------------------------------------
+
+_MV_CUTOFF = "1999-01-01"
+
+# The oracle computes the view DIRECTLY over all orders; the engine
+# computes it INCREMENTALLY (stored base state + delta partials,
+# merged). A hash match proves refresh(state, delta) == recompute(all)
+# — the invariant every incremental-view maintainer must hold.
+Q151_SQL = f"""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            // COUNT(*) AS BIGINT) AS avg_cents
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+@query("q151_incremental_view", Q151_SQL)
+def q151_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the revenue-by-
+    priority view is refreshed by MERGING a stored aggregate state
+    (orders before {cutoff}) with the delta's partial aggregates
+    (orders on/after), never rescanning the base — the
+    count/sum-mergeable-state pattern behind every streaming/MV
+    refresh. The oracle recomputes the view from scratch over ALL
+    orders, so the driver's hash check IS the incremental==full
+    invariant.
+
+    Scale shape: the stored state is group-cardinality-sized (here
+    5 rows; materialized via maybe_checkpoint standing in for the MV
+    table); a refresh costs one scan of the DELTA plus an
+    O(groups)-sized merge groupBy. Sums are exact integer cents
+    (FLOOR(x*100+0.5)), averages derived by floor division at read
+    time — avg is not mergeable, sum/count are.
+    """.replace("{cutoff}", _MV_CUTOFF)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    o = maybe_checkpoint(o)  # one scan feeds base-state and delta branches
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+
+    # the "stored" MV state — in production a parquet/Delta table
+    state = maybe_checkpoint(partials(o.filter(F.col("o_orderdate") < _MV_CUTOFF)))
+    delta = partials(o.filter(F.col("o_orderdate") >= _MV_CUTOFF))
+    return (
+        state.unionByName(delta)
+        .groupBy("priority")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .selectExpr(
+            "priority",
+            "n_orders",
+            "sum_cents",
+            "CAST(sum_cents DIV n_orders AS BIGINT) AS avg_cents",
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q152 — exact distributed quantiles via value histogram (bounded domain)
+# ---------------------------------------------------------------------------
+
+_Q152_PCTS = (25, 50, 75, 90, 99)
+_Q152_PCTS_SQL = ", ".join(str(p) for p in _Q152_PCTS)
+
+Q152_SQL = f"""
+WITH vals AS (
+  SELECT 'l_quantity' AS col_name, CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS v
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) FROM lineitem
+),
+hist AS (SELECT col_name, v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY col_name, v),
+cum AS (
+  SELECT col_name, v,
+         CAST(SUM(c) OVER (PARTITION BY col_name ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY col_name) AS BIGINT) AS n
+  FROM hist
+),
+want AS (SELECT col_name, p, CAST((n * p + 99) // 100 AS BIGINT) AS rnk, n
+         FROM (SELECT DISTINCT col_name, n FROM cum) CROSS JOIN unnest([{_Q152_PCTS_SQL}]) AS t(p))
+SELECT w.col_name AS col_name, CAST(w.p AS BIGINT) AS pct, w.n AS n_rows,
+       CAST(MIN(c.v) AS BIGINT) AS value_x100
+FROM want w JOIN cum c ON c.col_name = w.col_name AND c.cum >= w.rnk
+GROUP BY w.col_name, w.p, w.n
+ORDER BY 1, 2
+"""
+
+
+@query("q152_exact_quantiles", Q152_SQL)
+def q152_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed quantiles for bounded-cardinality numeric
+    columns via the value-histogram method: per column, one map-side-
+    combinable value-count groupBy, a cumulative sum over the (tiny)
+    distinct-value table, and rank selection at ceil(n*p/100) — the
+    exact companion to q119's sketch-based profile (GK sketches are
+    engine-specific, so q119 is rows-only; THIS one hash-matches
+    because nothing is approximate).
+
+    Scale judgment: correctness costs one shuffle keyed by (col,
+    value); the window runs over the histogram (distinct values:
+    ~50 quantities, ~11 discounts), not the data — the standard
+    at-scale trade: exact quantiles are cheap precisely when the
+    value domain is bounded; unbounded domains keep the q119 sketch
+    path. Values are exact integer cents (x100).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_discount")
+    vals = li.selectExpr(
+        "stack(2, 'l_quantity', CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT),"
+        " 'l_discount', CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS (col_name, v)"
+    )
+    hist = vals.groupBy("col_name", "v").agg(F.count("*").cast("long").alias("c"))
+    wcum = W.partitionBy("col_name").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy("col_name")
+    cum = hist.select(
+        "col_name",
+        "v",
+        F.sum("c").over(wcum).cast("long").alias("cum"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    pcts = ", ".join(
+        f"{p}, CAST((n * {p} + 99) DIV 100 AS BIGINT)" for p in _Q152_PCTS
+    )
+    want = (
+        cum.select("col_name", "n")
+        .distinct()
+        .selectExpr(
+            "col_name",
+            "n",
+            f"stack({len(_Q152_PCTS)}, {pcts}) AS (p, rnk)",
+        )
+        .select("col_name", "n", F.col("p").cast("long").alias("p"), "rnk")
+    )
+    return (
+        want.alias("w")
+        .join(
+            cum.alias("c"),
+            (F.col("c.col_name") == F.col("w.col_name"))
+            & (F.col("c.cum") >= F.col("w.rnk")),
+        )
+        .groupBy(F.col("w.col_name").alias("col_name"), "w.p", "w.n")
+        .agg(F.min("c.v").cast("long").alias("value_x100"))
+        .select(
+            "col_name",
+            F.col("p").alias("pct"),
+            F.col("n").alias("n_rows"),
+            "value_x100",
+        )
+        .orderBy("col_name", "pct")
+    )
