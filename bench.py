@@ -77,6 +77,11 @@ HEADLINE = [
     "q137_segment_dedup",
     "q140_containment_pairs",
     "q141_frequent_ngrams",
+    "q145_nation_pagerank",
+    "q146_zorder_layout",
+    "q147_bloom_semijoin",
+    "q148_hybrid_retrieval",
+    "q152_exact_quantiles",
 ]
 
 
