@@ -1141,11 +1141,16 @@ def q152_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = vals.groupBy("col_name", "v").agg(F.count("*").cast("long").alias("c"))
     wcum = W.partitionBy("col_name").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
     wall = W.partitionBy("col_name")
-    cum = hist.select(
-        "col_name",
-        "v",
-        F.sum("c").over(wcum).cast("long").alias("cum"),
-        F.sum("c").over(wall).cast("long").alias("n"),
+    # histogram-sized (≈60 rows); materialized because BOTH the rank
+    # table and the selection join consume it — without this the
+    # lineitem scan would run twice
+    cum = maybe_checkpoint(
+        hist.select(
+            "col_name",
+            "v",
+            F.sum("c").over(wcum).cast("long").alias("cum"),
+            F.sum("c").over(wall).cast("long").alias("n"),
+        )
     )
     pcts = ", ".join(
         f"{p}, CAST((n * {p} + 99) DIV 100 AS BIGINT)" for p in _Q152_PCTS

@@ -106,6 +106,30 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
     "q29_asof_purchase_view": (frozenset({"DupFactScan"}), "as-of join: view-role vs purchase-role events, disjoint pushed filters"),
     "q52_simhash_neardup": (frozenset({"DupFactScan"}), "visible only under SPARK_GRAFT_NO_CHECKPOINT: a/b roles share one maybe_checkpoint-materialized fingerprint table at runtime"),
     "q59_mllib_minhash_pairs": (frozenset({"DupFactScan"}), "MLlib approxSimilarityJoin datasetA/B roles of one corpus"),
+    "q146_zorder_layout": (
+        frozenset({"DupFactScan"}),
+        "the second lineitem scan is the 1-row min/max normalization aggregate — a "
+        "catalog statistic at scale; both scans prune to the two key columns",
+    ),
+    "q148_hybrid_retrieval": (
+        frozenset({"DupFactScan"}),
+        "q117's waived shape on the lexical arm (corpus-stats spine + query-term tf, "
+        "checkpoint-shared at runtime); embeddings roles are q53's query-vs-corpus pair "
+        "with the query side a pruned vec_id=0 scan",
+    ),
+    "q151_incremental_view": (
+        frozenset({"DupFactScan"}),
+        "visible only under SPARK_GRAFT_NO_CHECKPOINT: base-state and delta branches "
+        "share one maybe_checkpoint-materialized scan at runtime — and in production "
+        "the base state is a STORED table, not a scan at all (that is the point of "
+        "the MV refresh)",
+    ),
+    "q152_exact_quantiles": (
+        frozenset({"DupFactScan"}),
+        "visible only under SPARK_GRAFT_NO_CHECKPOINT: the rank table and the "
+        "selection join share one maybe_checkpoint-materialized ~60-row cumulative "
+        "histogram at runtime",
+    ),
     "q76_null_safe_join": (frozenset({"DupFactScan"}), "null-safe self-join: two roles of orders"),
     "q77_interval_join_attribution": (frozenset({"DupFactScan"}), "interval join: click-role vs purchase-role events"),
     "q78_dedup_replayed_events": (frozenset({"DupFactScan"}), "replay union: original + replayed event roles"),
