@@ -210,3 +210,62 @@ def fingerprint_expr(text: Column | str, prefix_tokens: int = 8) -> Column:
     toks = tokens_expr(clean_text_expr(text))
     prefix = F.concat_ws(" ", F.slice(toks, 1, prefix_tokens))
     return F.md5(F.encode(prefix, "UTF-8"))
+
+
+def char_bigram_entropy(df, text_col: str, id_col: str):
+    """Per-document character-bigram Shannon entropy in micro-nats —
+    the information-theoretic repetition signal (low entropy = template
+    soup / repeated boilerplate; a cleaner cousin of q91's dup-bigram
+    ratio). H = ln(n) − (Σ c·ln(c))/n over the doc's bigram counts,
+    computed ENGINE-EXACTLY: both ln's ride the sqrt-constructed
+    correctly-rounded ``ln_x1e6_sql`` (arguments are integer counts
+    ≥ 1), the division is floor division on positive BIGINTs.
+
+    Scale shape: the corpus-sized work is one (doc, bigram)-keyed
+    map-side-combinable count groupBy and one per-doc sum. The ~300-op
+    ln chain runs only on the DISTINCT integer count values (bounded
+    by max doc length, not by corpus size) and broadcast-joins back —
+    the q130/q131 trick of keeping exact-ln work off the data spine.
+
+    int64 bounds: Σ c·ln6(c) ≤ n·ln6(n) — safe to n ≈ 4e11 chars/doc.
+
+    Returns ``(id_col, n_bigrams, entropy_x1e6)`` for docs with ≥ 1
+    bigram.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+    from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
+    from ml_with_spark_streaming_spark.operators.retrieval import ln_x1e6_sql
+
+    # filter BEFORE sequence(): Spark's sequence(1, 0) would generate a
+    # DESCENDING [1, 0], not an empty array
+    grams = df.filter(F.length(text_col) >= 2).selectExpr(
+        id_col,
+        f"explode(transform(sequence(1, length({text_col}) - 1),"
+        f" i -> substring({text_col}, i, 2))) AS bg",
+    )
+    cnt = maybe_checkpoint(
+        grams.groupBy(id_col, "bg").agg(F.count("*").cast("long").alias("c"))
+    )
+    # exact-ln lookup over DISTINCT count values only
+    ln_c = cnt.select("c").distinct().selectExpr(
+        "c", ln_x1e6_sql("CAST(c AS DOUBLE)") + " AS ln6_c"
+    )
+    per_doc = (
+        cnt.join(F.broadcast(ln_c), "c")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("ln6_c")).cast("long").alias("s"),
+        )
+    )
+    ln_n = per_doc.select(F.col("n_bigrams").alias("n")).distinct().selectExpr(
+        "n", ln_x1e6_sql("CAST(n AS DOUBLE)") + " AS ln6_n"
+    )
+    return (
+        per_doc.join(F.broadcast(ln_n), per_doc["n_bigrams"] == ln_n["n"])
+        .selectExpr(
+            id_col,
+            "n_bigrams",
+            "CAST(ln6_n - (s DIV n_bigrams) AS BIGINT) AS entropy_x1e6",
+        )
+    )

@@ -1101,3 +1101,59 @@ def q144_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
         F.sum("new_vocab").over(w).cast("long").alias("cum_vocab"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# q153 — character-bigram entropy (information-theoretic quality signal)
+# ---------------------------------------------------------------------------
+
+from ml_with_spark_streaming_spark.operators.retrieval import ln_x1e6_sql  # noqa: E402
+
+_LN_C = ln_x1e6_sql("CAST(c AS DOUBLE)")
+_LN_N = ln_x1e6_sql("CAST(n_bigrams AS DOUBLE)")
+
+# The oracle applies the exact-ln chain PER ROW (direct formulation);
+# the engine routes ln through a distinct-count lookup table — a hash
+# match proves the lookup restructuring is value-neutral.
+Q153_SQL = f"""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(text) - 1),
+                               i -> substr(text, i, 2))) AS bg
+  FROM documents WHERE length(text) >= 2
+),
+cnt AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY doc_id, bg),
+pd AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(SUM(c * ({_LN_C})) AS BIGINT) AS s
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       CAST(({_LN_N}) - (s // n_bigrams) AS BIGINT) AS entropy_x1e6
+FROM pd ORDER BY doc_id
+"""
+
+
+@query("q153_char_entropy", Q153_SQL)
+def q153_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-bigram Shannon entropy in micro-nats
+    (H = ln n − Σ c·ln c / n) — the information-theoretic repetition/
+    gibberish signal (low = template soup, near-max = random noise)
+    used alongside q45's ratio heuristics and q131's LM perplexity in
+    curation stacks. Engine-exact: both ln's are the q130
+    sqrt-constructed correctly-rounded ln on integer-count arguments,
+    everything else positive-BIGINT floor arithmetic
+    (``operators/textstats.py::char_bigram_entropy``).
+
+    Scale shape: one (doc, bigram)-keyed map-side-combinable count
+    groupBy + one per-doc sum; the ~300-op exact-ln chain runs ONLY on
+    distinct count values (bounded by max doc length, not corpus
+    size) and broadcast-joins back. The oracle computes ln per row —
+    an independent formulation of the same value.
+    """
+    from ml_with_spark_streaming_spark.operators.textstats import (
+        char_bigram_entropy,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return char_bigram_entropy(d, "text", "doc_id").orderBy("doc_id")

@@ -239,3 +239,39 @@ def test_q144_vocab_growth_invariants(spark):
         .collect()[0][0]
     )
     assert rows[-1].cum_vocab == vocab
+
+
+def test_char_bigram_entropy_matches_math_log(spark):
+    """Engine entropy equals the float formula quantized half-up at
+    1e-6 (the ln construction's contract), on texts spanning the
+    degenerate, repetitive, and mixed regimes."""
+    import math
+    from collections import Counter
+
+    from ml_with_spark_streaming_spark.operators.textstats import (
+        char_bigram_entropy,
+    )
+
+    texts = {
+        0: "aaaaaaaa",          # zero entropy: one bigram type
+        1: "abababab",          # two bigram types
+        2: "the quick brown fox jumps over the lazy dog",
+        3: "x",                 # too short: excluded
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_bigram_entropy(df, "text", "doc_id").collect()}
+    assert 3 not in got
+    for did, txt in texts.items():
+        if len(txt) < 2:
+            continue
+        c = Counter(txt[i : i + 2] for i in range(len(txt) - 1))
+        n = sum(c.values())
+
+        def ln6(x):
+            return math.floor(math.log(x) * 1e6 + 0.5)
+
+        want = ln6(n) - sum(v * ln6(v) for v in c.values()) // n
+        assert got[did]["n_bigrams"] == n
+        assert got[did]["entropy_x1e6"] == want
+    assert got[0]["entropy_x1e6"] == 0
+    assert got[0]["entropy_x1e6"] < got[1]["entropy_x1e6"] < got[2]["entropy_x1e6"]
