@@ -4,6 +4,11 @@
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The printed line is COMPACT (qNN keys, min-of-n timings) because the
+driver records only the tail of stdout; the full-fidelity record
+(long names, p50s, streaming rate curve, pipeline stage breakdown)
+is written to ``bench_detail.json`` next to this file.
+
 Each query is materialized with the ``noop`` sink — full execution of
 every column, zero driver-side collection — so the timing measures the
 distributed plan, not Py4J row transfer.
@@ -193,6 +198,21 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # the driver records only the TAIL of stdout (~2000 bytes) and
+    # parses the JSON line out of it — r04/r05 both recorded
+    # "parsed": null because the full-name queries dict outgrew that
+    # window. The printed line therefore stays COMPACT (qNN keys, min
+    # timings only); everything else goes to bench_detail.json.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {name.split("_", 1)[0]: t for name, t in timings.items()},
+        "sf": sf,
+        "bench_runs": n_runs,
+    }
+    if errors:
+        compact["errors"] = {n.split("_", 1)[0]: 1 for n in errors}
 
     # rate curve across micro-batch payload sizes (1000/3000 = the
     # reference's own experiment range; 5000 = round-2 comparability).
@@ -206,6 +226,7 @@ def main() -> None:
         }
         out["streaming_records_per_sec"] = rate_curve["5000"]
         out["streaming_rate_by_batch_size"] = rate_curve
+        compact["streaming_records_per_sec"] = rate_curve["5000"]
     except Exception as e:  # noqa: BLE001 — keep the query timings even if streaming breaks
         out["streaming_error"] = f"{type(e).__name__}: {e}"[:200]
 
@@ -223,6 +244,7 @@ def main() -> None:
                 "value": round(time.monotonic() - t0, 3),
                 "unit": "sec",
             }
+            compact["sweep"] = out["sweep"]
 
     # the composed artifact-to-artifact pipeline run (spans -> budget ->
     # keep -> copies -> chunks -> manifest, each stage persisted as
@@ -242,12 +264,29 @@ def main() -> None:
                 "total_sec": rep["total_sec"],
                 "stages": {k: v["sec"] for k, v in rep["stages"].items()},
             }
+            compact["pipeline_sec"] = rep["total_sec"]
         finally:
             shutil.rmtree(proot, ignore_errors=True)
     except Exception as e:  # noqa: BLE001 — keep the rest of the artifact
         out["pipeline_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    print(json.dumps(out))
+    # full-fidelity record (long query names, p50s, rate curve, stage
+    # breakdown) for humans and the judge
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+
+    line = json.dumps(compact)
+    while len(line) >= 1900 and compact["queries"]:
+        # keep the slowest queries — the informative ones — and note the cut
+        keep = sorted(compact["queries"].items(), key=lambda kv: -kv[1])
+        compact["queries"] = dict(keep[: max(1, len(keep) - 8)])
+        compact["queries_truncated"] = True
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

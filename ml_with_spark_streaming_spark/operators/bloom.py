@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..lineage import maybe_checkpoint
+
 # {v}: string expr for the key; {i}: string expr for the hash index;
 # {m}: expr for the bit-domain size
 BLOOM_HASH_SPARK = (
@@ -103,7 +105,10 @@ def bloom_build(
     nonzero words present. Both are O(m) small and meant to broadcast.
     """
     vs = members.select(F.col(key).cast("string").alias("v")).distinct()
-    vs = vs.localCheckpoint(eager=True)  # knob + positions share one pass
+    # knob + positions share one pass; maybe_checkpoint (not a raw
+    # localCheckpoint) so lint's full-lineage mode sees the scan and no
+    # eager job fires at plan-construction time under that mode.
+    vs = maybe_checkpoint(vs)
     knob = vs.agg(F.count("*").alias("n")).selectExpr(
         BLOOM_BITS_SQL.format(bpk=bits_per_key, n="n") + " AS m"
     )
@@ -118,30 +123,37 @@ def bloom_probe(
     n_hashes: int = 5,
 ) -> DataFrame:
     """Flag each probe row with ``bloom_positive`` (1/0): all
-    ``n_hashes`` bits set. Carries every other probe column through.
-    One explode + one broadcast join + one groupBy on the probe's full
-    column set (callers probe on a unique key or accept grouped rows).
+    ``n_hashes`` bits set. Carries every other probe column through
+    and PRESERVES input multiplicity: the membership test runs once
+    per DISTINCT key, then the 1/0 flag is broadcast-joined back onto
+    the original rows (the ingest_dedup flag-join shape), so duplicate
+    probe rows stay duplicated — safe as a fact-table prefilter. The
+    flag table is distinct-probe-key-sized; at fact scale where that
+    no longer broadcasts, probe the already-distinct key table and
+    semi-join instead.
     """
-    carry = [c for c in probe.columns]
+    keys = probe.select(F.col(key).cast("string").alias("_v")).distinct()
     ex = (
-        probe.withColumn("_v", F.col(key).cast("string"))
-        .crossJoin(F.broadcast(knob))
+        keys.crossJoin(F.broadcast(knob))
         .select(
-            *carry,
             "_v",
             "m",
             F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("i"),
         )
         .selectExpr(
-            *carry,
+            "_v",
             BLOOM_HASH_SPARK.format(v="_v", i="CAST(i AS STRING)", m="m") + " AS h",
         )
-        .selectExpr(*carry, "h div 32 AS word_idx", "CAST(h % 32 AS INT) AS bit")
+        .selectExpr("_v", "h div 32 AS word_idx", "CAST(h % 32 AS INT) AS bit")
     )
     hits = ex.join(F.broadcast(bitmap), "word_idx", "left").selectExpr(
-        *carry,
+        "_v",
         "CAST((shiftright(coalesce(word, CAST(0 AS BIGINT)), bit) & 1) AS INT) AS hit",
     )
-    return hits.groupBy(*carry).agg(
+    flags = hits.groupBy("_v").agg(
         (F.sum("hit") == F.lit(n_hashes)).cast("int").alias("bloom_positive")
     )
+    flagged = probe.withColumn("_pk", F.col(key).cast("string")).join(
+        F.broadcast(flags), F.col("_pk").eqNullSafe(F.col("_v")), "left"
+    )
+    return flagged.select(*probe.columns, "bloom_positive")

@@ -1037,12 +1037,12 @@ ORDER BY priority
 def q151_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance: the revenue-by-
     priority view is refreshed by MERGING a stored aggregate state
-    (orders before {cutoff}) with the delta's partial aggregates
-    (orders on/after), never rescanning the base — the
-    count/sum-mergeable-state pattern behind every streaming/MV
-    refresh. The oracle recomputes the view from scratch over ALL
-    orders, so the driver's hash check IS the incremental==full
-    invariant.
+    (orders before the ``_MV_CUTOFF`` date, 1999-01-01) with the
+    delta's partial aggregates (orders on/after), never rescanning
+    the base — the count/sum-mergeable-state pattern behind every
+    streaming/MV refresh. The oracle recomputes the view from
+    scratch over ALL orders, so the driver's hash check IS the
+    incremental==full invariant.
 
     Scale shape: the stored state is group-cardinality-sized (here
     5 rows; materialized via maybe_checkpoint standing in for the MV
@@ -1050,7 +1050,7 @@ def q151_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(groups)-sized merge groupBy. Sums are exact integer cents
     (FLOOR(x*100+0.5)), averages derived by floor division at read
     time — avg is not mergeable, sum/count are.
-    """.replace("{cutoff}", _MV_CUTOFF)
+    """
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority",
         "o_orderdate",
@@ -1181,4 +1181,143 @@ def q152_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_x100",
         )
         .orderBy("col_name", "pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q154 — CDC changelog apply: SCD Type-2 dimension history (MERGE semantics)
+# ---------------------------------------------------------------------------
+
+Q154_SQL = """
+WITH chg AS (
+  SELECT user_id, event_id, event_type, ts,
+         epoch_us(ts) AS from_us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_us
+  FROM events
+),
+up AS (
+  SELECT user_id, value_cents, from_us, to_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY from_us, event_id) AS version
+  FROM chg WHERE event_type <> 'error'
+)
+SELECT user_id, CAST(version AS BIGINT) AS version, value_cents,
+       from_us AS valid_from_us, to_us AS valid_to_us,
+       CAST(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+FROM up ORDER BY user_id, version
+"""
+
+
+@query("q154_scd2_history", Q154_SQL)
+def q154_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply — the batch equivalent of ``MERGE INTO``
+    with SCD Type-2 history retention: every event is a change record
+    for entity ``user_id`` (``error`` = DELETE marker, anything else =
+    UPSERT of ``value``); the output is the versioned dimension
+    history (``valid_from_us``/``valid_to_us`` interval per version,
+    ``is_current`` on the open row). A DELETE closes the previous
+    version's interval without opening a new one — a user whose last
+    change is a delete has NO current row, exactly the semantics of
+    ``MERGE ... WHEN MATCHED AND op='D' THEN DELETE``. Filtering
+    ``is_current = 1`` yields the latest-wins snapshot a plain upsert
+    MERGE would produce.
+
+    Engine-exact: times as epoch micros (BIGINT), value as half-up
+    cents; ties broken by the unique ``event_id``.
+
+    Scale shape: ONE hash exchange on the entity key + one sort feeds
+    both window functions (lead over all changes, row_number over
+    surviving upserts — same partitioning and order, so Catalyst
+    plans a single Exchange/Sort) and the delete filter; nothing else
+    shuffles. At 100 TB the changelog is date-partitioned and the
+    history is maintained incrementally q151-style (apply only the
+    new partition's changes against the stored open rows) — this
+    query IS that merge step run over the full log, so the oracle's
+    from-scratch recompute checks the invariant.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("from_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("value_cents"),
+    )
+    # both windows order by (from_us, event_id) so one Exchange + one
+    # Sort serves them (unix_micros is order-equivalent to ts, but
+    # Catalyst can't know that — project first, then window)
+    w_all = W.partitionBy("user_id").orderBy("from_us", "event_id")
+    chg = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "from_us",
+        "value_cents",
+        F.lead("from_us").over(w_all).alias("to_us"),
+    )
+    w_up = W.partitionBy("user_id").orderBy("from_us", "event_id")
+    return (
+        chg.filter(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.row_number().over(w_up).cast("long").alias("version"),
+            "value_cents",
+            F.col("from_us").alias("valid_from_us"),
+            F.col("to_us").alias("valid_to_us"),
+            F.isnull("to_us").cast("int").alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q155 — fuzzy name reconciliation (record linkage over the value domain)
+# ---------------------------------------------------------------------------
+
+Q155_SQL = """
+WITH nm AS (
+  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY p_name
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+       a.n AS n_parts_a, b.n AS n_parts_b
+FROM nm a JOIN nm b
+  ON a.name < b.name AND levenshtein(a.name, b.name) <= 2
+ORDER BY name_a, name_b
+"""
+
+
+@query("q155_fuzzy_name_pairs", Q155_SQL)
+def q155_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution: every pair of DISTINCT part
+    names within Levenshtein distance 2 (typo'd duplicate listings),
+    weighted by how many rows carry each spelling. The engine finds
+    pairs via the LOSSLESS rarest-first q-gram prefix filter
+    (``operators/fuzzy_join.py`` — Gravano VLDB'01 / ED-Join blocking,
+    never all-pairs); the ORACLE is the direct nested-loop
+    formulation over the name domain, so the driver's hash check
+    proves the blocking loses nothing.
+
+    Scale shape: reconciliation runs over the distinct VALUE DOMAIN
+    (named-entity domains are orders of magnitude smaller than the
+    fact table), so the corpus pays one groupBy(name); the posting
+    self-join touches only each name's <= 5 rarest bigrams.
+    """
+    from ml_with_spark_streaming_spark.operators.fuzzy_join import (
+        fuzzy_string_pairs,
+    )
+
+    p = load_table(spark, sf_dir, "part").select("p_name")
+    nm = maybe_checkpoint(
+        p.groupBy(F.col("p_name").alias("name")).agg(
+            F.count("*").cast("long").alias("n")
+        )
+    )
+    pairs = fuzzy_string_pairs(nm, "name", k=2, q=2)
+    na = nm.select(F.col("name").alias("name_a"), F.col("n").alias("n_parts_a"))
+    nb = nm.select(F.col("name").alias("name_b"), F.col("n").alias("n_parts_b"))
+    return (
+        pairs.join(F.broadcast(na), "name_a")
+        .join(F.broadcast(nb), "name_b")
+        .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+        .orderBy("name_a", "name_b")
     )

@@ -26,6 +26,20 @@ def test_bloom_no_false_negatives_and_knobs(spark):
     assert fp < 30
 
 
+def test_bloom_probe_preserves_input_multiplicity(spark):
+    # duplicate probe rows must come back duplicated — the probe is a
+    # row-wise filter flag, not a dedup (ADVICE r5: the old groupBy
+    # over the full column set silently collapsed identical rows)
+    members = spark.createDataFrame([(1,), (2,)], ["k"])
+    knob, bitmap = bloom_build(members, "k", bits_per_key=8, n_hashes=5)
+    probe = spark.createDataFrame([(1, "a"), (1, "a"), (1, "b"), (9, "c")], ["k", "tag"])
+    rows = bloom_probe(probe, "k", knob, bitmap, n_hashes=5).collect()
+    assert len(rows) == 4
+    assert sorted((r["k"], r["tag"]) for r in rows) == [
+        (1, "a"), (1, "a"), (1, "b"), (9, "c")]
+    assert all(r["bloom_positive"] == 1 for r in rows if r["k"] == 1)
+
+
 def test_bloom_saturated_filter_degrades_to_all_positive(spark):
     # 1 bit/key: the filter saturates and passes (almost) everything —
     # correctness (no false negatives) must still hold
