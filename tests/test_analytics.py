@@ -208,3 +208,57 @@ def test_daily_anomalies_flags_outage_day(spark, tmp_path):
     assert got["2024-04-05"].z2_x1e4 == 90000
     # normal days: dev = 10 -> z^2 = 100/900 = 0.1111
     assert got["2024-04-06"].anomaly == 0 and got["2024-04-06"].z2_x1e4 == 1111
+
+
+def test_q154_scd2_delete_semantics(spark, tmp_path):
+    """A DELETE (error) closes the open version without opening one;
+    a user whose last change is a delete has NO current row; versions
+    re-open after a delete when a later upsert arrives."""
+    import datetime as dt
+    import os
+
+    from ml_with_spark_streaming_spark.plans.analytics import q154_scd2_history
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m, 0)  # noqa: E731
+    rows = [
+        # user 1: upsert, upsert, delete  -> 2 versions, none current
+        (0, t(0), 1, "view", 1.00, "{}"),
+        (1, t(1), 1, "click", 2.00, "{}"),
+        (2, t(2), 1, "error", 9.99, "{}"),
+        # user 2: upsert, delete, upsert  -> v1 closed by delete, v2 current
+        (3, t(0), 2, "view", 3.00, "{}"),
+        (4, t(1), 2, "error", 0.0, "{}"),
+        (5, t(2), 2, "purchase", 4.00, "{}"),
+        # user 3: single upsert -> one open version
+        (6, t(5), 3, "view", 5.00, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double, props: string",
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+
+    out = q154_scd2_history(spark, d).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+
+    u1 = by_user[1]
+    assert [r.version for r in u1] == [1, 2]
+    assert u1[0].valid_to_us == u1[1].valid_from_us  # v1 closed by v2
+    assert u1[1].valid_to_us is not None  # v2 closed by the DELETE
+    assert all(r.is_current == 0 for r in u1)  # deleted: no open row
+
+    u2 = by_user[2]
+    assert [r.version for r in u2] == [1, 2]
+    assert u2[0].valid_to_us is not None  # closed by the delete
+    assert u2[1].is_current == 1 and u2[1].valid_to_us is None
+    assert u2[1].value_cents == 400
+
+    u3 = by_user[3]
+    assert len(u3) == 1 and u3[0].is_current == 1 and u3[0].value_cents == 500
+
+    # latest-wins MERGE snapshot == the is_current slice
+    snap = {r.user_id: r.value_cents for r in out if r.is_current == 1}
+    assert snap == {2: 400, 3: 500}
