@@ -133,3 +133,68 @@ def segment_dedup(
             F.coalesce("text_kept", F.lit("")).alias("text_kept"),
         )
     )
+
+
+def segment_quality_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = DEFAULT_WIDTH,
+    threshold_x100: int = 67,
+) -> DataFrame:
+    """FineWeb/C4-style fine-grained quality filtering (Penedo et al.
+    2024 §3.3; Raffel et al. 2020 §2.2): score each SEGMENT with the
+    q45 quality rational and rebuild every document from only its
+    passing segments — a low-quality paragraph is cut without
+    discarding the whole document (doc-level gates like q93/q113 are
+    all-or-nothing).
+
+    Keep test is the UNROUNDED pure-integer comparison
+    ``(250·na + 100·(n−np) + 3·wcap·n)·100 >= threshold_x100·500·n``
+    (the q45 rational cross-multiplied) — no double is rounded
+    anywhere, so engines cannot disagree at a boundary. Empty-segment
+    guard: segments always contain >=1 token by construction.
+
+    Returns ``(id_col, n_segs, n_kept, text_kept)`` over the FULL
+    document spine (same contract as ``segment_dedup``; '' when no
+    segment passes).
+
+    Scale shape: scoring is a pure codegen projection on the segment
+    table — NO corpus-wide exchange at all (unlike dedup, quality
+    needs no cross-document state); the only shuffle is the per-doc
+    regroup, keyed by the id. The checkpointed token table feeds both
+    the segment branch and the doc spine, one base scan.
+    """
+    toks = maybe_checkpoint(_toks_table(df, text_col, id_col))
+    segs = _segments(toks, id_col, width)
+    n = F.length("para").cast("long")
+    na = n - F.length(F.regexp_replace("para", r"[A-Za-z]", "")).cast("long")
+    np_ = F.length(F.regexp_replace("para", r"[A-Za-z0-9\s]", "")).cast("long")
+    wcap = F.least(
+        F.size(F.filter(F.split(F.trim(F.col("para")), r"\s+"), lambda t: t != "")),
+        F.lit(50),
+    ).cast("long")
+    keep = (250 * na + 100 * (n - np_) + 3 * wcap * n) * 100 >= (
+        F.lit(int(threshold_x100)) * 500 * n
+    )
+    scored = segs.withColumn("keep", keep)
+    per_doc = scored.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("pos", "keep", "para"))).alias("_s")
+    )
+    kept = F.filter(F.col("_s"), lambda s: s["keep"])
+    agg = per_doc.select(
+        F.col(id_col),
+        F.size("_s").cast("long").alias("n_segs"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(F.transform(kept, lambda s: s["para"]), " ").alias("text_kept"),
+    )
+    return (
+        toks.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_segs", F.lit(0)).cast("long").alias("n_segs"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+        )
+    )

@@ -2509,3 +2509,66 @@ def q142_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — per-segment quality rewrite (FineWeb-style fine-grained filtering)
+# ---------------------------------------------------------------------------
+
+Q156_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), seg AS (
+  SELECT doc_id, CAST(g.i AS INT) AS pos,
+         array_to_string(ts[(g.i*10+1):(g.i*10+10)], ' ') AS para
+  FROM toks, LATERAL (SELECT unnest(range((len(ts)+9)//10)) AS i) g
+), q AS (
+  SELECT doc_id, pos, para,
+         length(para) AS n,
+         length(para) - length(regexp_replace(para, '[A-Za-z]', '', 'g')) AS na,
+         length(regexp_replace(para, '[A-Za-z0-9\\s]', '', 'g')) AS np,
+         least(len(list_filter(string_split_regex(trim(para), '\\s+'), t -> t <> '')), 50) AS wcap
+  FROM seg
+), flag AS (
+  SELECT doc_id, pos, para,
+         (250*na + 100*(n - np) + 3*wcap*n) * 100 >= 67 * 500 * n AS keep
+  FROM q
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_segs,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY pos) AS text_kept
+  FROM flag GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_segs, 0) AS n_segs,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.text_kept, '') AS text_kept
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@query("q156_segment_quality_rewrite", Q156_SQL)
+def q156_segment_quality_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-grained quality filtering (FineWeb, Penedo et al. 2024;
+    C4's line-level rules, Raffel et al. 2020 §2.2): every segment is
+    scored with the q45 exact quality rational and documents are
+    rebuilt from only the segments passing an UNROUNDED pure-integer
+    threshold (cross-multiplied rational, so no engine can disagree
+    at a rounding boundary) — a bad paragraph costs that paragraph,
+    not the document. Complements q137 (segment dedup) and q113
+    (doc-level gate); ``operators/segment_dedup.py::
+    segment_quality_rewrite``.
+
+    Scale shape: scoring is a codegen projection on the segment table
+    — quality needs NO cross-document state, so the only corpus-sized
+    exchange is the per-doc regroup.
+    """
+    from ml_with_spark_streaming_spark.operators.segment_dedup import (
+        segment_quality_rewrite,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return segment_quality_rewrite(d, "text", "doc_id").orderBy("doc_id")

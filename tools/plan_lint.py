@@ -146,6 +146,7 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
     "q98_sequence_packing": (frozenset({"DupFactScan"}), "visible only under SPARK_GRAFT_NO_CHECKPOINT: bucket totals and offset join share one maybe_checkpoint-materialized length table at runtime"),
     "q99_embedding_dedup_clusters": (frozenset({"DupFactScan"}), "edge stage a/b roles of embeddings"),
     "q137_segment_dedup": (frozenset({"DupFactScan"}), "visible only under SPARK_GRAFT_NO_CHECKPOINT: segment branch and doc spine share one maybe_checkpoint-materialized token table at runtime"),
+    "q156_segment_quality_rewrite": (frozenset({"DupFactScan"}), "q137's waived shape: segment branch and doc spine share one maybe_checkpoint-materialized token table at runtime"),
     "q100_embedding_dedup_at_scale": (frozenset({"DupFactScan"}), "LSH stage scans vectors once; singleton-assignment base is a vec_id-only pruned scan"),
     "q106_ivf_kmeans_ann": (
         frozenset({"CartesianProduct", "DupFactScan"}),
