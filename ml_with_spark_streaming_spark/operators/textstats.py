@@ -269,3 +269,47 @@ def char_bigram_entropy(df, text_col: str, id_col: str):
             "CAST(ln6_n - (s DIV n_bigrams) AS BIGINT) AS entropy_x1e6",
         )
     )
+
+
+# --- UTF-8 hygiene / normalization (mojibake, control chars, zero-width) ---
+
+# Pattern syntax chosen for the java.util.regex (Spark) ∩ RE2 (DuckDB)
+# common subset: two-digit \xNN escapes for the control range (a raw
+# NUL would break the SQL text), LITERAL characters for the
+# supplementary-plane classes (\uXXXX vs \x{...} syntax differs
+# between the engines, the literal codepoint doesn't).
+# C0 controls minus \t\n\r, plus DEL.
+CTRL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+ZW_CLASS = "[​‌‍﻿]"   # zero-width space/joiners, BOM
+REPL_CHAR = "�"                       # UTF-8 decode damage marker
+NBSP = " "
+
+
+def _count_class(c: Column, klass: str) -> Column:
+    return (F.length(c) - F.length(F.regexp_replace(c, klass, ""))).cast("long")
+
+
+def normalize_text_expr(text: Column | str) -> Column:
+    """Transmission-damage cleanup, content-preserving: control and
+    zero-width characters and U+FFFD replacement markers are removed,
+    NBSP becomes a regular space. Unlike the reference's P3-P8 chain
+    (clean_text_expr — an aggressive featurizer), this is the
+    idempotent hygiene pass a corpus runs BEFORE storage. One codegen
+    projection."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, CTRL_CLASS, "")
+    c = F.regexp_replace(c, ZW_CLASS, "")
+    c = F.regexp_replace(c, REPL_CHAR, "")
+    return F.regexp_replace(c, NBSP, " ")
+
+
+def hygiene_counts(text: Column | str) -> dict[str, Column]:
+    """Per-document damage tallies (length-difference trick — no
+    explode, stays in the scan projection)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_ctrl": _count_class(c, CTRL_CLASS),
+        "n_zw": _count_class(c, ZW_CLASS),
+        "n_repl": _count_class(c, REPL_CHAR),
+        "n_nbsp": _count_class(c, NBSP),
+    }

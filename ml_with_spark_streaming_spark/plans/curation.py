@@ -2572,3 +2572,94 @@ def q156_segment_quality_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return segment_quality_rewrite(d, "text", "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q157 — UTF-8 hygiene normalization (mojibake / control / zero-width audit)
+# ---------------------------------------------------------------------------
+
+from ml_with_spark_streaming_spark.operators.textstats import (  # noqa: E402
+    CTRL_CLASS,
+    NBSP,
+    REPL_CHAR,
+    ZW_CLASS,
+    hygiene_counts,
+    normalize_text_expr,
+)
+
+# The synthetic corpus is clean, so (the q92 pattern) the query plants
+# deterministic transmission damage per doc_id and runs the REAL
+# normalization machinery over it; both engines synthesize the
+# identical damaged string from the same expression.
+_DMG = {
+    1: " note​",          # NBSP + zero-width space
+    2: "\x07alert\x1b",             # BEL + ESC control chars
+    3: "caf�",                 # UTF-8 decode damage marker
+    4: " ​﻿\x01�!",  # one of everything
+}
+
+
+def _dmg_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN doc_id % 5 = {k} THEN text || '{v}'" for k, v in _DMG.items()
+    )
+    return f"CASE {whens} ELSE text END"
+
+
+Q157_SQL = f"""
+WITH damaged AS (
+  SELECT doc_id, {_dmg_case_sql()} AS t FROM documents
+)
+SELECT doc_id,
+  CAST(length(t) - length(regexp_replace(t, '{CTRL_CLASS}', '', 'g')) AS BIGINT) AS n_ctrl,
+  CAST(length(t) - length(regexp_replace(t, '{ZW_CLASS}', '', 'g')) AS BIGINT) AS n_zw,
+  CAST(length(t) - length(regexp_replace(t, '{REPL_CHAR}', '', 'g')) AS BIGINT) AS n_repl,
+  CAST(length(t) - length(regexp_replace(t, '{NBSP}', '', 'g')) AS BIGINT) AS n_nbsp,
+  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+      '{CTRL_CLASS}', '', 'g'),
+      '{ZW_CLASS}', '', 'g'),
+      '{REPL_CHAR}', '', 'g'),
+      '{NBSP}', ' ', 'g')) AS normalized_md5
+FROM damaged
+ORDER BY doc_id
+"""
+
+
+@query("q157_utf8_hygiene", Q157_SQL)
+def q157_utf8_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 hygiene pass — the content-preserving normalization a web
+    corpus runs BEFORE storage (distinct from q40's aggressive
+    reference featurizer): strip control chars, zero-width
+    chars/BOM, and U+FFFD decode-damage markers; NBSP becomes a plain
+    space. Damage tallies per document plus the md5 of the normalized
+    text (``operators/textstats.py::normalize_text_expr``,
+    idempotence pinned by test). The synthetic corpus is clean, so
+    the query PLANTS deterministic damage per doc_id (q92's fixture
+    pattern) and both engines normalize the identical damaged string.
+
+    Scale shape: one codegen projection inside the scan — counts via
+    the length-difference trick, no explode, no shuffle at all except
+    the presentation sort.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dmg = F.col("text")
+    expr = None
+    for k, v in _DMG.items():
+        cond = F.col("doc_id") % 5 == k
+        branch = F.concat(F.col("text"), F.lit(v))
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    t = expr.otherwise(dmg).alias("t")
+    base = F.col("t")
+    cnt = hygiene_counts(base)
+    return (
+        d.select("doc_id", t)
+        .select(
+            "doc_id",
+            cnt["n_ctrl"].alias("n_ctrl"),
+            cnt["n_zw"].alias("n_zw"),
+            cnt["n_repl"].alias("n_repl"),
+            cnt["n_nbsp"].alias("n_nbsp"),
+            F.md5(F.encode(normalize_text_expr(base), "UTF-8")).alias("normalized_md5"),
+        )
+        .orderBy("doc_id")
+    )

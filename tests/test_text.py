@@ -275,3 +275,42 @@ def test_char_bigram_entropy_matches_math_log(spark):
         assert got[did]["entropy_x1e6"] == want
     assert got[0]["entropy_x1e6"] == 0
     assert got[0]["entropy_x1e6"] < got[1]["entropy_x1e6"] < got[2]["entropy_x1e6"]
+
+
+def test_normalize_text_counts_and_idempotence(spark):
+    from pyspark.sql import functions as F
+
+    from ml_with_spark_streaming_spark.operators.textstats import (
+        hygiene_counts,
+        normalize_text_expr,
+    )
+
+    nasty = "a\x07b​c�d e\tf\ng"  # tab/newline must SURVIVE
+    df = spark.createDataFrame([(nasty,)], ["t"])
+    cnt = hygiene_counts("t")
+    row = df.select(
+        cnt["n_ctrl"].alias("c"),
+        cnt["n_zw"].alias("z"),
+        cnt["n_repl"].alias("r"),
+        cnt["n_nbsp"].alias("n"),
+        normalize_text_expr("t").alias("norm"),
+    ).collect()[0]
+    assert (row.c, row.z, row.r, row.n) == (1, 1, 1, 1)
+    assert row.norm == "abcd e\tf\ng"  # NBSP -> space; tab/newline kept
+
+    # idempotence: a second pass is a no-op
+    again = (
+        spark.createDataFrame([(row.norm,)], ["t"])
+        .select(normalize_text_expr("t").alias("norm2"))
+        .collect()[0]
+    )
+    assert again.norm2 == row.norm
+
+    # clean text is untouched
+    clean = "plain text, nothing to fix."
+    same = (
+        spark.createDataFrame([(clean,)], ["t"])
+        .select(normalize_text_expr("t").alias("n"))
+        .collect()[0]
+    )
+    assert same.n == clean
