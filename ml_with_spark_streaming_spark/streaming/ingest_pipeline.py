@@ -10,7 +10,9 @@ Composes ``StreamingIngestDedup`` (q105's gates against the corpus
 fingerprint/band indexes), an optional ``StreamingSegmentDedup``
 (q137's boilerplate REWRITE — runs right after document dedup so
 every later gate scores the text that would actually be stored),
-an optional ``StreamingDecontaminationFilter`` (q101's 13-gram eval
+an optional ``StreamingSegmentQuality`` (q156's fine-grained quality
+REWRITE — cuts low-quality paragraphs right after the dedup rewrite,
+stateless), an optional ``StreamingDecontaminationFilter`` (q101's 13-gram eval
 overlap), ``StreamingQualityFilter`` (the frozen q112 weight table),
 an optional ``StreamingPerplexityFilter`` (the frozen q131 bigram
 LM), and an optional ``StreamingDSIRFilter`` (the frozen q135
@@ -42,6 +44,9 @@ from ml_with_spark_streaming_spark.streaming.quality_filter import StreamingQual
 from ml_with_spark_streaming_spark.streaming.segment_dedup_filter import (
     StreamingSegmentDedup,
 )
+from ml_with_spark_streaming_spark.streaming.segment_quality_filter import (
+    StreamingSegmentQuality,
+)
 
 
 @dataclass
@@ -57,6 +62,7 @@ class StreamingIngestPipeline:
     dedup: StreamingIngestDedup
     quality: StreamingQualityFilter
     segdedup: StreamingSegmentDedup | None = None
+    segquality: StreamingSegmentQuality | None = None
     decon: StreamingDecontaminationFilter | None = None
     perplexity: StreamingPerplexityFilter | None = None
     dsir: StreamingDSIRFilter | None = None
@@ -68,6 +74,9 @@ class StreamingIngestPipeline:
         # user-supplied stage hooks are preserved and still called
         self._dedup_hook = self.dedup.on_kept
         self._seg_hook = self.segdedup.on_kept if self.segdedup is not None else None
+        self._segq_hook = (
+            self.segquality.on_kept if self.segquality is not None else None
+        )
         self._decon_hook = self.decon.on_kept if self.decon is not None else None
         self._quality_hook = self.quality.on_kept
         self._ppl_hook = self.perplexity.on_kept if self.perplexity is not None else None
@@ -80,6 +89,7 @@ class StreamingIngestPipeline:
         weights: list[tuple[str, int]],
         eval_corpus: DataFrame | None = None,
         segment_width: int | None = None,
+        segment_quality_threshold_x100: int | None = None,
         perplexity_threshold_x1e6: int | None = None,
         dsir_weights: list[tuple[int, int]] | None = None,
         dsir_n_buckets: int = 512,
@@ -115,10 +125,20 @@ class StreamingIngestPipeline:
             if segment_width is not None
             else None
         )
+        segquality = (
+            StreamingSegmentQuality(
+                width=segment_width if segment_width is not None else 10,
+                threshold_x100=segment_quality_threshold_x100,
+                **col_kw,
+            )
+            if segment_quality_threshold_x100 is not None
+            else None
+        )
         return cls(
             dedup=StreamingIngestDedup.from_corpus(corpus, **dedup_kw),
             quality=StreamingQualityFilter(weights=weights, **col_kw),
             segdedup=segdedup,
+            segquality=segquality,
             decon=decon,
             perplexity=ppl,
             dsir=dsir,
@@ -159,6 +179,22 @@ class StreamingIngestPipeline:
             # surviving text IS the document from here on
             if ran_seg and self._seg_hook is not None:
                 self._seg_hook(kept_df, bid)
+            if self.segquality is None:
+                _after_segq(kept_df, bid, ran_segq=False)
+            elif kept_df.isEmpty():
+                self._zero_row(
+                    self.segquality.history,
+                    bid,
+                    ("n_docs", "n_segs", "n_cut", "n_docs_kept"),
+                )
+                _after_segq(kept_df, bid, ran_segq=False)
+            else:
+                self.segquality.on_kept = _after_segq
+                self.segquality.process_batch(kept_df, bid)
+
+        def _after_segq(kept_df: DataFrame, bid: int, ran_segq: bool = True) -> None:
+            if ran_segq and self._segq_hook is not None:
+                self._segq_hook(kept_df, bid)
             if self.decon is not None:
                 if kept_df.isEmpty():
                     self._zero_row(
@@ -228,6 +264,12 @@ class StreamingIngestPipeline:
             else None
         )
         n_after_rewrite = gh["n_docs_kept"] if gh is not None else dh["n_kept"]
+        sqh = (
+            self.segquality.history[-1]
+            if self.segquality is not None and self.segquality.history
+            else None
+        )
+        n_after_segq = sqh["n_docs_kept"] if sqh is not None else n_after_rewrite
         ch = self.decon.history[-1] if self.decon is not None else None
         qh = self.quality.history[-1] if self.quality.history else None
         n_after_quality = qh["n_kept"] if qh is not None else 0
@@ -248,7 +290,8 @@ class StreamingIngestPipeline:
                 "n_in": dh["n_docs"],
                 "n_after_dedup": dh["n_kept"],
                 "n_after_rewrite": n_after_rewrite,
-                "n_after_decon": ch["n_kept"] if ch is not None else n_after_rewrite,
+                "n_after_segquality": n_after_segq,
+                "n_after_decon": ch["n_kept"] if ch is not None else n_after_segq,
                 "n_after_quality": n_after_quality,
                 "n_accepted": sh["n_kept"] if sh is not None else n_after_ppl,
             }

@@ -146,6 +146,7 @@ def test_fully_rejected_batch_keeps_histories_aligned(spark):
             "n_in": 1,
             "n_after_dedup": 0,
             "n_after_rewrite": 0,
+            "n_after_segquality": 0,
             "n_after_decon": 0,
             "n_after_quality": 0,
             "n_accepted": 0,
