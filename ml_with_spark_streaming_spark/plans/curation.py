@@ -617,8 +617,27 @@ _COS_SQL = (
     " * sqrt(list_sum(list_transform(generate_series(1, len({b})), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
 )
 
-Q99_SQL = f"""
-WITH RECURSIVE edges AS (
+def _embedding_components(e: DataFrame) -> DataFrame:
+    """q99's component assignment: cosine near-dup edges (≥0.4) →
+    connected components, singletons labeled by their own id. Shared
+    by q99 (the cluster/keep-list view) and q158 (hard-negative
+    exclusion)."""
+    from ml_with_spark_streaming_spark.operators.similarity import neardup_pairs
+
+    edges = neardup_pairs(e, threshold=0.4).select("id1", "id2")
+    comp = connected_components(edges).withColumnRenamed("id", "vec_id")
+    return (
+        e.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).cast("long").alias("component"),
+        )
+    )
+
+
+# the q99 recursive-CTE chain (edges → components), reused by q158
+_EMB_COMP_CTES = f"""edges AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2
   FROM embeddings a
   JOIN embeddings b ON a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
@@ -639,7 +658,10 @@ assigned AS (
   SELECT e.vec_id, CAST(COALESCE(c.component, e.vec_id) AS BIGINT) AS component
   FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
   WHERE e.vec_id < 1000
-),
+)"""
+
+Q99_SQL = f"""
+WITH RECURSIVE {_EMB_COMP_CTES},
 sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM assigned GROUP BY component)
 SELECT a.vec_id, a.component, s.cluster_size,
        CAST(CASE WHEN a.vec_id = a.component THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
@@ -671,19 +693,8 @@ def q99_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bit agreement is 0.9) is pinned by the planted-cluster fixture
     test instead (tests/test_curation.py::test_q100_lsh_gate_matches_
     exact_on_planted_clusters)."""
-    from ml_with_spark_streaming_spark.operators.similarity import neardup_pairs
-
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
-    edges = neardup_pairs(e, threshold=0.4).select("id1", "id2")
-    comp = connected_components(edges).withColumnRenamed("id", "vec_id")
-    assigned = (
-        e.select("vec_id")
-        .join(comp, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.coalesce("component", F.col("vec_id")).cast("long").alias("component"),
-        )
-    )
+    assigned = _embedding_components(e)
     sizes = assigned.groupBy("component").agg(F.count("*").cast("long").alias("cluster_size"))
     return (
         assigned.join(sizes, "component")
@@ -2662,4 +2673,104 @@ def q157_utf8_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.encode(normalize_text_expr(base), "UTF-8")).alias("normalized_md5"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q158 — hard-negative mining (top-k similar, excluding near-dup clusters)
+# ---------------------------------------------------------------------------
+
+Q158_SQL = f"""
+WITH RECURSIVE {_EMB_COMP_CTES},
+q AS (
+  SELECT e.vec_id AS q_id, e.embedding AS q_vec, a.component AS q_comp
+  FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id
+  WHERE e.vec_id < 10
+),
+scored AS (
+  SELECT q.q_id, c.vec_id,
+         ROUND({_COS_SQL.format(a='q.q_vec', b='c.embedding')}, 4) AS cosine,
+         a.component AS neg_component
+  FROM embeddings c
+  JOIN assigned a ON a.vec_id = c.vec_id
+  CROSS JOIN q
+  WHERE q.q_id <> c.vec_id AND a.component <> q.q_comp
+)
+SELECT q_id, vec_id, cosine, neg_component, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) t
+WHERE rank <= 3
+ORDER BY q_id, rank
+"""
+
+
+@query("q158_hard_negatives", Q158_SQL)
+def q158_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    embedding, the top-3 MOST similar vectors that are NOT in the
+    anchor's near-duplicate cluster. Plain top-k (q53) would hand a
+    contrastive batch its own paraphrases as negatives — false
+    negatives that poison the loss (Robinson et al. 2021,
+    arXiv:2010.04592 hard-negative sampling; SimCSE-style batch
+    construction) — so the q99 dedup components define the exclusion
+    zone: same component == positive, never a negative.
+
+    Composition: q99's component assignment (cosine edges → connected
+    components on the capped-exact ``vec_id < 1000`` oracle slice) ×
+    q53's broadcast cosine top-k, with the component anti-filter
+    applied BEFORE ranking.
+
+    Scale shape: component table is a narrow (id → component) map
+    broadcast onto the scored pairs; scoring stays q53's shape
+    (anchors broadcast, one corpus pass, partial top-k). At 100 TB
+    the anchor set rides the q106 IVF probe path instead of the
+    brute-force pass — the exclusion join is unchanged.
+    """
+    from ml_with_spark_streaming_spark.operators.similarity import (
+        cosine_expr,
+        norm_expr,
+        safe_denom,
+        dot_expr,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    assigned = maybe_checkpoint(_embedding_components(e))
+    anchors = (
+        e.filter(F.col("vec_id") < 10)
+        .join(assigned, "vec_id")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("component").alias("q_comp"),
+        )
+        .withColumn("_qn", norm_expr(F.col("q_vec")))
+    )
+    cn = (
+        e.join(assigned, "vec_id")
+        .withColumnRenamed("component", "neg_component")
+        .withColumn("_cn", norm_expr(F.col("embedding")))
+    )
+    scored = (
+        cn.crossJoin(F.broadcast(anchors))
+        .filter(
+            (F.col("q_id") != F.col("vec_id"))
+            & (F.col("neg_component") != F.col("q_comp"))
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                dot_expr(F.col("q_vec"), F.col("embedding"))
+                / (safe_denom(F.col("_qn")) * safe_denom(F.col("_cn"))),
+                4,
+            ).alias("cosine"),
+            "neg_component",
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("q_id", "rank")
     )

@@ -585,3 +585,35 @@ def test_pagerank_unweighted_uniform_cycle(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
     ranks = {r["rank"] for r in pagerank(df, "src", "dst", iters=4).collect()}
     assert len(ranks) == 1
+
+
+def test_q158_hard_negatives_exclude_neardup_cluster(spark, tmp_path):
+    """An anchor's near-duplicates (same q99 component) must never
+    appear among its hard negatives; the top negative is the most
+    similar OUT-of-cluster vector."""
+    import os
+
+    from ml_with_spark_streaming_spark.plans.curation import q158_hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.04, 0.0, 0.0], 0),   # near-dup of 0 (cos ~1)
+        (2, [0.3, 0.954, 0.0, 0.0], 1),    # cos vs 0 = 0.3 < 0.4: out of cluster
+        (3, [0.0, 1.0, 0.0, 0.0], 1),      # near-dup of 2 (cos 0.95)
+        (4, [0.0, 0.0, 1.0, 0.0], 2),      # orthogonal to everything
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    out = {}
+    for r in q158_hard_negatives(spark, d).collect():
+        out.setdefault(r.q_id, []).append((r.rank, r.vec_id, r.cosine))
+
+    negs0 = [v for _, v, _ in sorted(out[0])]
+    assert 1 not in negs0                # the near-dup is never a negative
+    assert negs0[0] == 2                 # hardest out-of-cluster vector first
+    assert set(negs0) == {2, 3, 4}
+    # vec 2's own cluster-mate 3 is excluded from ITS negatives too
+    negs2 = [v for _, v, _ in sorted(out[2])]
+    assert 3 not in negs2 and 0 in negs2

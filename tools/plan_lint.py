@@ -375,6 +375,14 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "is the doc_id-only spine join-back (column-pruned). At scale the 512-row weight "
         "table is a persisted trusted-corpus artifact.",
     ),
+    "q158_hard_negatives": (
+        frozenset({"DupFactScan"}),
+        "q99's waived two-role edge shape (pair stage a/b sides) plus the anchor and "
+        "corpus scoring roles; at runtime the component assignment is "
+        "maybe_checkpoint-materialized once and the scoring pass is q53's single "
+        "broadcast fan-out — lint's full-lineage replay re-derives the component "
+        "table per role.",
+    ),
     "q147_bloom_semijoin": (
         frozenset({"DupFactScan"}),
         "visible only under SPARK_GRAFT_NO_CHECKPOINT: the distinct member-key table "
