@@ -87,6 +87,11 @@ HEADLINE = [
     "q147_bloom_semijoin",
     "q148_hybrid_retrieval",
     "q152_exact_quantiles",
+    "q154_scd2_history",
+    "q155_fuzzy_name_pairs",
+    "q156_segment_quality_rewrite",
+    "q157_utf8_hygiene",
+    "q158_hard_negatives",
 ]
 
 

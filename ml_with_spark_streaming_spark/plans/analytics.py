@@ -1208,6 +1208,39 @@ FROM up ORDER BY user_id, version
 """
 
 
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q154's SCD2 core without the presentation sort — shared with
+    q159's AS-OF read."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("from_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("value_cents"),
+    )
+    # both windows order by (from_us, event_id) so one Exchange + one
+    # Sort serves them (unix_micros is order-equivalent to ts, but
+    # Catalyst can't know that — project first, then window)
+    w_all = W.partitionBy("user_id").orderBy("from_us", "event_id")
+    chg = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "from_us",
+        "value_cents",
+        F.lead("from_us").over(w_all).alias("to_us"),
+    )
+    w_up = W.partitionBy("user_id").orderBy("from_us", "event_id")
+    return chg.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.row_number().over(w_up).cast("long").alias("version"),
+        "value_cents",
+        F.col("from_us").alias("valid_from_us"),
+        F.col("to_us").alias("valid_to_us"),
+        F.isnull("to_us").cast("int").alias("is_current"),
+    )
+
+
 @query("q154_scd2_history", Q154_SQL)
 def q154_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC changelog apply — the batch equivalent of ``MERGE INTO``
@@ -1235,38 +1268,7 @@ def q154_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     query IS that merge step run over the full log, so the oracle's
     from-scratch recompute checks the invariant.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.unix_micros("ts").alias("from_us"),
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("value_cents"),
-    )
-    # both windows order by (from_us, event_id) so one Exchange + one
-    # Sort serves them (unix_micros is order-equivalent to ts, but
-    # Catalyst can't know that — project first, then window)
-    w_all = W.partitionBy("user_id").orderBy("from_us", "event_id")
-    chg = ev.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "from_us",
-        "value_cents",
-        F.lead("from_us").over(w_all).alias("to_us"),
-    )
-    w_up = W.partitionBy("user_id").orderBy("from_us", "event_id")
-    return (
-        chg.filter(F.col("event_type") != "error")
-        .select(
-            "user_id",
-            F.row_number().over(w_up).cast("long").alias("version"),
-            "value_cents",
-            F.col("from_us").alias("valid_from_us"),
-            F.col("to_us").alias("valid_to_us"),
-            F.isnull("to_us").cast("int").alias("is_current"),
-        )
-        .orderBy("user_id", "version")
-    )
+    return _scd2_history(spark, sf_dir).orderBy("user_id", "version")
 
 
 # ---------------------------------------------------------------------------
@@ -1320,4 +1322,60 @@ def q155_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nb), "name_b")
         .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
         .orderBy("name_a", "name_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q159 — temporal AS-OF read of the SCD2 dimension (time travel)
+# ---------------------------------------------------------------------------
+
+# 2024-01-15 00:00:00 UTC — mid-range of the events table at every SF
+_ASOF_US = 1_705_276_800_000_000
+
+Q159_SQL = f"""
+WITH chg AS (
+  SELECT user_id, event_id, event_type, ts,
+         epoch_us(ts) AS from_us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_us
+  FROM events
+),
+up AS (
+  SELECT user_id, value_cents, from_us, to_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY from_us, event_id) AS version
+  FROM chg WHERE event_type <> 'error'
+)
+SELECT user_id, CAST(version AS BIGINT) AS version, value_cents,
+       from_us AS valid_from_us
+FROM up
+WHERE from_us <= {_ASOF_US} AND (to_us IS NULL OR to_us > {_ASOF_US})
+ORDER BY user_id
+"""
+
+
+@query("q159_scd2_asof", Q159_SQL)
+def q159_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal AS-OF read (time travel) over the q154 SCD2 history:
+    the dimension exactly as it stood at 2024-01-15T00:00:00Z — the
+    version whose validity interval covers the cutoff. Entities whose
+    state at the cutoff was DELETED (interval closed by a delete
+    marker at or before it) correctly have no row; entities created
+    later don't either. ``FOR SYSTEM_TIME AS OF`` re-expressed as an
+    interval predicate over the versioned table.
+
+    Scale shape: q154's single-exchange plan plus one codegen filter.
+    Against a STORED SCD2 table (the q154/streaming-scd2 artifact,
+    partitioned on is_current + date-bucketed valid_from) the same
+    predicate prunes to a handful of partitions; here it recomputes
+    through the shared ``_scd2_history`` lineage so the oracle checks
+    the whole path.
+    """
+    h = _scd2_history(spark, sf_dir)
+    return (
+        h.filter(
+            (F.col("valid_from_us") <= F.lit(_ASOF_US))
+            & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > F.lit(_ASOF_US)))
+        )
+        .select("user_id", "version", "value_cents", "valid_from_us")
+        .orderBy("user_id")
     )

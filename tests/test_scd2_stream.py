@@ -98,3 +98,26 @@ def test_out_of_order_batch_rejected(spark, tmp_path):
             spark.createDataFrame([(1, _t(1), 1, "click", 2.0, "{}")], _EV_SCHEMA), 1
         )
     assert m.history[-1]["late_rows"] == 1
+
+
+def test_state_survives_maintainer_restart(spark, tmp_path):
+    """A NEW maintainer over the same state_dir continues where the
+    old one stopped (the parquet state table IS the checkpoint)."""
+    batches = _batches()
+    state = str(tmp_path / "state")
+
+    m1 = StreamingScd2(state_dir=state)
+    m1.process_batch(spark.createDataFrame(batches[0], _EV_SCHEMA), 0)
+    del m1
+
+    m2 = StreamingScd2(state_dir=state)  # fresh instance, no history
+    for bid, rows in enumerate(batches[1:], start=1):
+        m2.process_batch(spark.createDataFrame(rows, _EV_SCHEMA), bid)
+
+    import os
+
+    union_dir = str(tmp_path / "union")
+    spark.createDataFrame(
+        [r for b in batches for r in b], _EV_SCHEMA
+    ).coalesce(1).write.parquet(os.path.join(union_dir, "events.parquet"))
+    assert _rows(m2.snapshot(spark)) == _rows(q154_scd2_history(spark, union_dir))
