@@ -92,6 +92,7 @@ HEADLINE = [
     "q156_segment_quality_rewrite",
     "q157_utf8_hygiene",
     "q158_hard_negatives",
+    "q159_scd2_asof",
 ]
 
 

@@ -181,3 +181,67 @@ def semantic_contamination(
         best["cos"].alias("max_cosine"),
         (best["cos"] >= F.lit(threshold)).cast("long").alias("contaminated"),
     )
+
+
+def tagged_eval_ngrams(
+    benchmarks: dict[str, DataFrame],
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+) -> DataFrame:
+    """One row per DISTINCT gram across a REGISTRY of benchmarks, with
+    a 0/1 flag column per benchmark (``hit_<name>``) — a gram shared
+    by several benchmarks carries several flags, so the corpus pass
+    below stays a single broadcast join however many benchmarks are
+    registered. Benchmark-sized (the union of eval gram sets)."""
+    tagged = None
+    for name, df in benchmarks.items():
+        t = eval_ngrams(df, text_col=text_col, n=n).withColumn(
+            "_bench", F.lit(name)
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return tagged.groupBy("gram").agg(
+        *[
+            F.max((F.col("_bench") == name).cast("int")).alias(f"hit_{name}")
+            for name in benchmarks
+        ]
+    )
+
+
+def multi_contamination_counts(
+    corpus: DataFrame,
+    tagged_gram_df: DataFrame,
+    bench_names: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_NGRAM,
+) -> DataFrame:
+    """Per-document contamination profile against EVERY registered
+    benchmark in one corpus pass: ``(id_col, n_grams,
+    n_hit_<bench>..., n_benchmarks_hit, keep)``. The corpus explode
+    runs ONCE regardless of registry size; each benchmark adds one
+    conditional sum to the same aggregation (the q101 shape,
+    vectorized across the registry)."""
+    grams = _doc_ngrams(corpus, text_col, id_col, n)
+    marked = grams.join(F.broadcast(tagged_gram_df), "gram", "left")
+    aggs = [F.count("*").cast("long").alias("n_grams")] + [
+        F.sum(F.coalesce(f"hit_{b}", F.lit(0))).cast("long").alias(f"n_hit_{b}")
+        for b in bench_names
+    ]
+    per_doc = marked.groupBy(id_col).agg(*aggs)
+    hit_any = sum(
+        (F.coalesce(f"n_hit_{b}", F.lit(0)) > 0).cast("long") for b in bench_names
+    )
+    return (
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            *[
+                F.coalesce(f"n_hit_{b}", F.lit(0)).cast("long").alias(f"n_hit_{b}")
+                for b in bench_names
+            ],
+            hit_any.cast("long").alias("n_benchmarks_hit"),
+            (hit_any == 0).cast("int").alias("keep"),
+        )
+    )

@@ -2774,3 +2774,85 @@ def q158_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — benchmark-registry decontamination (N benchmarks, one corpus pass)
+# ---------------------------------------------------------------------------
+
+_Q160_BENCHES = {"a": 97, "b": 89, "c": 83}  # doc_id % m == 0 slices
+
+Q160_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({{clean}}, ' ') AS t
+  FROM documents WHERE length({{clean}}) > 0
+),
+grams AS (
+  SELECT DISTINCT doc_id, substr(md5(g), 1, 16) AS g FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(t) - 12, 0)),
+                                 i -> array_to_string(t[i:i+12], ' '))) AS g
+    FROM toks
+  )
+),
+tagged AS (
+  SELECT g,
+         {', '.join(f'MAX(CASE WHEN doc_id % {m} = 0 THEN 1 ELSE 0 END) AS hit_{b}' for b, m in _Q160_BENCHES.items())}
+  FROM grams
+  WHERE {' OR '.join(f'doc_id % {m} = 0' for m in _Q160_BENCHES.values())}
+  GROUP BY g
+),
+corpus AS (
+  SELECT doc_id, g FROM grams
+  WHERE {' AND '.join(f'doc_id % {m} <> 0' for m in _Q160_BENCHES.values())}
+),
+per_doc AS (
+  SELECT c.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         {', '.join(f'CAST(SUM(COALESCE(t.hit_{b}, 0)) AS BIGINT) AS n_hit_{b}' for b in _Q160_BENCHES)}
+  FROM corpus c LEFT JOIN tagged t ON t.g = c.g
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       {', '.join(f'CAST(COALESCE(p.n_hit_{b}, 0) AS BIGINT) AS n_hit_{b}' for b in _Q160_BENCHES)},
+       CAST({' + '.join(f'CASE WHEN COALESCE(p.n_hit_{b}, 0) > 0 THEN 1 ELSE 0 END' for b in _Q160_BENCHES)} AS BIGINT) AS n_benchmarks_hit,
+       CAST(CASE WHEN {' + '.join(f'CASE WHEN COALESCE(p.n_hit_{b}, 0) > 0 THEN 1 ELSE 0 END' for b in _Q160_BENCHES)} = 0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+WHERE {' AND '.join(f'd.doc_id % {m} <> 0' for m in _Q160_BENCHES.values())}
+ORDER BY d.doc_id
+""".format(clean=CLEAN_SQL)
+
+
+@query("q160_benchmark_registry_decon", Q160_SQL)
+def q160_benchmark_registry_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against a REGISTRY of benchmarks in one corpus
+    pass — production pipelines screen against dozens of eval sets
+    (MMLU, GSM8K, HumanEval, ...), and rescanning 100 TB per benchmark
+    is the naive trap q101 would fall into if run N times. The tagged
+    gram table (one row per distinct eval gram, a 0/1 flag per
+    benchmark — ``operators/decontaminate.py::tagged_eval_ngrams``)
+    broadcasts once; each benchmark costs one conditional sum inside
+    the SAME per-doc aggregation. Output: per corpus doc, the 13-gram
+    hit count against each benchmark, how many benchmarks it touches,
+    and the strict keep verdict (clean of ALL).
+
+    Benchmarks here are the q101-convention synthetic slices
+    (doc_id % 97/89/83 == 0); the corpus is every doc in none.
+    """
+    from ml_with_spark_streaming_spark.operators.decontaminate import (
+        multi_contamination_counts,
+        tagged_eval_ngrams,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    benches = {
+        b: d.filter(F.col("doc_id") % m == 0) for b, m in _Q160_BENCHES.items()
+    }
+    corpus = d
+    for m in _Q160_BENCHES.values():
+        corpus = corpus.filter(F.col("doc_id") % m != 0)
+    tagged = maybe_checkpoint(tagged_eval_ngrams(benches))
+    return multi_contamination_counts(
+        corpus, tagged, list(_Q160_BENCHES)
+    ).orderBy("doc_id")

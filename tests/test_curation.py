@@ -617,3 +617,38 @@ def test_q158_hard_negatives_exclude_neardup_cluster(spark, tmp_path):
     # vec 2's own cluster-mate 3 is excluded from ITS negatives too
     negs2 = [v for _, v, _ in sorted(out[2])]
     assert 3 not in negs2 and 0 in negs2
+
+
+def test_multi_benchmark_decon_flags_per_registry_entry(spark):
+    """A corpus doc sharing a 13-gram with benchmark A (only) is
+    flagged for A alone; overlap with several benchmarks raises
+    n_benchmarks_hit; clean docs keep=1."""
+    from ml_with_spark_streaming_spark.operators.decontaminate import (
+        multi_contamination_counts,
+        tagged_eval_ngrams,
+    )
+
+    run_a = " ".join(f"alpha{i}" for i in range(13))
+    run_b = " ".join(f"beta{i}" for i in range(13))
+    benches = {
+        "a": spark.createDataFrame([(900, run_a)], "doc_id long, text string"),
+        "b": spark.createDataFrame([(901, run_b)], "doc_id long, text string"),
+    }
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {run_a} trailing text"),          # hits A only
+            (2, f"{run_a} middle {run_b}"),                     # hits both
+            (3, " ".join(f"clean{i}" for i in range(20))),      # clean
+        ],
+        "doc_id long, text string",
+    )
+    tagged = tagged_eval_ngrams(benches)
+    out = {
+        r.doc_id: r
+        for r in multi_contamination_counts(corpus, tagged, ["a", "b"]).collect()
+    }
+    assert out[1].n_hit_a > 0 and out[1].n_hit_b == 0
+    assert out[1].n_benchmarks_hit == 1 and out[1].keep == 0
+    assert out[2].n_hit_a > 0 and out[2].n_hit_b > 0
+    assert out[2].n_benchmarks_hit == 2 and out[2].keep == 0
+    assert out[3].n_hit_a == 0 and out[3].n_hit_b == 0 and out[3].keep == 1

@@ -400,6 +400,15 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "replay re-derives the count table per role (the q131/q135 occurrence-table "
         "shape).",
     ),
+    "q160_benchmark_registry_decon": (
+        frozenset({"DupFactScan"}),
+        "q132's testdata artifact at the registry level: the three 'benchmarks' are "
+        "disjoint doc_id%m pushed-filter slices of documents, so each registry entry's "
+        "gram build plus the corpus pass and its doc spine read one table; in "
+        "production every benchmark is a separate benchmark-sized table (one scan "
+        "each, broadcast) and the CORPUS is scanned once — the registry point of the "
+        "query. Tagged gram table maybe_checkpoint-materialized at runtime.",
+    ),
     "q132_semantic_decontamination": (
         frozenset({"DupFactScan"}),
         "q101's testdata artifact at the embedding level: eval slice (vec_id<20) and "
