@@ -20,3 +20,34 @@ def spark():
     s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
     yield s
     s.stop()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _session_hygiene_between_modules():
+    """The suite shares ONE JVM across ~35 modules; leaked state
+    degrades it superlinearly — a still-running processing-time
+    stream re-plans every trigger forever, and every leaked
+    persist()/cache() entry makes CacheManager.lookupCachedData
+    compare one more plan tree against EVERY subtree of EVERY later
+    query (analysis was measured minutes-per-query by test ~75,
+    indistinguishable from a hang). Stop strays and clear the cache
+    at module boundaries; unreferenced localCheckpoint blocks and
+    broadcasts then fall to the ContextCleaner via gc."""
+    yield
+    import gc
+
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return
+    for q in list(s.streams.active):
+        try:
+            q.stop()
+        except Exception:
+            pass
+    try:
+        s.catalog.clearCache()
+    except Exception:
+        pass
+    gc.collect()

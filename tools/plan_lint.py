@@ -57,20 +57,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.001"
 SHOW_SCANS = "--scans" in sys.argv
+ONLY: set[str] = set()
 
-# Make checkpoint-hidden lineage visible: localCheckpoint replaces the
-# logical plan with a LogicalRDD at construction time, which would hide
-# every scan upstream of it from the DupFactScan rule (and waivers for
-# those queries would silently never fire). Query code routes
-# non-iterative checkpoints through lineage.maybe_checkpoint, which
-# honors this flag; the iterative CC loop keeps real checkpoints (it
-# cannot run without lineage truncation).
-os.environ["SPARK_GRAFT_NO_CHECKPOINT"] = "1"
-args = [a for a in sys.argv[1:] if a != "--scans"]
-if args and os.path.isdir(args[0]):
-    SF_DIR = args[0]
-    args = args[1:]
-ONLY = set(args)
+
+def _script_mode_setup() -> None:
+    """Called from main() ONLY. Parses argv and — critically — sets
+    SPARK_GRAFT_NO_CHECKPOINT=1 so checkpoint-hidden lineage is
+    visible to the DupFactScan rule (localCheckpoint replaces the
+    logical plan with a LogicalRDD at construction time; waivers
+    would otherwise silently never fire).
+
+    This MUST NOT run at import time: tests/test_plan_lint.py imports
+    this module for the rule helpers, and pytest collects that file
+    at SUITE START — an import-time env set would disable every
+    maybe_checkpoint for the whole shared-session test run. That is
+    not hypothetical: with truncation off, the round-5 streaming-gate
+    plans (grow-on-accept index unions, per-batch composition) grow
+    so deep that Catalyst analysis of test ~75 burns CPU for tens of
+    minutes — a full-suite run looks permanently hung at
+    test_ingest_dedup_stream while the same tests pass standalone."""
+    global SF_DIR, ONLY
+    os.environ["SPARK_GRAFT_NO_CHECKPOINT"] = "1"
+    args = [a for a in sys.argv[1:] if a != "--scans"]
+    if args and os.path.isdir(args[0]):
+        SF_DIR = args[0]
+        args = args[1:]
+    ONLY = set(args)
 
 # query -> (waived patterns, reason): a waiver covers ONLY the named
 # patterns, so a different anti-pattern creeping into a waived query
@@ -551,6 +563,8 @@ def global_window_hits(plan: str) -> list[str]:
 
 
 def main() -> None:
+    _script_mode_setup()  # env flag + argv — NEVER at import time
+
     from ml_with_spark_streaming_spark.plans import QUERIES
     from ml_with_spark_streaming_spark.session import get_spark
 
