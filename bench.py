@@ -91,7 +91,10 @@ HEADLINE = [
     "q155_fuzzy_name_pairs",
     "q156_segment_quality_rewrite",
     "q157_utf8_hygiene",
-    "q158_hard_negatives",
+    # q158 stays out: it is a capped-EXACT oracle twin (all-pairs
+    # cosine + CC on the vec_id<1000 slice, like q51/q54/q99 which are
+    # also not benched); its scale path is the q106 IVF probe + q100
+    # LSH-gated components already measured via q90.
     "q159_scd2_asof",
 ]
 
