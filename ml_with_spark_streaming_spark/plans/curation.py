@@ -2856,3 +2856,72 @@ def q160_benchmark_registry_decon(spark: SparkSession, sf_dir: str) -> DataFrame
     return multi_contamination_counts(
         corpus, tagged, list(_Q160_BENCHES)
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q161 — cross-source duplication matrix (who copies whom), counts-only
+# ---------------------------------------------------------------------------
+
+Q161_SQL = f"""
+WITH fp AS (
+  SELECT source,
+         md5(array_to_string(string_split({CLEAN_SQL}, ' ')[1:8], ' ')) AS f
+  FROM documents
+),
+cnt AS (SELECT f, source, CAST(COUNT(*) AS BIGINT) AS c FROM fp GROUP BY f, source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         SUM(CASE WHEN a.source = b.source
+                  THEN a.c * (a.c - 1) // 2
+                  ELSE a.c * b.c END) AS dup_pairs
+  FROM cnt a JOIN cnt b
+    ON a.f = b.f AND a.source <= b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(dup_pairs AS BIGINT) AS dup_pairs
+FROM pairs WHERE dup_pairs > 0
+ORDER BY source_a, source_b
+"""
+
+
+@query("q161_source_duplication_matrix", Q161_SQL)
+def q161_source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — which ingestion sources copy
+    each other (mirror sites, syndication, re-crawls): for every
+    source pair, how many duplicate-document pairs share a q46
+    fingerprint, computed from per-(fingerprint, source) COUNTS only
+    — cross pairs are c_a·c_b and within-source pairs C(c,2), so no
+    document pair is ever materialized and a boilerplate fingerprint
+    shared by a million docs costs two count rows, not 10^12 join
+    rows. The q142 governance scorecard's off-diagonal companion.
+
+    Scale shape: one fingerprint-keyed count groupBy (the q46
+    shuffle), then a self-join of the per-source COUNT table on the
+    fingerprint — duplicate-group-bounded, orders of magnitude
+    smaller than the corpus — and one final small groupBy.
+    """
+    from ml_with_spark_streaming_spark.operators.textstats import fingerprint_expr
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", fingerprint_expr("text", 8).alias("f")
+    )
+    cnt = maybe_checkpoint(
+        d.groupBy("f", "source").agg(F.count("*").cast("long").alias("c"))
+    )
+    a = cnt.select("f", F.col("source").alias("source_a"), F.col("c").alias("ca"))
+    b = cnt.select("f", F.col("source").alias("source_b"), F.col("c").alias("cb"))
+    return (
+        a.join(b, "f")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .withColumn(
+            "pp",
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                F.expr("ca * (ca - 1) DIV 2"),  # always even; stays BIGINT
+            ).otherwise(F.col("ca") * F.col("cb")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("pp").cast("long").alias("dup_pairs"))
+        .filter(F.col("dup_pairs") > 0)
+        .orderBy("source_a", "source_b")
+    )

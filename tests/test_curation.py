@@ -652,3 +652,38 @@ def test_multi_benchmark_decon_flags_per_registry_entry(spark):
     assert out[2].n_hit_a > 0 and out[2].n_hit_b > 0
     assert out[2].n_benchmarks_hit == 2 and out[2].keep == 0
     assert out[3].n_hit_a == 0 and out[3].n_hit_b == 0 and out[3].keep == 1
+
+
+def test_q161_duplication_matrix_counts_only_math(spark, tmp_path):
+    """Cross pairs = c_a*c_b, within pairs = C(c,2), computed from
+    counts without materializing document pairs."""
+    import os
+
+    from ml_with_spark_streaming_spark.plans.curation import (
+        q161_source_duplication_matrix,
+    )
+
+    # letters only: the q40 cleaner strips digits, so digit-suffixed
+    # "unique" tokens would collide into one fingerprint
+    boiler = " ".join(f"tok{chr(97 + i)}" for i in range(10))
+    uniq = lambda k: " ".join(  # noqa: E731
+        f"u{chr(107 + k)}w{chr(97 + i)}" for i in range(10)
+    )
+    rows = (
+        # boilerplate: 3 copies in src1, 2 in src2 -> within1 C(3,2)=3,
+        # within2 C(2,2)=1, cross 3*2=6
+        [(i, boiler, "en", "src1", 1) for i in range(3)]
+        + [(10 + i, boiler, "en", "src2", 1) for i in range(2)]
+        + [(20, uniq(1), "en", "src1", 1), (21, uniq(2), "en", "src3", 1)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {
+        (r.source_a, r.source_b): r.dup_pairs
+        for r in q161_source_duplication_matrix(spark, d).collect()
+    }
+    assert got == {("src1", "src1"): 3, ("src1", "src2"): 6, ("src2", "src2"): 1}

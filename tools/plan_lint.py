@@ -387,6 +387,13 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "is the doc_id-only spine join-back (column-pruned). At scale the 512-row weight "
         "table is a persisted trusted-corpus artifact.",
     ),
+    "q161_source_duplication_matrix": (
+        frozenset({"DupFactScan"}),
+        "visible only under SPARK_GRAFT_NO_CHECKPOINT: the a/b sides of the pair "
+        "count join both read one maybe_checkpoint-materialized (fingerprint, "
+        "source, count) table at runtime — one documents scan; lint's full-lineage "
+        "replay re-derives the count table per side.",
+    ),
     "q158_hard_negatives": (
         frozenset({"DupFactScan"}),
         "q99's waived two-role edge shape (pair stage a/b sides) plus the anchor and "
