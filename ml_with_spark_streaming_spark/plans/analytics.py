@@ -1379,3 +1379,62 @@ def q159_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "version", "value_cents", "valid_from_us")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q162 — mergeable distinct sketches (incremental approx-distinct maintenance)
+# ---------------------------------------------------------------------------
+
+
+@query("q162_mergeable_distinct_sketches")  # no oracle: DataSketches HLL is Spark-side
+def q162_mergeable_distinct_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q151's incremental-MV discipline applied to APPROXIMATE
+    distinct counts: per event type, build one DataSketches HLL
+    sketch PER DAY (``hll_sketch_agg``), then answer the whole-range
+    distinct-user question by UNIONING the stored daily sketches
+    (``hll_union_agg``) — never rescanning the raw events. Both the
+    union-of-daily estimate and the direct whole-range estimate must
+    honor HLL's error contract vs the exact distinct (lgK=12 →
+    RSE ≈ 1.04/√4096 ≈ 1.6%; the test pins ±3σ). The two estimates
+    need NOT be bit-equal — DataSketches' union gadget and a directly
+    built sketch can promote sparse→dense differently — which is
+    exactly why the contract is error-bounded, not equality
+    (``tests/test_analytics.py::test_q162_sketch_merge_invariant``).
+
+    Output per event_type: the union-of-daily estimate, the
+    direct whole-range estimate, the exact distinct count, and
+    n_days (all BIGINT). Rows-only check: DuckDB's approx sketches
+    are a different implementation — the invariant test is the
+    correctness evidence (the q109/q119 rationale).
+
+    Scale shape: daily sketches are the STORED artifact (a few KB per
+    (day, type) row); the day's raw events are scanned once when the
+    partition lands, and every later rollup — month, quarter, ad-hoc
+    range — is a sketch-union over the tiny artifact table. This is
+    how a 100 TB events table answers distinct-count dashboards
+    without rescans.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    ev = maybe_checkpoint(ev)
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_union"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+        .cast("long")
+        .alias("est_direct"),
+        F.count_distinct("user_id").cast("long").alias("exact_distinct"),
+    )
+    return (
+        merged.join(direct, "event_type")
+        .select("event_type", "est_union", "est_direct", "exact_distinct", "n_days")
+        .orderBy("event_type")
+    )

@@ -262,3 +262,40 @@ def test_q154_scd2_delete_semantics(spark, tmp_path):
     # latest-wins MERGE snapshot == the is_current slice
     snap = {r.user_id: r.value_cents for r in out if r.is_current == 1}
     assert snap == {2: 400, 3: 500}
+
+
+def test_q162_sketch_merge_invariant(spark, tmp_path):
+    """Mergeability contract: BOTH the union-of-daily estimate and
+    the direct whole-range estimate sit within HLL's ±3σ error bound
+    (lgK=12 → RSE ~1.6%) of the exact distinct, at a cardinality
+    where HLL actually approximates. The two estimates are NOT
+    required to be bit-equal (the union gadget and a direct sketch
+    promote sparse→dense differently) — the bound is the contract."""
+    import datetime as dt
+    import os
+
+    from ml_with_spark_streaming_spark.plans.analytics import (
+        q162_mergeable_distinct_sketches,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(1, 11):                    # 10 days
+        for u in range(d * 3000, d * 3000 + 5000):   # 5k users/day, overlapping
+            rows.append(
+                (eid, dt.datetime(2024, 3, d, eid % 24, 0, 0), u, "view", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double, props: string",
+    )
+    d = str(tmp_path)
+    df.coalesce(2).write.parquet(os.path.join(d, "events.parquet"))
+
+    row = q162_mergeable_distinct_sketches(spark, d).collect()[0]
+    assert row.n_days == 10
+    assert row.exact_distinct == 9 * 3000 + 5000    # 32000 true distinct
+    bound = 3 * 0.016 * row.exact_distinct          # 3σ at lgK=12
+    assert abs(row.est_union - row.exact_distinct) <= bound
+    assert abs(row.est_direct - row.exact_distinct) <= bound

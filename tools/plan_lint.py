@@ -387,6 +387,15 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "is the doc_id-only spine join-back (column-pruned). At scale the 512-row weight "
         "table is a persisted trusted-corpus artifact.",
     ),
+    "q162_mergeable_distinct_sketches": (
+        frozenset({"DupFactScan"}),
+        "visible only under SPARK_GRAFT_NO_CHECKPOINT: the daily-sketch branch and "
+        "the direct/exact audit branch read one maybe_checkpoint-materialized "
+        "(type, day, user) projection at runtime. The direct+exact branch exists "
+        "only to AUDIT the union path; production stores the daily sketches and "
+        "answers rollups from the artifact table alone — one scan per day "
+        "partition, ever.",
+    ),
     "q161_source_duplication_matrix": (
         frozenset({"DupFactScan"}),
         "visible only under SPARK_GRAFT_NO_CHECKPOINT: the a/b sides of the pair "
