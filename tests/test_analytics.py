@@ -299,3 +299,39 @@ def test_q162_sketch_merge_invariant(spark, tmp_path):
     bound = 3 * 0.016 * row.exact_distinct          # 3σ at lgK=12
     assert abs(row.est_union - row.exact_distinct) <= bound
     assert abs(row.est_direct - row.exact_distinct) <= bound
+
+
+def test_q162_sketches_round_trip_through_parquet(spark, tmp_path):
+    """The at-scale story is a STORED artifact table: daily sketch
+    binaries must survive a parquet write/read and union to the same
+    estimate as the in-memory path."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, dt.datetime(2024, 3, 1 + i % 5, 0, 0, 0), i % 7000, "view", 1.0, "{}")
+        for i in range(20000)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double, props: string",
+    ).select("event_type", F.to_date("ts").alias("day"), "user_id")
+
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    mem = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est")
+    ).collect()[0]["est"]
+
+    art = os.path.join(str(tmp_path), "daily_sketches.parquet")
+    daily.write.parquet(art)
+    disk = (
+        spark.read.parquet(art)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est"))
+        .collect()[0]["est"]
+    )
+    assert disk == mem  # identical binaries -> identical union estimate
