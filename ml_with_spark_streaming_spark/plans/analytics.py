@@ -1438,3 +1438,82 @@ def q162_mergeable_distinct_sketches(spark: SparkSession, sf_dir: str) -> DataFr
         .select("event_type", "est_union", "est_direct", "exact_distinct", "n_days")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — temporal join: enrich facts with the SCD2 state in effect at event time
+# ---------------------------------------------------------------------------
+
+Q163_SQL = """
+WITH chg AS (
+  SELECT user_id, event_id, event_type, ts,
+         epoch_us(ts) AS from_us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_us
+  FROM events
+),
+hist AS (
+  SELECT user_id, value_cents, from_us, to_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY from_us, event_id) AS version
+  FROM chg WHERE event_type <> 'error'
+),
+facts AS (
+  SELECT event_id, user_id, epoch_us(ts) AS at_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id,
+       CAST(h.version AS BIGINT) AS version,
+       h.value_cents AS state_cents
+FROM facts f
+LEFT JOIN hist h
+  ON h.user_id = f.user_id
+ AND h.from_us <= f.at_us
+ AND (h.to_us IS NULL OR h.to_us > f.at_us)
+ORDER BY f.event_id
+"""
+
+
+@query("q163_scd2_temporal_join", Q163_SQL)
+def q163_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer side of SCD2 — the Kimball temporal join: every
+    purchase fact is enriched with the dimension version IN EFFECT at
+    its event time (``valid_from <= ts < valid_to``). A fact landing
+    while the entity was deleted (its interval closed by a delete
+    marker) gets NULL state — exactly what a correct history join
+    must produce, and what a naive latest-value join silently gets
+    wrong. Composes the shared ``_scd2_history`` lineage (a purchase
+    is itself a change record, so it sees its own version — [from, to)
+    semantics make the boundary deterministic).
+
+    Scale shape: ONE hash join on the entity key; the interval
+    predicate filters inside the join (history rows per entity are
+    version-count-sized, so the per-key fan-out is bounded). Against
+    a STORED history table this is the q29 as-of shape with explicit
+    validity intervals.
+    """
+    h = _scd2_history(spark, sf_dir).select(
+        "user_id",
+        "version",
+        F.col("value_cents").alias("state_cents"),
+        "valid_from_us",
+        "valid_to_us",
+    )
+    f = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", F.unix_micros("ts").alias("at_us"))
+    return (
+        f.join(
+            h,
+            (f["user_id"] == h["user_id"])
+            & (h["valid_from_us"] <= f["at_us"])
+            & (h["valid_to_us"].isNull() | (h["valid_to_us"] > f["at_us"])),
+            "left",
+        )
+        .select(
+            "event_id",
+            f["user_id"].alias("user_id"),
+            "version",
+            "state_cents",
+        )
+        .orderBy("event_id")
+    )

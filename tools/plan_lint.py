@@ -387,6 +387,13 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "is the doc_id-only spine join-back (column-pruned). At scale the 512-row weight "
         "table is a persisted trusted-corpus artifact.",
     ),
+    "q163_scd2_temporal_join": (
+        frozenset({"DupFactScan"}),
+        "testdata artifact: the changelog (SCD2 history source) and the fact stream "
+        "are disjoint filter roles of one events table; in production the history is "
+        "a STORED dimension table (the q154/streaming-scd2 artifact) and facts scan "
+        "once — the query exists to pin the interval-join semantics.",
+    ),
     "q162_mergeable_distinct_sketches": (
         frozenset({"DupFactScan"}),
         "visible only under SPARK_GRAFT_NO_CHECKPOINT: the daily-sketch branch and "
