@@ -96,6 +96,7 @@ HEADLINE = [
     # also not benched); its scale path is the q106 IVF probe + q100
     # LSH-gated components already measured via q90.
     "q159_scd2_asof",
+    "q163_scd2_temporal_join",
 ]
 
 
