@@ -201,3 +201,73 @@ class StreamingScd2:
             trigger_seconds=trigger_seconds,
             available_now=available_now,
         )
+
+
+@dataclass
+class StreamingTemporalEnricher:
+    """The consumer side of the maintained SCD2 state: each micro-batch
+    of FACTS is enriched with the dimension version in effect at its
+    event time (q163's interval join, run against the maintainer's
+    stored history instead of a recomputed one). Facts landing in a
+    deleted window get NULL state.
+
+    Correctness contract (pinned by ``tests/test_scd2_stream.py``):
+    after the maintainer has applied all changes up to time T, a fact
+    batch with timestamps <= T enriches IDENTICALLY to q163 recomputed
+    over the full changelog — the stored history IS the recompute
+    (the maintainer's invariant), so the join inherits it.
+
+    Scale shape per batch: one entity-keyed hash join between the
+    batch and the affected slice of the history (semi-join pruned);
+    the interval predicate filters inside the join.
+    """
+
+    scd2: StreamingScd2
+    history: list[dict] = field(default_factory=list)
+    on_enriched: object = None
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        facts = batch_df.select(
+            "event_id", "user_id", F.unix_micros("ts").alias("at_us")
+        )
+        hist = self.scd2.snapshot(spark)
+        # prune history to the batch's entities before the join
+        hist = hist.join(
+            F.broadcast(facts.select("user_id").distinct()), "user_id", "semi"
+        )
+        enriched = facts.join(
+            hist,
+            (facts["user_id"] == hist["user_id"])
+            & (hist["valid_from_us"] <= facts["at_us"])
+            & (hist["valid_to_us"].isNull() | (hist["valid_to_us"] > facts["at_us"])),
+            "left",
+        ).select(
+            "event_id",
+            facts["user_id"].alias("user_id"),
+            "version",
+            F.col("value_cents").alias("state_cents"),
+        )
+        enriched = enriched.localCheckpoint(eager=True)
+        n = enriched.count()
+        n_matched = enriched.filter(F.col("version").isNotNull()).count()
+        self.history.append(
+            {"batch_id": batch_id, "n_facts": int(n), "n_matched": int(n_matched)}
+        )
+        if self.on_enriched is not None:
+            self.on_enriched(enriched, batch_id)
+
+    def attach(
+        self,
+        stream_df: DataFrame,
+        checkpoint: str | None = None,
+        available_now: bool = False,
+        trigger_seconds: int = 5,
+    ) -> StreamingQuery:
+        return attach_foreach_batch(
+            stream_df,
+            self.process_batch,
+            checkpoint=checkpoint,
+            trigger_seconds=trigger_seconds,
+            available_now=available_now,
+        )

@@ -121,3 +121,40 @@ def test_state_survives_maintainer_restart(spark, tmp_path):
         [r for b in batches for r in b], _EV_SCHEMA
     ).coalesce(1).write.parquet(os.path.join(union_dir, "events.parquet"))
     assert _rows(m2.snapshot(spark)) == _rows(q154_scd2_history(spark, union_dir))
+
+
+def test_temporal_enricher_matches_q163(spark, tmp_path):
+    """Enriching fact batches against the MAINTAINED history equals
+    q163 recomputed over the full changelog (the state invariant
+    carries through the interval join)."""
+    import os
+
+    from ml_with_spark_streaming_spark.plans.analytics import q163_scd2_temporal_join
+    from ml_with_spark_streaming_spark.streaming.scd2 import StreamingTemporalEnricher
+
+    batches = _batches()
+    m = StreamingScd2(state_dir=str(tmp_path / "state"))
+    for bid, rows in enumerate(batches):
+        m.process_batch(spark.createDataFrame(rows, _EV_SCHEMA), bid)
+
+    enr = StreamingTemporalEnricher(scd2=m)
+    got = {}
+    enr.on_enriched = lambda df, bid: got.update(
+        {r.event_id: (r.user_id, r.version, r.state_cents) for r in df.collect()}
+    )
+    # facts = the purchase events of the same changelog, in two batches
+    all_rows = [r for b in batches for r in b]
+    purchases = [r for r in all_rows if r[3] == "purchase"]
+    enr.process_batch(spark.createDataFrame(purchases[:1], _EV_SCHEMA), 0)
+    enr.process_batch(spark.createDataFrame(purchases[1:], _EV_SCHEMA), 1)
+
+    union_dir = str(tmp_path / "union")
+    spark.createDataFrame(all_rows, _EV_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(union_dir, "events.parquet")
+    )
+    want = {
+        r.event_id: (r.user_id, r.version, r.state_cents)
+        for r in q163_scd2_temporal_join(spark, union_dir).collect()
+    }
+    assert got == want
+    assert [h["n_facts"] for h in enr.history] == [1, len(purchases) - 1]
