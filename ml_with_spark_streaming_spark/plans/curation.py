@@ -2925,3 +2925,134 @@ def q161_source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("dup_pairs") > 0)
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q164 — dedup selection-bias audit: removal rate per quality decile
+# ---------------------------------------------------------------------------
+
+Q164_SQL = f"""
+WITH qc AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS na,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS np,
+         least(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END, 50) AS wcap,
+         md5(array_to_string(string_split({CLEAN_SQL}, ' ')[1:8], ' ')) AS fp
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, fp,
+         CASE WHEN n > 0
+              THEN (250*na + 100*(n - np) + 3*wcap*n) * 10000 // (500*n)
+              ELSE 2000 END AS score_x10000
+  FROM qc
+),
+ranked AS (
+  SELECT doc_id, score_x10000,
+         ROW_NUMBER() OVER (ORDER BY score_x10000, doc_id) AS rn,
+         COUNT(*) OVER () AS n_total,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) > 1 AS removed
+  FROM scored
+)
+SELECT CAST((rn - 1) * 10 // n_total + 1 AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+         AS removed_x10000
+FROM ranked GROUP BY 1 ORDER BY decile
+"""
+
+
+@query("q164_dedup_bias_audit", Q164_SQL)
+def q164_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-bias audit for the dedup stage: per GLOBAL quality
+    decile, how many documents exact dedup (q46 keep-first) would
+    remove — the check that a filter stage is not disproportionately
+    deleting one stratum (dedup that mostly eats low-quality docs is
+    doing quality filtering by accident; one that eats high-quality
+    docs is losing signal). Strata audits like this run after every
+    destructive stage of a production corpus build.
+
+    Engine-exact: the quality score is the UNROUNDED q45 rational
+    floored at 4 decimals in pure integers (num·10⁴ DIV den), the
+    decile is exact-rank arithmetic ((rn−1)·10 DIV n), the rate is an
+    integer rational ×10⁴ — no doubles anywhere.
+
+    Scale shape: the global ranking uses q33's two-phase pattern —
+    ``repartitionByRange`` on the (score, id) total order, local
+    row_number per range partition, offsets prefix-summed over the
+    P-row count table and broadcast back; NO partition-less window
+    ever touches the data. The removed flag is q46's fingerprint
+    window (duplicate-group-sized partitions).
+    """
+    from ml_with_spark_streaming_spark.operators.textstats import (
+        char_counts,
+        fingerprint_expr,
+        whitespace_token_count_expr,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cc = char_counts("text")
+    n = cc["n_chars"].cast("long")
+    na = cc["n_alpha"].cast("long")
+    np_ = cc["n_punct"].cast("long")
+    wcap = F.least(whitespace_token_count_expr("text"), F.lit(50)).cast("long")
+    num = 250 * na + 100 * (n - np_) + 3 * wcap * n
+    scored = d.select(
+        "doc_id",
+        fingerprint_expr("text", 8).alias("fp"),
+        num.alias("_num"),
+        (500 * n).alias("_den"),
+    ).selectExpr(
+        "doc_id",
+        "fp",
+        # pure-integer floor division, no doubles anywhere
+        "CASE WHEN _den > 0 THEN (_num * 10000) DIV _den ELSE 2000 END AS score_x10000",
+    )
+    scored = maybe_checkpoint(scored)
+
+    w_fp = W.partitionBy("fp").orderBy("doc_id")
+    flagged = scored.withColumn(
+        "removed", (F.row_number().over(w_fp) > 1).cast("int")
+    )
+
+    parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    ranged = flagged.repartitionByRange(
+        parts, "score_x10000", "doc_id"
+    ).withColumn("_pid", F.spark_partition_id())
+    w_pid = W.orderBy("_pid")
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"))
+        .select(
+            "_pid",
+            F.coalesce(
+                F.sum("_cnt").over(w_pid.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("_off"),
+            F.sum("_cnt")
+            .over(w_pid.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+            .alias("_n"),
+        )
+    )
+    w_local = W.partitionBy("_pid").orderBy("score_x10000", "doc_id")
+    ranked = ranged.join(F.broadcast(offsets), "_pid").select(
+        "removed",
+        (F.col("_off") + F.row_number().over(w_local)).alias("_rn"),
+        "_n",
+    )
+    return (
+        ranked.groupBy(
+            (F.expr("(_rn - 1) * 10 DIV _n") + 1).cast("long").alias("decile")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("removed").cast("long").alias("n_removed"),
+        )
+        .withColumn(
+            "removed_x10000", F.expr("n_removed * 10000 DIV n_docs").cast("long")
+        )
+        .orderBy("decile")
+    )

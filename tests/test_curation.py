@@ -687,3 +687,38 @@ def test_q161_duplication_matrix_counts_only_math(spark, tmp_path):
         for r in q161_source_duplication_matrix(spark, d).collect()
     }
     assert got == {("src1", "src1"): 3, ("src1", "src2"): 6, ("src2", "src2"): 1}
+
+
+def test_q164_bias_audit_removal_lands_in_right_decile(spark, tmp_path):
+    """Duplicates of a LOW-quality doc must show up as removals in the
+    low deciles and leave the high deciles untouched; counts per
+    decile follow exact-rank arithmetic."""
+    import os
+
+    from ml_with_spark_streaming_spark.plans.curation import q164_dedup_bias_audit
+
+    junk = "!!! ??? %%% ### $$$ @@@ ^^^ &&& *** ((("
+    good = lambda k: " ".join(  # noqa: E731
+        f"qual{chr(107 + k)}word{chr(97 + i)}" for i in range(12)
+    )
+    rows = (
+        # 5 copies of one junk doc (lowest scores): 4 removals
+        [(i, junk, "en", "s", 40) for i in range(5)]
+        + [(10 + k, good(k), "en", "s", 100) for k in range(15)]  # unique good docs
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    out = {r.decile: r for r in q164_dedup_bias_audit(spark, d).collect()}
+    assert sum(r.n_docs for r in out.values()) == 20
+    assert all(r.n_docs == 2 for r in out.values())  # 20 docs -> 2 per decile
+    # the 5 junk copies occupy ranks 1-5 (deciles 1..3); rank 1 is the
+    # KEPT first occurrence, so removals land [1, 2, 1] across
+    # deciles 1-3 and never in the high deciles
+    assert sum(r.n_removed for r in out.values()) == 4
+    assert (out[1].n_removed, out[2].n_removed, out[3].n_removed) == (1, 2, 1)
+    assert out[2].removed_x10000 == 10000  # both docs in decile 2 removed
+    assert all(out[dc].n_removed == 0 for dc in range(4, 11))

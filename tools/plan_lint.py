@@ -387,6 +387,13 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "is the doc_id-only spine join-back (column-pruned). At scale the 512-row weight "
         "table is a persisted trusted-corpus artifact.",
     ),
+    "q164_dedup_bias_audit": (
+        frozenset({"DupFactScan"}),
+        "visible only under SPARK_GRAFT_NO_CHECKPOINT: the range-partition offset "
+        "branch and the ranked branch of the q33 two-phase global ranking both read "
+        "one maybe_checkpoint-materialized (doc, fp, score) table at runtime — one "
+        "documents scan (q98's bucket-offset shape).",
+    ),
     "q163_scd2_temporal_join": (
         frozenset({"DupFactScan"}),
         "testdata artifact: the changelog (SCD2 history source) and the fact stream "
