@@ -97,6 +97,7 @@ HEADLINE = [
     # LSH-gated components already measured via q90.
     "q159_scd2_asof",
     "q163_scd2_temporal_join",
+    "q164_dedup_bias_audit",
 ]
 
 
