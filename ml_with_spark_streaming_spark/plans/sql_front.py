@@ -76,6 +76,7 @@ SQL_RUNNABLE: tuple[str, ...] = (
     "q87_waiting_suppliers",
     "q94_funnel_steps",
     "q122_crossmodal_integrity",
+    "q155_fuzzy_name_pairs",
 )
 
 
