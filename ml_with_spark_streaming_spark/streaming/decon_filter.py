@@ -24,6 +24,8 @@ from ml_with_spark_streaming_spark.operators.decontaminate import (
     DEFAULT_NGRAM,
     contamination_counts,
     eval_ngrams,
+    multi_contamination_counts,
+    tagged_eval_ngrams,
 )
 from ml_with_spark_streaming_spark.streaming.foreach import attach_foreach_batch
 
@@ -40,6 +42,10 @@ class StreamingDecontaminationFilter:
     id_col: str = "doc_id"
     text_col: str = "text"
     n: int = DEFAULT_NGRAM
+    # registry mode (q160): eval_grams is the TAGGED gram table (one
+    # 0/1 flag column per benchmark) and history rows carry per-
+    # benchmark doc-hit counts; keep stays strict (clean of ALL)
+    bench_names: list[str] | None = None
     on_kept: object = None
     history: list[dict] = field(default_factory=list)
 
@@ -50,30 +56,75 @@ class StreamingDecontaminationFilter:
         grams = maybe_checkpoint(eval_ngrams(eval_df, text_col, n))
         return cls(eval_grams=grams, text_col=text_col, n=n, **kw)
 
+    @classmethod
+    def from_registry(
+        cls,
+        benchmarks: dict[str, DataFrame],
+        text_col: str = "text",
+        n: int = DEFAULT_NGRAM,
+        **kw,
+    ) -> "StreamingDecontaminationFilter":
+        """q160's benchmark-registry mode: screen every micro-batch
+        against EVERY registered eval set in one pass — the tagged
+        gram table broadcasts once, each benchmark costs one
+        conditional sum, and the per-batch history attributes hits
+        per benchmark (which eval set is leaking into the feed)."""
+        tagged = maybe_checkpoint(tagged_eval_ngrams(benchmarks, text_col, n))
+        return cls(
+            eval_grams=tagged,
+            bench_names=list(benchmarks),
+            text_col=text_col,
+            n=n,
+            **kw,
+        )
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        counts = contamination_counts(
-            batch_df, self.eval_grams, self.text_col, self.id_col, self.n
-        )
-        flagged = batch_df.join(
-            counts.select(self.id_col, "keep"), self.id_col
-        ).persist()
+        if self.bench_names is None:
+            counts = contamination_counts(
+                batch_df, self.eval_grams, self.text_col, self.id_col, self.n
+            )
+            keep_cols = [self.id_col, "keep"]
+            extra_aggs = []
+        else:
+            counts = multi_contamination_counts(
+                batch_df,
+                self.eval_grams,
+                self.bench_names,
+                self.text_col,
+                self.id_col,
+                self.n,
+            )
+            keep_cols = [self.id_col, "keep"] + [
+                f"n_hit_{b}" for b in self.bench_names
+            ]
+            extra_aggs = [
+                F.sum((F.col(f"n_hit_{b}") > 0).cast("long")).alias(f"docs_hit_{b}")
+                for b in self.bench_names
+            ]
+        flagged = batch_df.join(counts.select(*keep_cols), self.id_col).persist()
         try:
             agg = flagged.agg(
                 F.count("*").alias("n"),
                 F.sum((F.col("keep") == 0).cast("long")).alias("dirty"),
+                *extra_aggs,
             ).collect()[0]
-            self.history.append(
-                {
-                    "batch_id": batch_id,
-                    "n_docs": int(agg["n"]),
-                    "n_contaminated": int(agg["dirty"] or 0),
-                    "n_kept": int(agg["n"]) - int(agg["dirty"] or 0),
-                }
-            )
+            row = {
+                "batch_id": batch_id,
+                "n_docs": int(agg["n"]),
+                "n_contaminated": int(agg["dirty"] or 0),
+                "n_kept": int(agg["n"]) - int(agg["dirty"] or 0),
+            }
+            if self.bench_names is not None:
+                for b in self.bench_names:
+                    row[f"docs_hit_{b}"] = int(agg[f"docs_hit_{b}"] or 0)
+            self.history.append(row)
             if self.on_kept is not None:
-                self.on_kept(flagged.filter("keep = 1").drop("keep"), batch_id)
+                kept = flagged.filter("keep = 1").drop("keep")
+                for b in self.bench_names or []:
+                    kept = kept.drop(f"n_hit_{b}")
+                self.on_kept(kept, batch_id)
         finally:
             flagged.unpersist()
 

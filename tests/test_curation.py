@@ -722,3 +722,52 @@ def test_q164_bias_audit_removal_lands_in_right_decile(spark, tmp_path):
     assert (out[1].n_removed, out[2].n_removed, out[3].n_removed) == (1, 2, 1)
     assert out[2].removed_x10000 == 10000  # both docs in decile 2 removed
     assert all(out[dc].n_removed == 0 for dc in range(4, 11))
+
+
+def test_streaming_registry_decon_attributes_hits_per_benchmark(spark):
+    """The q160 registry mode of the streaming decon gate: strict keep
+    (clean of ALL registered eval sets) must equal the batch operator,
+    and per-batch history must attribute contaminated docs to the
+    right benchmark."""
+    from ml_with_spark_streaming_spark.operators.decontaminate import (
+        multi_contamination_counts,
+        tagged_eval_ngrams,
+    )
+    from ml_with_spark_streaming_spark.streaming.decon_filter import (
+        StreamingDecontaminationFilter,
+    )
+
+    run_a = " ".join(f"alphagram{chr(97 + i)}" for i in range(13))
+    run_b = " ".join(f"betagram{chr(97 + i)}" for i in range(13))
+    benches = {
+        "mmlu": spark.createDataFrame([(900, run_a)], "doc_id long, text string"),
+        "gsm": spark.createDataFrame([(901, run_b)], "doc_id long, text string"),
+    }
+    batch = spark.createDataFrame(
+        [
+            (1, f"prefix words {run_a} suffix"),
+            (2, f"{run_b} tail content here"),
+            (3, " ".join(f"cleanword{chr(97 + i)}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+
+    gate = StreamingDecontaminationFilter.from_registry(benches)
+    kept: set[int] = set()
+    gate.on_kept = lambda df, bid: kept.update(r.doc_id for r in df.collect())
+    gate.process_batch(batch, 0)
+
+    assert kept == {3}
+    h = gate.history[-1]
+    assert (h["n_docs"], h["n_contaminated"], h["n_kept"]) == (3, 2, 1)
+    assert (h["docs_hit_mmlu"], h["docs_hit_gsm"]) == (1, 1)
+
+    # stream verdict == batch operator verdict, row for row
+    tagged = tagged_eval_ngrams(benches)
+    batch_keep = {
+        r.doc_id
+        for r in multi_contamination_counts(batch, tagged, ["mmlu", "gsm"])
+        .filter("keep = 1")
+        .collect()
+    }
+    assert kept == batch_keep
