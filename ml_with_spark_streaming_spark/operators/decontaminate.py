@@ -21,6 +21,8 @@ Built from the same primitives as the dedup family: ``clean_text_expr``
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -28,6 +30,25 @@ from ml_with_spark_streaming_spark.functions.text import clean_text_expr, tokens
 from ml_with_spark_streaming_spark.operators.dedup import shingles_expr
 
 DEFAULT_NGRAM = 13  # GPT-3 appendix-C decontamination width
+
+_NAME_RE = re.compile(r"^[A-Za-z0-9_]+$")
+
+
+def _validate_registry(benchmarks) -> None:
+    """Benchmark names become ``hit_<name>`` column suffixes that are
+    later interpolated into ``F.col``/string expressions — reject an
+    empty registry and any name that is not ``[A-Za-z0-9_]+`` (dots,
+    backticks, spaces would silently mis-resolve columns)."""
+    if not benchmarks:
+        raise ValueError(
+            "benchmark registry is empty — register at least one eval set"
+        )
+    bad = [n for n in benchmarks if not _NAME_RE.match(str(n))]
+    if bad:
+        raise ValueError(
+            f"benchmark names must match [A-Za-z0-9_]+ (they become "
+            f"hit_<name> column suffixes); invalid: {bad!r}"
+        )
 
 
 def _gram_key(gram: Column) -> Column:
@@ -192,7 +213,14 @@ def tagged_eval_ngrams(
     a 0/1 flag column per benchmark (``hit_<name>``) — a gram shared
     by several benchmarks carries several flags, so the corpus pass
     below stays a single broadcast join however many benchmarks are
-    registered. Benchmark-sized (the union of eval gram sets)."""
+    registered. Benchmark-sized (the union of eval gram sets).
+
+    Registry names become column suffixes (``hit_<name>``) and are
+    later spliced into ``F.col`` expressions, so they are validated up
+    front: the registry must be non-empty and every name must match
+    ``[A-Za-z0-9_]+`` (a dot or backtick in a name would otherwise
+    resolve to the wrong column silently)."""
+    _validate_registry(benchmarks)
     tagged = None
     for name, df in benchmarks.items():
         t = eval_ngrams(df, text_col=text_col, n=n).withColumn(
@@ -221,6 +249,7 @@ def multi_contamination_counts(
     runs ONCE regardless of registry size; each benchmark adds one
     conditional sum to the same aggregation (the q101 shape,
     vectorized across the registry)."""
+    _validate_registry(bench_names)
     grams = _doc_ngrams(corpus, text_col, id_col, n)
     marked = grams.join(F.broadcast(tagged_gram_df), "gram", "left")
     aggs = [F.count("*").cast("long").alias("n_grams")] + [

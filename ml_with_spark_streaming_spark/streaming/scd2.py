@@ -23,22 +23,52 @@ the q151 MV discipline applied to a versioned dimension.
 
 Ordering contract: change feeds must be per-key append-ordered across
 batches (every CDC log — Debezium, binlog, WAL — delivers this).
-Late rows (from_us earlier than the entity's open row) would require
-history rewrite; they are counted per batch in ``history`` as
-``late_rows`` and REJECTED rather than silently misapplied.
+Late rows (from_us earlier than the entity's LAST KNOWN change time —
+``max(coalesce(valid_to_us, valid_from_us))`` over ALL its state rows,
+so fully-closed/deleted histories are guarded too, not just open rows)
+would require history rewrite; they are counted per batch in
+``history`` as ``late_rows`` and REJECTED rather than silently
+misapplied.
+
+State layout (the production shape, not a test shortcut): state is
+HASH-BUCKETED by entity key — ``bucket = pmod(hash(user_id), B)`` —
+and stored as versioned per-bucket parquet directories plus one small
+``MANIFEST.json`` mapping each bucket to the version directory holding
+its current rows:
+
+    state_dir/MANIFEST.json            {"buckets": B,
+                                        "last_batch_id": N,
+                                        "paths": {"0": "v00000003", ...}}
+    state_dir/v00000003/bucket=0/...   (parquet, bucket col is storage-only)
+
+Per micro-batch only the AFFECTED buckets are read and rewritten: new
+bucket contents land in a fresh ``v{batch_id}`` directory, then the
+manifest is swapped in atomically (``os.replace``). This gives three
+properties the naive overwrite lacks:
+
+* **O(affected) writes** — untouched buckets' files are literally not
+  touched (mtime-pinned by ``tests/test_scd2_stream.py``);
+* **crash safety** — a crash mid-write leaves the old manifest (and
+  therefore the old state) fully intact; the replayed batch simply
+  overwrites the orphaned version directory;
+* **idempotent replay** — ``last_batch_id`` is committed with the
+  manifest, so foreachBatch's at-least-once redelivery of an
+  already-applied batch is a recorded no-op instead of a double apply.
+
+Superseded version directories are vacuumed after each manifest commit.
 
 Scale shape: per batch the work is one batch-sized distinct, two
-broadcast-semi-joins against state, a window over (affected users x
-their open row + batch changes), and a state rewrite. In this module
-the rewrite is a full parquet overwrite (test-sized state); at 100 TB
-the state table is bucketed by entity key and the rewrite is a
-partition-overwrite / MERGE INTO touching only affected buckets —
-the per-batch read stays index-sized either way.
+broadcast-semi-joins against the affected buckets, a window over
+(affected users x their open row + batch changes), and a rewrite of
+the affected buckets only — reads AND writes stay index-sized.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import re
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -64,41 +94,121 @@ def changes_from_events(batch_df: DataFrame) -> DataFrame:
     )
 
 
+_VDIR_RE = re.compile(r"^v\d{8}$")
+
+
 @dataclass
 class StreamingScd2:
     """Maintain an SCD2 dimension table under a stream of change
-    events, q154-equivalently."""
+    events, q154-equivalently. ``buckets`` sets the entity-key hash
+    bucketing width of the persisted state (1 = single bucket; the
+    manifest/versioning machinery is identical either way)."""
 
     state_dir: str
+    buckets: int = 1
     history: list[dict] = field(default_factory=list)
 
-    def _read_state(self, spark: SparkSession) -> DataFrame:
-        path = os.path.join(self.state_dir, "scd2")
-        if os.path.isdir(path):
-            return spark.read.schema(_STATE_SCHEMA).parquet(path)
-        return spark.createDataFrame([], _STATE_SCHEMA)
+    # -- manifest ----------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.state_dir, "MANIFEST.json")
 
-    def _write_state(self, df: DataFrame) -> None:
-        path = os.path.join(self.state_dir, "scd2")
-        tmp = path + "_next"
-        df.write.mode("overwrite").parquet(tmp)
-        spark = df.sparkSession
-        final = spark.read.schema(_STATE_SCHEMA).parquet(tmp)
-        final.write.mode("overwrite").parquet(path)
+    def _load_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path(), encoding="utf-8") as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {"buckets": self.buckets, "last_batch_id": -1, "paths": {}}
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        """Atomic swap: tmp file + ``os.replace`` in the same dir, so a
+        crash anywhere before the replace leaves the old state live."""
+        os.makedirs(self.state_dir, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path())
+
+    def _vacuum(self, manifest: dict) -> None:
+        """Drop version dirs no bucket references any more. Safe to
+        crash mid-vacuum: orphans are retried on the next batch."""
+        live = set(manifest["paths"].values())
+        try:
+            entries = os.listdir(self.state_dir)
+        except FileNotFoundError:
+            return
+        for d in entries:
+            if _VDIR_RE.match(d) and d not in live:
+                shutil.rmtree(os.path.join(self.state_dir, d), ignore_errors=True)
+
+    @property
+    def last_applied_batch_id(self) -> int:
+        return int(self._load_manifest()["last_batch_id"])
+
+    # -- state I/O ---------------------------------------------------
+    def _bucket_expr(self, col: str = "user_id"):
+        return F.pmod(F.hash(F.col(col).cast("long")), F.lit(self.buckets)).cast("int")
+
+    def _read_state(
+        self, spark: SparkSession, manifest: dict, bucket_ids=None
+    ) -> DataFrame:
+        paths = [
+            os.path.join(self.state_dir, vname, f"bucket={b}")
+            for b, vname in manifest["paths"].items()
+            if bucket_ids is None or int(b) in bucket_ids
+        ]
+        if not paths:
+            return spark.createDataFrame([], _STATE_SCHEMA)
+        return spark.read.schema(_STATE_SCHEMA).parquet(*paths)
+
+    def _write_buckets(
+        self, df: DataFrame, manifest: dict, batch_id: int, affected_buckets
+    ) -> None:
+        """New contents for the affected buckets land in a fresh
+        ``v{batch_id}`` dir (partitioned by bucket); then the manifest
+        pointers for exactly those buckets move — untouched buckets'
+        files are never rewritten."""
+        vname = f"v{batch_id:08d}"
+        vdir = os.path.join(self.state_dir, vname)
+        df.withColumn("bucket", self._bucket_expr()).write.partitionBy(
+            "bucket"
+        ).mode("overwrite").parquet(vdir)
+        for b in affected_buckets:
+            if os.path.isdir(os.path.join(vdir, f"bucket={b}")):
+                manifest["paths"][str(b)] = vname
+            else:  # bucket emptied (e.g. only a never-seen user's delete)
+                manifest["paths"].pop(str(b), None)
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
-        """The current SCD2 table (all versions)."""
-        return self._read_state(spark)
+        """The current SCD2 table (all versions, all buckets)."""
+        return self._read_state(spark, self._load_manifest())
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        manifest = self._load_manifest()
+        if batch_id <= int(manifest["last_batch_id"]):
+            # at-least-once replay of an already-committed batch:
+            # recorded no-op, never a double apply
+            self.history.append(
+                {"batch_id": batch_id, "n_changes": 0, "late_rows": 0, "skipped": True}
+            )
+            return
         chg = changes_from_events(batch_df).localCheckpoint(eager=True)
         n_in = chg.count()
         if n_in == 0:
+            # still advance the high-water mark so a replay of this
+            # empty batch is recognized
+            manifest["last_batch_id"] = batch_id
+            self._commit_manifest(manifest)
             self.history.append({"batch_id": batch_id, "n_changes": 0, "late_rows": 0})
             return
 
-        state = self._read_state(spark).localCheckpoint(eager=True)
+        affected_buckets = sorted(
+            r[0]
+            for r in chg.select(self._bucket_expr().alias("b")).distinct().collect()
+        )
+        state = self._read_state(
+            spark, manifest, bucket_ids=set(affected_buckets)
+        ).localCheckpoint(eager=True)
         affected = chg.select("user_id").distinct()
 
         open_rows = state.filter(F.col("is_current") == 1).join(
@@ -110,12 +220,22 @@ class StreamingScd2:
             .agg(F.max("version").alias("base_version"))
         )
 
-        # ordering contract: no batch change may precede the open row
-        late = (
-            chg.join(
-                open_rows.select("user_id", "valid_from_us"), "user_id"
+        # ordering contract: no batch change may precede the entity's
+        # LAST KNOWN change time over ALL its rows — for an open entity
+        # that is its open row's valid_from_us, for a fully-closed
+        # (deleted) one the delete instant (max valid_to_us); checking
+        # only open rows would silently accept late rows for deleted
+        # entities and diverge from the q154 recompute
+        last_known = (
+            state.join(F.broadcast(affected), "user_id", "semi")
+            .groupBy("user_id")
+            .agg(
+                F.max(F.coalesce("valid_to_us", "valid_from_us")).alias("last_us")
             )
-            .filter(F.col("from_us") < F.col("valid_from_us"))
+        )
+        late = (
+            chg.join(last_known, "user_id")
+            .filter(F.col("from_us") < F.col("last_us"))
             .count()
         )
         if late:
@@ -175,14 +295,20 @@ class StreamingScd2:
             F.isnull("to_us").cast("int").alias("is_current"),
         )
 
+        # new contents of the AFFECTED buckets only: other entities that
+        # happen to share a bucket ride along unchanged; closed rows of
+        # affected users stay as-is (only their open row was re-derived)
         untouched = state.join(F.broadcast(affected), "user_id", "anti").unionByName(
-            # closed rows of affected users stay as-is; only their open
-            # row was re-derived above
             state.join(F.broadcast(affected), "user_id", "semi").filter(
                 F.col("is_current") == 0
             )
         )
-        self._write_state(untouched.unionByName(rebuilt))
+        self._write_buckets(
+            untouched.unionByName(rebuilt), manifest, batch_id, affected_buckets
+        )
+        manifest["last_batch_id"] = batch_id
+        self._commit_manifest(manifest)
+        self._vacuum(manifest)
         self.history.append(
             {"batch_id": batch_id, "n_changes": n_in, "late_rows": 0}
         )

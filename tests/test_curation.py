@@ -654,6 +654,28 @@ def test_multi_benchmark_decon_flags_per_registry_entry(spark):
     assert out[3].n_hit_a == 0 and out[3].n_hit_b == 0 and out[3].keep == 1
 
 
+def test_decon_registry_validation(spark):
+    """An empty benchmark registry is a clear ValueError (not a None
+    AttributeError), and names that would splice illegal characters
+    into hit_<name> column references are rejected up front."""
+    import pytest as _pytest
+
+    from ml_with_spark_streaming_spark.operators.decontaminate import (
+        multi_contamination_counts,
+        tagged_eval_ngrams,
+    )
+
+    with _pytest.raises(ValueError, match="empty"):
+        tagged_eval_ngrams({})
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match=r"A-Za-z0-9_"):
+        tagged_eval_ngrams({"mmlu.dev": df})
+    with _pytest.raises(ValueError, match="empty"):
+        multi_contamination_counts(df, df, [])
+    with _pytest.raises(ValueError, match=r"A-Za-z0-9_"):
+        multi_contamination_counts(df, df, ["ok", "bad`name"])
+
+
 def test_q161_duplication_matrix_counts_only_math(spark, tmp_path):
     """Cross pairs = c_a*c_b, within pairs = C(c,2), computed from
     counts without materializing document pairs."""
