@@ -433,8 +433,16 @@ def ivf_topk(
     c_id: str = "vec_id",
     c_vec: str = "embedding",
     centroids: DataFrame | None = None,
+    q_group: str | None = None,
+    c_group: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: IVF with deterministic hash-sampled centroids.
+
+    ``q_group``/``c_group`` (both or neither): group-exclusion columns
+    for hard-negative mining — candidates whose ``c_group`` equals the
+    query's ``q_group`` are dropped BEFORE ranking (filtering after
+    top-k would silently return fewer than k when same-group vectors
+    crowd the top). The ``c_group`` column rides through to the output.
 
     1. centroids = the n_centroids corpus vectors with smallest
        md5(id) — a content-hash sample: uniform-ish spread, fully
@@ -449,29 +457,34 @@ def ivf_topk(
     3. each query probes its nprobe nearest centroids;
     4. exact cosine only within probed buckets → window top-k.
     """
+    if (q_group is None) != (c_group is None):
+        raise ValueError("q_group and c_group must be set together")
     if centroids is None:
         centroids = _hash_sample_centroids(corpus, n_centroids, c_id, c_vec)
     centroids = maybe_checkpoint(centroids)
+    c_extra = [c_group] if c_group is not None else []
+    q_extra = [q_group] if q_group is not None else []
     # corpus -> nearest centroid
     assigned = (
         corpus.crossJoin(F.broadcast(centroids))
-        .select(c_id, c_vec, "cent_id", cosine_expr(F.col(c_vec), F.col("cent_vec")).alias("sim"))
+        .select(c_id, c_vec, *c_extra, "cent_id", cosine_expr(F.col(c_vec), F.col("cent_vec")).alias("sim"))
         .withColumn("rn", F.row_number().over(W.partitionBy(c_id).orderBy(F.col("sim").desc(), "cent_id")))
         .filter(F.col("rn") == 1)
-        .select(c_id, c_vec, "cent_id")
+        .select(c_id, c_vec, *c_extra, "cent_id")
     )
     # query -> nprobe nearest centroids
     probes = (
         queries.crossJoin(F.broadcast(centroids))
-        .select(q_id, q_vec, "cent_id", cosine_expr(F.col(q_vec), F.col("cent_vec")).alias("sim"))
+        .select(q_id, q_vec, *q_extra, "cent_id", cosine_expr(F.col(q_vec), F.col("cent_vec")).alias("sim"))
         .withColumn("rn", F.row_number().over(W.partitionBy(q_id).orderBy(F.col("sim").desc(), "cent_id")))
         .filter(F.col("rn") <= nprobe)
-        .select(q_id, q_vec, "cent_id")
+        .select(q_id, q_vec, *q_extra, "cent_id")
     )
-    scored = (
-        probes.join(assigned, "cent_id")
-        .filter(F.col(q_id) != F.col(c_id))
-        .select(q_id, c_id, F.round(cosine_expr(F.col(q_vec), F.col(c_vec)), 4).alias("cosine"))
+    scored = probes.join(assigned, "cent_id").filter(F.col(q_id) != F.col(c_id))
+    if q_group is not None:
+        scored = scored.filter(F.col(q_group) != F.col(c_group))
+    scored = scored.select(
+        q_id, c_id, *c_extra, F.round(cosine_expr(F.col(q_vec), F.col(c_vec)), 4).alias("cosine")
     )
     w = W.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -2776,6 +2776,86 @@ def q158_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q165_hard_negatives_ivf")  # rows-only: IVF-probed, approximate by construction
+def q165_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q158's hard-negative mining in its 100 TB shape — the runnable
+    composition the q158 docstring promises: the FULL embeddings table
+    (no vec_id cap), dedup components from the sign-LSH candidate gate
+    (q100's scalable path — banded bucket shuffle, never all-pairs),
+    and scoring through q106's IVF probe (real KMeans centroids, seed
+    42) with the component anti-filter applied INSIDE the probe,
+    before ranking (``operators/similarity.py::ivf_topk`` q_group/
+    c_group — filtering after top-k would return fewer than k when an
+    anchor's own paraphrase cluster crowds the probed buckets).
+
+    Per anchor the work is nprobe bucket joins, not a corpus pass;
+    the component map is a narrow (id -> component) table joined onto
+    the bucketed candidates. Nothing here is quadratic in the corpus.
+
+    Rows-only: which negatives an approximate index surfaces is not
+    SQL-expressible, but fully deterministic (seeded KMeans, seeded
+    hyperplanes, id tie-breaks). Recall vs the exact exclusion-aware
+    top-k is pinned on a planted-cluster fixture by
+    tests/test_similarity.py::test_ivf_hard_negatives_recall — the
+    q126 discipline applied to q158. The capped-exact q158 stays as
+    the oracle twin for the arithmetic.
+    """
+    from ml_with_spark_streaming_spark.operators.similarity import (
+        derive_signlsh_knobs,
+        ivf_topk,
+        kmeans_centroids,
+        signlsh_neardup,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_planes, bands = derive_signlsh_knobs(e.count())
+    edges = signlsh_neardup(
+        e, threshold=0.45, n_planes=n_planes, bands=bands,
+        c_id="vec_id", c_vec="embedding",
+    ).select("id1", "id2")
+    comp = connected_components(edges).withColumnRenamed("id", "vec_id")
+    assigned = maybe_checkpoint(
+        e.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).cast("long").alias("component"),
+        )
+    )
+    corpus = e.join(assigned, "vec_id").withColumnRenamed(
+        "component", "neg_component"
+    )
+    anchors = (
+        e.filter(F.col("vec_id") < 10)
+        .join(assigned, "vec_id")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("component").alias("q_comp"),
+        )
+    )
+    cents = kmeans_centroids(e, n_centroids=16, c_vec="embedding", seed=42)
+    return (
+        ivf_topk(
+            anchors,
+            corpus,
+            k=3,
+            nprobe=4,
+            centroids=cents,
+            q_group="q_comp",
+            c_group="neg_component",
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            "cosine",
+            "neg_component",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # q160 — benchmark-registry decontamination (N benchmarks, one corpus pass)
 # ---------------------------------------------------------------------------

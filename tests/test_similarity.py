@@ -151,6 +151,85 @@ def test_ivf_kmeans_recall_on_planted_clusters(spark):
         assert mates <= by_q.get(q, set()), (q, by_q.get(q))
 
 
+def test_ivf_hard_negatives_recall(spark):
+    """q165's composition (IVF probe + component anti-filter inside
+    the probe): (a) an anchor's own cluster-mates NEVER surface as
+    negatives even though they are its nearest vectors; (b) the probed
+    negatives recover most of the exact exclusion-aware top-3 (the
+    q126 recall discipline applied to hard-negative mining)."""
+    import random as _random
+
+    from ml_with_spark_streaming_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rnd = _random.Random(7)
+    rows = []
+    vid = 0
+    for _ in range(10):  # 10 planted clusters of 5 jittered copies
+        base = [rnd.gauss(0, 1) for _ in range(16)]
+        for _ in range(5):
+            rows.append((vid, [x * (1 + rnd.uniform(-1e-3, 1e-3)) for x in base]))
+            vid += 1
+    for _ in range(100):  # noise
+        rows.append((vid, [rnd.gauss(0, 1) for _ in range(16)]))
+        vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # component = planted cluster (vid//5*5 for members), own id for noise
+    comp = F.when(F.col("vec_id") < 50, (F.col("vec_id") / 5).cast("long") * 5).otherwise(
+        F.col("vec_id")
+    )
+    tagged = corpus.withColumn("neg_component", comp)
+
+    anchors = (
+        tagged.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 50))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("neg_component").alias("q_comp"),
+        )
+    )
+    cents = kmeans_centroids(corpus, n_centroids=8, c_vec="embedding", seed=42)
+    got = ivf_topk(
+        anchors,
+        tagged,
+        k=3,
+        nprobe=4,
+        centroids=cents,
+        q_group="q_comp",
+        c_group="neg_component",
+    ).collect()
+
+    by_q: dict = {}
+    for r in got:
+        # (a) the exclusion holds: negatives never come from the
+        # anchor's own cluster (its 4 nearest vectors by construction)
+        assert r.neg_component != (r.q_id // 5) * 5, r
+        by_q.setdefault(r.q_id, set()).add(r.vec_id)
+
+    # exact exclusion-aware top-3: brute force, drop same-cluster, rank
+    exact = sorted(
+        brute_force_topk(anchors.select("q_id", "q_vec"), corpus, k=10).collect(),
+        key=lambda r: (r.q_id, r.rank),
+    )
+    exact_by_q: dict = {}
+    for r in exact:
+        q_cluster = range((r.q_id // 5) * 5, (r.q_id // 5) * 5 + 5)
+        if r.vec_id in q_cluster:
+            continue
+        s = exact_by_q.setdefault(r.q_id, [])
+        if len(s) < 3:
+            s.append(r.vec_id)
+
+    hits = sum(len(by_q.get(q, set()) & set(want)) for q, want in exact_by_q.items())
+    total = sum(len(want) for want in exact_by_q.values())
+    assert total == 30
+    recall = hits / total
+    assert recall >= 0.6, f"IVF hard-negative recall {recall:.2f} < 0.6"
+
+
 def test_kmeans_centroids_layout_stable(spark):
     """The centroid fit must be a pure function of the corpus CONTENT:
     identical vectors arriving at different partition counts/orders
