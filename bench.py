@@ -101,6 +101,71 @@ HEADLINE = [
 ]
 
 
+# --------------------------------------------------------------------
+# FROZEN calibration probe — DO NOT EDIT (round 7 onward).
+#
+# Three rounds of judging re-diagnosed the same 1.2-1.5x machine band
+# by hand (r3 q50/q53 "regressions", r4 reversal, r6 uniform 1.22x).
+# This probe separates machine drift from code regression: a fixed,
+# engine-independent workload (pure spark.range pipelines + a local
+# parquet round-trip — no engine code, no testdata, so its wall time
+# can only move when the MACHINE moves). BENCH output records
+# calibration_sec and drift = calibration_sec / CALIBRATION_REF_SEC;
+# round-over-round query comparisons should divide by `drift` first.
+#
+# CALIBRATION_REF_SEC was measured on the round-7 machine state
+# (min of 2 warm probe runs, each itself min-of-3 per component). If
+# the probe workload is ever changed, the reference MUST be
+# re-measured in the same commit.
+CALIBRATION_REF_SEC = 1.373
+
+
+def _calibration_probe(spark) -> float:
+    """Wall seconds for the frozen workload (min over 3 runs of each
+    component): codegen CPU, a 100k-key shuffle, and a local-disk
+    parquet write+scan round-trip."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    def _cpu():
+        spark.range(50_000_000).select(
+            _F.sum(_F.hash(_F.col("id"), _F.col("id") * 31)).alias("h")
+        ).write.format("noop").mode("overwrite").save()
+
+    def _shuffle():
+        spark.range(20_000_000).groupBy(
+            (_F.col("id") % 100_000).alias("k")
+        ).agg(_F.count("*").alias("c"), _F.sum("id").alias("s")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    root = tempfile.mkdtemp(prefix="bench_calib_")
+
+    def _disk():
+        p = os.path.join(root, "t.parquet")
+        spark.range(2_000_000).select(
+            "id", _F.hash("id").alias("h"), (_F.col("id") % 97).alias("m")
+        ).write.mode("overwrite").parquet(p)
+        spark.read.parquet(p).groupBy("m").agg(_F.sum("h").alias("s")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    try:
+        total = 0.0
+        for comp in (_cpu, _shuffle, _disk):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.monotonic()
+                comp()
+                best = min(best, time.monotonic() - t0)
+            total += best
+        return round(total, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _streaming_rate(spark, per_file: int = 5000, n_files: int = 3) -> float:
     """records/s through StreamingTrainer on a file stream (availableNow
     micro-batches), stemming on — the full reference pipeline.
@@ -151,6 +216,110 @@ def _streaming_rate(spark, per_file: int = 5000, n_files: int = 3) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _ingest_pipeline_rate(spark, per_file: int, n_files: int = 3) -> dict:
+    """documents/s through the composed streaming ingest door —
+    StreamingIngestPipeline with the declared production config:
+    exact+LSH dedup (threshold 0.9) -> segment-dedup rewrite (width
+    10) -> 13-gram decontamination -> frozen quality classifier.
+
+    Gate artifacts (corpus fingerprint/band indexes, eval gram set,
+    classifier weights) are built from the REAL ``documents`` table at
+    ``SF_DIR`` before the clock starts — index builds are amortized
+    over a deployment's lifetime; the measured number is the per-batch
+    marginal cost, matching how ``_streaming_rate`` measures the
+    trainer. The stream itself is corpus-derived: ~10% exact
+    duplicates (dedup hits), ~5% planted eval 13-grams (decon hits),
+    the rest novel mutations, so every gate does real work."""
+    import json as _json
+    import random
+    import shutil
+    import tempfile
+
+    from ml_with_spark_streaming_spark.operators.quality_clf import (
+        classifier_weights,
+        feature_presence,
+        heuristic_labels,
+    )
+    from ml_with_spark_streaming_spark.sources.batch import load_table
+    from ml_with_spark_streaming_spark.streaming.ingest_pipeline import (
+        StreamingIngestPipeline,
+    )
+    from ml_with_spark_streaming_spark.streaming.quality_filter import freeze_weights
+
+    corpus = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    frozen = freeze_weights(
+        classifier_weights(feature_presence(corpus), heuristic_labels(corpus))
+    )
+    bench_gram = " ".join(f"benchtok{chr(97 + i)}" for i in range(13))
+    eval_corpus = spark.createDataFrame(
+        [(90_000, f"prelude {bench_gram} coda")], "doc_id long, text string"
+    )
+    pipe = StreamingIngestPipeline.build(
+        corpus, frozen, eval_corpus=eval_corpus, segment_width=10, threshold=0.9
+    )
+
+    base = [(r.doc_id, r.text) for r in corpus.collect()]
+    rnd = random.Random(13)
+    root = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        src = os.path.join(root, "in")
+        os.makedirs(src)
+        doc_id = 1_000_000
+        for fi in range(n_files):
+            with open(os.path.join(src, f"b{fi}.jsonl"), "w") as f:
+                for i in range(per_file):
+                    _bid, text = base[rnd.randrange(len(base))]
+                    roll = rnd.random()
+                    if roll < 0.10:
+                        pass  # exact duplicate of a corpus doc
+                    else:
+                        # genuinely novel: splice two corpus docs
+                        # (Jaccard ~0.5 to each parent, under the 0.9
+                        # near-dup threshold) + a unique token
+                        wa = text.split()
+                        wb = base[rnd.randrange(len(base))][1].split()
+                        text = " ".join(
+                            [f"novel{doc_id}"] + wa[: len(wa) // 2] + wb[len(wb) // 2 :]
+                        )
+                        if roll < 0.15:
+                            text = f"{text} {bench_gram}"
+                    f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+                    doc_id += 1
+        docs = (
+            spark.readStream.format("json")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        t0 = time.monotonic()
+        q = pipe.attach(
+            docs, checkpoint=os.path.join(root, "ckpt"), available_now=True
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        wall = time.monotonic() - t0
+        n_docs = n_files * per_file
+        led = pipe.ledger
+        return {
+            "docs_per_sec": round(n_docs / wall, 1),
+            "n_docs": n_docs,
+            "survivors": {
+                k: sum(r[k] for r in led)
+                for k in (
+                    "n_in",
+                    "n_after_dedup",
+                    "n_after_rewrite",
+                    "n_after_decon",
+                    "n_accepted",
+                )
+            },
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     from ml_with_spark_streaming_spark.session import get_spark
     from ml_with_spark_streaming_spark.plans import QUERIES
@@ -163,6 +332,17 @@ def main() -> None:
     QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
+    # machine-drift calibration (frozen workload, see _calibration_probe)
+    calib = None
+    try:
+        calib_sec = _calibration_probe(spark)
+        calib = {
+            "sec": calib_sec,
+            "ref": CALIBRATION_REF_SEC,
+            "drift": round(calib_sec / CALIBRATION_REF_SEC, 3),
+        }
+    except Exception as e:  # noqa: BLE001 — calibration must never sink the bench
+        calib = {"error": f"{type(e).__name__}: {e}"[:120]}
     sf = None
     base = os.path.basename(SF_DIR.rstrip("/"))
     if base.startswith("sf"):
@@ -206,6 +386,7 @@ def main() -> None:
         "queries_p50": timings_p50,
         "bench_runs": n_runs,
         "sf": sf,
+        "calib": calib,
     }
     if errors:
         out["errors"] = errors
@@ -221,6 +402,7 @@ def main() -> None:
         "queries": {name.split("_", 1)[0]: t for name, t in timings.items()},
         "sf": sf,
         "bench_runs": n_runs,
+        "calib": calib,
     }
     if errors:
         compact["errors"] = {n.split("_", 1)[0]: 1 for n in errors}
@@ -240,6 +422,18 @@ def main() -> None:
         compact["streaming_records_per_sec"] = rate_curve["5000"]
     except Exception as e:  # noqa: BLE001 — keep the query timings even if streaming breaks
         out["streaming_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # documents/s through the composed ingest-gate door (the production
+    # number next to the trainer's reference-parity rec/s curve)
+    try:
+        ingest = {
+            str(size): _ingest_pipeline_rate(spark, per_file=size)
+            for size in (1000, 5000)
+        }
+        out["ingest_pipeline"] = ingest
+        compact["ingest_pipeline_docs_per_sec"] = ingest["5000"]["docs_per_sec"]
+    except Exception as e:  # noqa: BLE001 — keep the rest of the artifact
+        out["ingest_pipeline_error"] = f"{type(e).__name__}: {e}"[:200]
 
     if os.environ.get("SPARK_GRAFT_SWEEP", "1") != "0":
         sweep_dir = os.environ.get("SPARK_GRAFT_SWEEP_SF_DIR", "/root/testdata/sf0.01")

@@ -3067,20 +3067,34 @@ def q164_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever touches the data. The removed flag is q46's fingerprint
     window (duplicate-group-sized partitions).
     """
+    d = load_table(spark, sf_dir, "documents")
+    scored = maybe_checkpoint(integer_quality_scored(d))
+
+    w_fp = W.partitionBy("fp").orderBy("doc_id")
+    flagged = scored.withColumn(
+        "removed", (F.row_number().over(w_fp) > 1).cast("int")
+    )
+    return selection_bias_audit(flagged)
+
+
+def integer_quality_scored(d: DataFrame) -> DataFrame:
+    """``(doc_id, fp, score_x10000)``: the UNROUNDED q45 quality
+    rational floored at 4 decimals in pure integers (num·10⁴ DIV den)
+    plus the q46 fingerprint — q164's scoring projection, shared with
+    the pipeline runner's audit stage."""
     from ml_with_spark_streaming_spark.operators.textstats import (
         char_counts,
         fingerprint_expr,
         whitespace_token_count_expr,
     )
 
-    d = load_table(spark, sf_dir, "documents")
     cc = char_counts("text")
     n = cc["n_chars"].cast("long")
     na = cc["n_alpha"].cast("long")
     np_ = cc["n_punct"].cast("long")
     wcap = F.least(whitespace_token_count_expr("text"), F.lit(50)).cast("long")
     num = 250 * na + 100 * (n - np_) + 3 * wcap * n
-    scored = d.select(
+    return d.select(
         "doc_id",
         fingerprint_expr("text", 8).alias("fp"),
         num.alias("_num"),
@@ -3091,13 +3105,17 @@ def q164_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pure-integer floor division, no doubles anywhere
         "CASE WHEN _den > 0 THEN (_num * 10000) DIV _den ELSE 2000 END AS score_x10000",
     )
-    scored = maybe_checkpoint(scored)
 
-    w_fp = W.partitionBy("fp").orderBy("doc_id")
-    flagged = scored.withColumn(
-        "removed", (F.row_number().over(w_fp) > 1).cast("int")
-    )
 
+def selection_bias_audit(flagged: DataFrame) -> DataFrame:
+    """Per-GLOBAL-quality-decile removal rates over ``flagged`` =
+    ``(doc_id, score_x10000, removed:int)`` — q164's strata report as
+    a standalone stage, so ANY destructive filter (dedup, the
+    pipeline's composed keep list) can emit its bias audit. Scale
+    shape: q33's two-phase global ranking (repartitionByRange + local
+    row_number + broadcast P-row prefix-sum offsets); NO partition-less
+    window touches the data."""
+    spark = flagged.sparkSession
     parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
     ranged = flagged.repartitionByRange(
         parts, "score_x10000", "doc_id"

@@ -14,7 +14,7 @@ sys.path.insert(
 
 from run_pipeline import run_pipeline  # noqa: E402
 
-STAGES = ("spans", "budget", "keep", "copies", "chunks", "manifest")
+STAGES = ("spans", "budget", "keep", "audit", "copies", "chunks", "manifest")
 
 
 def test_pipeline_artifacts_reproduce_q114(spark, tmp_path):
@@ -33,3 +33,14 @@ def test_pipeline_artifacts_reproduce_q114(spark, tmp_path):
     assert budget.count() == 500
     bad = budget.filter("n_kept_tokens + n_cut_tokens != n_tokens").count()
     assert bad == 0
+    # the audit artifact reconciles against the keep artifact: its
+    # decile doc counts cover the whole corpus, and total removals
+    # equal (corpus - keep list)
+    audit = spark.read.parquet(os.path.join(out, "audit.parquet"))
+    rows = {r.decile: r for r in audit.collect()}
+    assert set(rows) == set(range(1, 11))
+    assert sum(r.n_docs for r in rows.values()) == 500
+    n_keep = spark.read.parquet(os.path.join(out, "keep.parquet")).count()
+    assert sum(r.n_removed for r in rows.values()) == 500 - n_keep
+    for r in rows.values():
+        assert r.removed_x10000 == r.n_removed * 10000 // r.n_docs

@@ -24,12 +24,17 @@ ARTIFACT by the next, never from lineage):
                   per-doc kept/cut token ledger.
   3. keep       — the four curation gates (q113/q114): dedup-canonical
                   + quality + repetition + classifier keep list.
-  4. copies     — per-doc epoch copy counts from the q104/q107
+  4. audit      — q164's selection-bias report over the PIPELINE'S
+                  keep decisions (removed = not on the keep artifact):
+                  per global quality decile, how many docs the gates
+                  removed — a destructive run always ships its bias
+                  audit next to the keep list.
+  5. copies     — per-doc epoch copy counts from the q104/q107
                   language-mixing recipe, joined against the keep
                   artifact.
-  5. chunks     — q108 sliding context windows of kept docs,
+  6. chunks     — q108 sliding context windows of kept docs,
                   fingerprinted once per (doc, start).
-  6. manifest   — the 16-shard training manifest (q114), computed
+  7. manifest   — the 16-shard training manifest (q114), computed
                   from the copies + chunks ARTIFACTS.
 
 ``--verify`` additionally runs the fused q114 query and asserts the
@@ -69,7 +74,9 @@ def run_pipeline(spark, sf_dir: str, out: str, verify: bool = False) -> dict:
         context_chunks,
         curation_keep_list,
         epoch_copies,
+        integer_quality_scored,
         q114_training_mix_export,
+        selection_bias_audit,
         shard_manifest,
     )
     from ml_with_spark_streaming_spark.sources.batch import load_table
@@ -95,6 +102,22 @@ def run_pipeline(spark, sf_dir: str, out: str, verify: bool = False) -> dict:
     spans = stage("spans", lambda: duplicate_spans(d))
     stage("budget", lambda: apply_cuts(d, spans=spans))
     keep = stage("keep", lambda: curation_keep_list(spark, sf_dir))
+
+    def _audit():
+        # q164's strata report over the PIPELINE'S OWN keep decisions
+        # (removed = not on the keep artifact): every destructive run
+        # ships its selection-bias audit alongside the keep list
+        flagged = (
+            integer_quality_scored(d)
+            .join(
+                keep.select("doc_id").withColumn("_k", F.lit(1)), "doc_id", "left"
+            )
+            .withColumn("removed", F.col("_k").isNull().cast("int"))
+            .drop("_k")
+        )
+        return selection_bias_audit(flagged)
+
+    stage("audit", _audit)
     copies = stage("copies", lambda: epoch_copies(spark, sf_dir, keep))
     kept_ids = copies.filter(F.col("n_copies") >= 1).select("doc_id")
     chunks = stage("chunks", lambda: context_chunks(d, kept_ids))
