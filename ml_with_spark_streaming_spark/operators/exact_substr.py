@@ -87,6 +87,7 @@ def duplicate_spans(
     k: int = DEFAULT_SPAN_TOKENS,
     sorted_output: bool = True,
     toks: DataFrame | None = None,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Maximal duplicated >= k-token spans per document.
 
@@ -96,16 +97,30 @@ def duplicate_spans(
     occurrence of any of its shingles (the keep-one policy).
     ``toks`` (from :func:`tokenized`) lets a caller share one tokenize
     pass between discovery and application.
+
+    ``hash_mode``: ``"md5"`` (16-hex-char key — the DuckDB-replayable
+    oracle form) or ``"xxhash64"`` (one BIGINT key — ~half the shuffle
+    width at identical plan shape; the production swap for the one
+    corpus-sized exchange). Spans are identical either way (both keys
+    are injective modulo negligible collision odds), pinned by
+    ``tests/test_exact_substr.py::test_xxhash64_mode_same_spans``.
     """
+    if hash_mode not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_mode must be 'md5' or 'xxhash64', got {hash_mode!r}")
     if toks is None:
         toks = tokenized(df, text_col, id_col)
+    gram_key = (
+        F.xxhash64(F.col("_g"))
+        if hash_mode == "xxhash64"
+        else F.substring(F.md5(F.encode(F.col("_g"), "UTF-8")), 1, 16)
+    )
     grams = toks.select(
         F.col(id_col),
         F.posexplode(shingles_expr(F.col("_toks"), k)).alias("_i", "_g"),
     ).select(
         F.col(id_col),
         (F.col("_i") + 1).alias("pos"),  # 1-based, matching the SQL twin
-        F.substring(F.md5(F.encode(F.col("_g"), "UTF-8")), 1, 16).alias("gk"),
+        gram_key.alias("gk"),
     )
     # one corpus pass feeds BOTH the occurrence aggregate and the
     # position probe (otherwise each re-plans the tokenize+explode)

@@ -225,6 +225,7 @@ def bm25_topk_batch(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """BM25 top-k for a whole TABLE of queries at once — the at-scale
     form (a production retrieval job scores thousands of queries in
@@ -238,7 +239,17 @@ def bm25_topk_batch(
     rows out per query); df is corpus document frequency per term,
     computed once regardless of how many queries share the term.
     Per-query top-k is a window partitioned BY QUERY — bounded by each
-    query's candidate docs, never global."""
+    query's candidate docs, never global.
+
+    ``broadcast_queries=False`` is the very-large-query-batch mode:
+    the term-keyed joins (terms semi-join, df, qterms fan-out) run as
+    shuffled hash joins instead of broadcasts — when the query table
+    outgrows executor memory, only the 1-row corpus-stats broadcast
+    remains. Rankings are identical (pinned by
+    ``tests/test_retrieval.py::test_batch_bm25_shuffled_queries_mode``)."""
+    def _q(d: DataFrame) -> DataFrame:
+        return F.broadcast(d) if broadcast_queries else d.hint("shuffle_hash")
+
     toks = df.select(
         F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_toks")
     ).filter(F.size("_toks") > 0)
@@ -250,16 +261,16 @@ def bm25_topk_batch(
     terms = qterms.select("term").distinct()
     tf = maybe_checkpoint(
         toks.select(F.col(id_col), F.explode("_toks").alias("term"))
-        .join(F.broadcast(terms), "term", "left_semi")
+        .join(_q(terms), "term", "left_semi")
         .groupBy(id_col, "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     r = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(_q(dfreq), "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(st))
-        .join(F.broadcast(qterms), "term")
+        .join(_q(qterms), "term")
     )
     from pyspark.sql import Window as W
 

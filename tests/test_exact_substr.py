@@ -165,3 +165,28 @@ def test_apply_cuts_emits_empty_clean_docs(spark):
     assert set(out) == {0, 1}
     assert (out[1].n_tokens, out[1].n_cut_tokens, out[1].n_kept_tokens) == (0, 0, 0)
     assert out[1].kept_fp == hashlib.md5(b"").hexdigest()[:16]
+
+
+def test_xxhash64_mode_same_spans(spark):
+    """The production key swap (16-hex md5 prefix -> one BIGINT
+    xxhash64, ~half the shuffle width) must not change a single span:
+    both keys are injective modulo negligible collision odds, so the
+    occurrence aggregate and the position probe see identical groups."""
+    k = 5
+    passage = ["dup" + chr(97 + i) for i in range(12)]
+    d0 = _W[0:6] + passage + _W[6:12]
+    d1 = _W[12:22] + passage + _W[22:26]
+    d2 = _W[26:31] + _W[26:31] + _W[31:40]
+    rows = [(0, _doc(d0)), (1, _doc(d1)), (2, _doc(d2))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    md5_spans = sorted(map(tuple, duplicate_spans(df, k=k).collect()))
+    xx_spans = sorted(
+        map(tuple, duplicate_spans(df, k=k, hash_mode="xxhash64").collect())
+    )
+    assert md5_spans == xx_spans and md5_spans
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_mode"):
+        duplicate_spans(df, k=k, hash_mode="sha1")

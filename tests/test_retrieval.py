@@ -331,3 +331,26 @@ def test_q148_rrf_fusion_is_consistent(spark):
         if prev is not None:
             assert r["rrf_x1e9"] <= prev
         prev = r["rrf_x1e9"]
+
+
+def test_batch_bm25_shuffled_queries_mode(spark):
+    """broadcast_queries=False (the very-large-query-batch mode: the
+    term-keyed joins run as shuffled hash joins, only the 1-row corpus
+    stats stay broadcast) must produce identical rankings and scores."""
+    from ml_with_spark_streaming_spark.operators.retrieval import bm25_topk_batch
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in _ROWS]
+    docs = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    queries = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "vector")], "query_id long, term string"
+    )
+    ga = sorted(map(tuple, bm25_topk_batch(docs, queries, k=10).collect()))
+    gb = sorted(
+        map(
+            tuple,
+            bm25_topk_batch(docs, queries, k=10, broadcast_queries=False).collect(),
+        )
+    )
+    assert ga == gb and ga
