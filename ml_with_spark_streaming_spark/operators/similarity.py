@@ -422,6 +422,93 @@ def kmeans_centroids(
     return spark.createDataFrame(centers, "cent_id int, cent_vec array<double>")
 
 
+def semdedup(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    seed: int = 42,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    semantic dedup. KMeans-cluster the embedding space, compute exact
+    cosine pairs ONLY within each cluster (the paper's core trick:
+    near-duplicates land in the same cluster, so the quadratic pair
+    search is bounded per cluster instead of corpus-wide), connect
+    pairs at ``threshold`` into components, keep one canonical member
+    (min id) per component.
+
+    Returns ``(c_id, cluster, component, keep)`` for every corpus row
+    — singletons are their own component with ``keep = 1``.
+
+    Scale shape: one centroid broadcast + one narrow assignment pass;
+    the pair search is an equi-join on ``cluster`` over the
+    checkpointed assignment (within-cluster pairs only — with k
+    clusters of ~n/k vectors the pair count is n²/k, and production
+    runs k large enough that clusters are index-sized; the paper uses
+    k ≈ √n). Component rounds are q90's join+min loop. The
+    complementary LSH-gated path is ``signlsh_neardup`` (q100); the
+    two differ in candidate generation only.
+
+    Design-regime exactness (clusters of near-identical vectors —
+    where SemDeDup operates) is pinned by
+    ``tests/test_similarity.py::test_semdedup_planted_clusters``:
+    cluster-scoped components equal all-pairs components there.
+    """
+    from ml_with_spark_streaming_spark.operators.graph import connected_components
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, n_centroids=n_centroids, c_vec=c_vec, c_id=c_id, seed=seed
+        )
+    centroids = maybe_checkpoint(centroids)
+    assigned = maybe_checkpoint(
+        corpus.crossJoin(F.broadcast(centroids))
+        .select(
+            c_id, c_vec, "cent_id",
+            cosine_expr(F.col(c_vec), F.col("cent_vec")).alias("sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy(c_id).orderBy(F.col("sim").desc(), "cent_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col(c_id), F.col(c_vec), F.col("cent_id").alias("cluster"))
+    )
+    a = assigned.select(
+        F.col("cluster"),
+        F.col(c_id).alias("id1"),
+        F.col(c_vec).alias("_v1"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col(c_id).alias("id2"),
+        F.col(c_vec).alias("_v2"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(
+            F.round(cosine_expr(F.col("_v1"), F.col("_v2")), 4) >= F.lit(threshold)
+        )
+        .select("id1", "id2")
+    )
+    comp = connected_components(pairs).withColumnRenamed("id", c_id)
+    return (
+        assigned.select(c_id, "cluster")
+        .join(comp, c_id, "left")
+        .select(
+            F.col(c_id),
+            F.col("cluster").cast("long").alias("cluster"),
+            F.coalesce("component", F.col(c_id)).cast("long").alias("component"),
+            (F.coalesce("component", F.col(c_id)) == F.col(c_id))
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

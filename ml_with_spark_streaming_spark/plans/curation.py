@@ -2856,6 +2856,35 @@ def q165_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q166_semdedup")  # rows-only: KMeans clustering isn't SQL-expressible
+def q166_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup proper (Abbas et al. 2023) over the embeddings table:
+    KMeans clusters (seed 42, the q106 fit), exact cosine pairs ONLY
+    within each cluster, components, keep-one-per-component — the
+    k-means-scoped semantic dedup the paper describes, completing the
+    family next to q99 (capped-exact twin), q100 (sign-LSH gate) and
+    q123 (the cluster profile view).
+
+    Threshold 0.4 here: the synthetic embeddings carry no planted
+    near-identical vectors (max pairwise cosine ~0.5), so the paper's
+    0.95 operating point would make the query vacuously empty; 0.4 is
+    q99's edge threshold, so the component structure is comparable.
+    Deterministic (seeded fit, id tie-breaks) — rows-only stable;
+    design-regime exactness (cluster-scoped == all-pairs on planted
+    near-identical clusters) is pinned by
+    tests/test_similarity.py::test_semdedup_planted_clusters.
+
+    Scale: pair search is an equi-join on cluster over the
+    checkpointed assignment — n²/k pairs for k clusters; production
+    picks k ≈ √n so clusters stay index-sized. Nothing corpus-wide is
+    ever all-pairs.
+    """
+    from ml_with_spark_streaming_spark.operators.similarity import semdedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semdedup(e, n_centroids=16, threshold=0.4).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # q160 — benchmark-registry decontamination (N benchmarks, one corpus pass)
 # ---------------------------------------------------------------------------

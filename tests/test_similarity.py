@@ -230,6 +230,54 @@ def test_ivf_hard_negatives_recall(spark):
     assert recall >= 0.6, f"IVF hard-negative recall {recall:.2f} < 0.6"
 
 
+def test_semdedup_planted_clusters(spark):
+    """SemDeDup design regime: planted near-identical groups must
+    collapse to ONE keeper each, noise survives untouched, and the
+    cluster-scoped components equal the all-pairs components (the
+    KMeans gate loses nothing where near-dups share a cluster)."""
+    import random as _random
+
+    from ml_with_spark_streaming_spark.operators.graph import connected_components
+    from ml_with_spark_streaming_spark.operators.similarity import (
+        neardup_pairs,
+        semdedup,
+    )
+
+    rnd = _random.Random(11)
+    rows = []
+    vid = 0
+    for _ in range(5):  # 5 planted groups of 4 jittered copies
+        base = [rnd.gauss(0, 1) for _ in range(16)]
+        for _ in range(4):
+            rows.append((vid, [x * (1 + rnd.uniform(-1e-3, 1e-3)) for x in base]))
+            vid += 1
+    for _ in range(80):  # noise
+        rows.append((vid, [rnd.gauss(0, 1) for _ in range(16)]))
+        vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = {r.vec_id: r for r in semdedup(corpus, n_centroids=8, threshold=0.95).collect()}
+    assert len(out) == vid  # every vector has a row
+    for g in range(5):
+        members = [g * 4 + j for j in range(4)]
+        comps = {out[m].component for m in members}
+        assert comps == {g * 4}, f"group {g} not collapsed: {comps}"
+        assert [out[m].keep for m in members] == [1, 0, 0, 0]
+    noise = [v for v in range(20, vid)]
+    assert all(out[v].keep == 1 and out[v].component == v for v in noise)
+
+    # design-regime exactness: cluster-scoped == all-pairs components
+    allpairs = neardup_pairs(corpus, threshold=0.95).select("id1", "id2")
+    want = {
+        r.vec_id: r.component
+        for r in connected_components(allpairs)
+        .withColumnRenamed("id", "vec_id")
+        .collect()
+    }
+    got = {v: r.component for v, r in out.items() if r.component != v or v in want}
+    assert got == want
+
+
 def test_kmeans_centroids_layout_stable(spark):
     """The centroid fit must be a pure function of the corpus CONTENT:
     identical vectors arriving at different partition counts/orders

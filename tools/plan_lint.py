@@ -167,6 +167,20 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "itself is a separate MLlib job whose centroids arrive as a checkpointed "
         "k-row table (at scale a persisted index artifact).",
     ),
+    "q165_hard_negatives_ivf": (
+        frozenset({"CartesianProduct", "DupFactScan"}),
+        "q100 + q106 composed, both shapes already waived: embeddings scans are the "
+        "sign-LSH edge stage (scans vectors once), the corpus-assignment role, and "
+        "the vec_id<10 anchor slice; the component map and centroid table arrive as "
+        "checkpointed narrow tables (persisted index artifacts at scale); the "
+        "crossJoins are the waived broadcast centroid/probe fan-outs.",
+    ),
+    "q166_semdedup": (
+        frozenset({"CartesianProduct", "DupFactScan"}),
+        "broadcast centroid fan-out (q106's waived shape) feeding one checkpointed "
+        "assignment table; the a/b pair roles and the id spine read that "
+        "materialized table, not the base scan (q99's waived a/b shape).",
+    ),
     "q97_table_profile": (
         frozenset({"DupFactScan"}),
         "visible only under SPARK_GRAFT_NO_CHECKPOINT: the 4 long-format union branches "
