@@ -250,18 +250,26 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    shingle_w: int | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard over all pairs sharing ≥1 token.
+    """Exact set-Jaccard over all pairs sharing ≥1 element.
 
-    Small-data / oracle path (quadratic in docs-per-token). The scale
-    path is minhash_candidates → this same arithmetic restricted to
-    candidates (jaccard_verify).
+    Elements are distinct TOKENS by default (q51's form); with
+    ``shingle_w`` set they are distinct w-token shingles — the
+    similarity the MinHash gate actually approximates (q167's recall
+    audit compares the gate against THAT, not token sets).
+
+    Small-data / oracle path (quadratic in docs-per-element). The
+    scale path is minhash_candidates → this same arithmetic restricted
+    to candidates (jaccard_verify).
     Columns: id1, id2, jaccard (rounded 4).
     """
+    toks = tokens_expr(clean_text_expr(text_col))
+    elems = toks if shingle_w is None else shingles_expr(toks, shingle_w)
     dt = (
         df.select(
             F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(tokens_expr(clean_text_expr(text_col)))).alias("t"),
+            F.explode(F.array_distinct(elems)).alias("t"),
         )
         .filter(F.col("t") != "")
         .distinct()

@@ -120,6 +120,144 @@ ORDER BY id1, id2
 """
 
 
+Q167_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0 AND doc_id < 1000
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                        i -> array_to_string(t[i:i+2], ' ')) AS s
+  FROM toks
+),
+shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+dt AS (
+  SELECT DISTINCT doc_id AS id, tok
+  FROM (SELECT doc_id, unnest(s) AS tok FROM shf)
+  WHERE tok <> ''
+),
+sz AS (SELECT id, COUNT(*) AS n FROM dt GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS c
+  FROM dt a JOIN dt b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT id1, id2,
+         CAST(FLOOR(ROUND(c * 1.0 / (sa.n + sb.n - c), 4) * 10000 + 0.5) AS BIGINT) AS j_x10000
+  FROM inter
+  JOIN sz sa ON sa.id = inter.id1
+  JOIN sz sb ON sb.id = inter.id2
+  WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.3
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+                        i -> list_min(list_transform(s, x -> substr(md5(x || '#' || CAST(i // 4 AS VARCHAR)), (i % 4) * 8 + 1, 8)))) AS sg
+  FROM shf
+),
+bands AS (
+  SELECT doc_id, j AS band_idx,
+         md5(array_to_string(sg[j*4+1:j*4+4], '|')) AS band_hash
+  FROM sig, UNNEST([0, 1, 2, 3]) AS t(j)
+),
+cand AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a
+  JOIN bands b ON a.band_hash = b.band_hash AND a.band_idx = b.band_idx AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ncand AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+flag AS (
+  SELECT e.j_x10000, CASE WHEN c.id1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ex e LEFT JOIN cand c ON c.id1 = e.id1 AND c.id2 = e.id2
+),
+th AS (SELECT unnest([3000, 5000, 7000]) AS threshold_x10000),
+per AS (
+  SELECT threshold_x10000,
+         CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+         CAST(SUM(hit) AS BIGINT) AS n_recalled
+  FROM th JOIN flag ON flag.j_x10000 >= th.threshold_x10000
+  GROUP BY 1
+)
+SELECT CAST(t.threshold_x10000 AS BIGINT) AS threshold_x10000,
+       CAST(COALESCE(p.n_exact_pairs, 0) AS BIGINT) AS n_exact_pairs,
+       CAST(COALESCE(p.n_recalled, 0) AS BIGINT) AS n_recalled,
+       (SELECT n_cand FROM ncand) AS n_candidate_pairs,
+       CAST(CASE WHEN COALESCE(p.n_exact_pairs, 0) = 0 THEN 10000
+            ELSE COALESCE(p.n_recalled, 0) * 10000 // p.n_exact_pairs END AS BIGINT)
+         AS recall_x10000
+FROM th t LEFT JOIN per p ON p.threshold_x10000 = t.threshold_x10000
+ORDER BY 1
+"""
+
+
+@query("q167_dedup_recall_audit", Q167_SQL)
+def q167_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-auditing dedup quality: recall of the q50 MinHash+LSH
+    candidate gate against exact 3-token-SHINGLE Jaccard — the
+    similarity the MinHash signatures actually approximate (q51's
+    arithmetic over the gate's own shingle sets, not token sets) —
+    per threshold (0.3 / 0.5 / 0.7), on the capped ``doc_id < 1000``
+    sample — the sampled recall report a production pipeline runs
+    AFTER every dedup pass, because LSH recall is a function of the
+    corpus's actual similarity distribution, not just the S-curve
+    (q126's index-quality discipline, applied to the dedup gate).
+
+    Columns: ``(threshold_x10000, n_exact_pairs, n_recalled,
+    n_candidate_pairs, recall_x10000)`` — all BIGINT; recall of an
+    empty exact set is defined as 10000 (vacuously complete).
+    Hash-exact oracle: both the exact side and the candidate side are
+    the bit-exact salted-md5 formulations q50/q51 already pin.
+
+    Scale shape: the audit runs on a SAMPLE by construction — exact
+    all-pairs cost is confined to the capped slice; the LSH side
+    reuses the q50 banded-bucket path on the same slice. At 100 TB
+    the slice is a content-hash sample (q84's predicate) instead of
+    an id prefix; nothing else changes.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    exact = maybe_checkpoint(
+        jaccard_pairs(d, "text", "doc_id", threshold=0.3, shingle_w=3).withColumn(
+            "j_x10000",
+            F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("long"),
+        )
+    )
+    cand = maybe_checkpoint(
+        minhash_candidates(
+            d, "text", "doc_id", k=16, bands=4, max_bucket=_MINHASH_MAX_BUCKET
+        )
+    )
+    n_cand = cand.count()  # O(1) scalar off the checkpointed pair table
+    flagged = exact.join(
+        cand.withColumn("_c", F.lit(1)), ["id1", "id2"], "left"
+    ).select("j_x10000", F.coalesce("_c", F.lit(0)).alias("hit"))
+    th = spark.createDataFrame([(3000,), (5000,), (7000,)], "threshold_x10000 long")
+    per = (
+        flagged.crossJoin(F.broadcast(th))
+        .filter(F.col("j_x10000") >= F.col("threshold_x10000"))
+        .groupBy("threshold_x10000")
+        .agg(
+            F.count("*").cast("long").alias("n_exact_pairs"),
+            F.sum("hit").cast("long").alias("n_recalled"),
+        )
+    )
+    out = th.join(per, "threshold_x10000", "left").select(
+        F.col("threshold_x10000").cast("long"),
+        F.coalesce("n_exact_pairs", F.lit(0)).cast("long").alias("n_exact_pairs"),
+        F.coalesce("n_recalled", F.lit(0)).cast("long").alias("n_recalled"),
+        F.lit(n_cand).cast("long").alias("n_candidate_pairs"),
+    )
+    return out.withColumn(
+        "recall_x10000",
+        F.expr(
+            "CAST(CASE WHEN n_exact_pairs = 0 THEN 10000 "
+            "ELSE n_recalled * 10000 DIV n_exact_pairs END AS BIGINT)"
+        ),
+    ).orderBy("threshold_x10000")
+
+
 @query("q51_jaccard_pairs", Q51_SQL)
 def q51_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs Jaccard — quadratic by design, so the oracle

@@ -279,3 +279,57 @@ def test_containment_stop_gram_guard_drops_hot_shingles(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert containment_pairs(df, threshold=0.5, stop_df=20).count() == 0
+
+
+def test_q167_recall_audit_counts(spark, tmp_path):
+    """The audit's rows must reconcile with the operators it audits:
+    n_exact_pairs / n_recalled equal an independent recomputation from
+    jaccard_pairs x minhash_candidates, an identical pair is always
+    recalled (identical docs share every band), and recall of an
+    empty exact set is the defined 10000."""
+    import os
+
+    from ml_with_spark_streaming_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_candidates,
+    )
+    from ml_with_spark_streaming_spark.plans.llm_ops import q167_dedup_recall_audit
+
+    # letters only (the q40 cleaner strips digits)
+    w = [f"aw{chr(97 + i)}{chr(97 + j)}" for i in range(6) for j in range(6)]
+    base = " ".join(w[:20])
+    rows = [
+        (0, base, "en", "s", 1),          # identical pair 0-1: J = 1
+        (1, base, "en", "s", 1),
+        (2, " ".join(w[:12] + w[20:28]), "en", "s", 1),  # J(0,2) = 12/28 ~ 0.43
+        (3, " ".join(w[28:36]), "en", "s", 1),           # unrelated
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {r.threshold_x10000: r for r in q167_dedup_recall_audit(spark, d).collect()}
+    assert set(got) == {3000, 5000, 7000}
+
+    exact = {
+        (r.id1, r.id2): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.3, shingle_w=3).collect()
+    }
+    cand = {
+        (r.id1, r.id2)
+        for r in minhash_candidates(df, k=16, bands=4, max_bucket=256).collect()
+    }
+    for t, row in got.items():
+        want_exact = {p for p, j in exact.items() if round(j * 10000) >= t}
+        assert row.n_exact_pairs == len(want_exact)
+        assert row.n_recalled == len(want_exact & cand)
+        assert row.n_candidate_pairs == len(cand)
+        if want_exact:
+            assert row.recall_x10000 == row.n_recalled * 10000 // row.n_exact_pairs
+        else:
+            assert row.recall_x10000 == 10000
+    # the identical pair exists and is recalled at every threshold
+    assert (0, 1) in exact and exact[(0, 1)] == 1.0 and (0, 1) in cand
+    assert got[7000].n_exact_pairs >= 1 and got[7000].n_recalled >= 1
