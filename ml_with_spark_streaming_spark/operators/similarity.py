@@ -195,7 +195,7 @@ def derive_signlsh_knobs(
     return bits * bands, bands
 
 
-def signlsh_buckets(
+def signlsh_bands(
     corpus: DataFrame,
     n_planes: int = 32,
     bands: int = 4,
@@ -204,22 +204,17 @@ def signlsh_buckets(
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
-    """The (band_idx, band_bits, ids) candidate buckets of the sign-LSH
-    gate — the internal stage of ``signlsh_neardup``, exposed so tests
-    and capacity checks can assert bucket-occupancy bounds directly.
-    Only multi-member buckets are returned (singletons generate no
-    pairs).
+    """Per-vector sign-LSH band signatures ``(c_id, band_idx,
+    band_bits)`` — the INDEX form of the gate (``signlsh_buckets``
+    groups these into candidate buckets; the streaming embedding-dedup
+    gate persists them and hash-joins each micro-batch's signatures
+    against them). Deterministic per vector: seeded hyperplanes,
+    row-independent float64 dots — so index-side and batch-side
+    signatures agree bit-for-bit.
 
-    Two signature formulations, same output shape:
-    * small plane counts → JVM higher-order functions (no Python);
-    * ``n_planes × dim >= 2048`` → Arrow ``mapInPandas`` with ONE
-      float64 matmul per batch. The HOF expression tree carries
-      n_planes × dim literals — past a few thousand, Catalyst
-      analysis + codegen dominate runtime (measured ~15 s per call at
-      144×64 where the matmul path takes ~1 s), and at 100 TB the
-      BLAS path is how you'd compute a 1024-bit signature anyway
-      (q81's precedent). Both are deterministic per vector (seeded
-      planes; row-independent float64 dots).
+    Two formulations, same output (see ``signlsh_buckets``): JVM
+    higher-order functions for small plane counts, one Arrow matmul
+    per batch when ``n_planes x dim >= 2048``.
     """
     import numpy as np
 
@@ -227,7 +222,7 @@ def signlsh_buckets(
         first = corpus.select(c_vec).first()
         if first is None or first[0] is None:
             return corpus.sparkSession.createDataFrame(
-                [], "band_idx int, band_bits string, ids array<long>"
+                [], f"{c_id} long, band_idx int, band_bits string"
             )
         dim = len(first[0])
     rnd = np.random.RandomState(seed)
@@ -258,34 +253,62 @@ def signlsh_buckets(
                     {c_id: out_ids, "band_idx": out_band, "band_bits": out_bits}
                 )
 
-        sig = corpus.select(c_id, c_vec).mapInPandas(
+        return corpus.select(c_id, c_vec).mapInPandas(
             part, f"{c_id} long, band_idx int, band_bits string"
         )
-    else:
-        plane_cols = [
-            F.aggregate(
-                F.zip_with(
-                    F.col(c_vec),
-                    F.array(*[F.lit(float(x)) for x in planes[i]]),
-                    lambda v, h: v.cast("double") * h,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            > 0
-            for i in range(n_planes)
-        ]
-        band_cols = [
-            F.concat_ws(
-                "",
-                *[plane_cols[j * rows + r].cast("int").cast("string") for r in range(rows)],
-            )
-            for j in range(bands)
-        ]
-        sig = corpus.select(
-            F.col(c_id),
-            F.posexplode(F.array(*band_cols)).alias("band_idx", "band_bits"),
+    plane_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col(c_vec),
+                F.array(*[F.lit(float(x)) for x in planes[i]]),
+                lambda v, h: v.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
+        > 0
+        for i in range(n_planes)
+    ]
+    band_cols = [
+        F.concat_ws(
+            "",
+            *[plane_cols[j * rows + r].cast("int").cast("string") for r in range(rows)],
+        )
+        for j in range(bands)
+    ]
+    return corpus.select(
+        F.col(c_id),
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_bits"),
+    )
+
+
+def signlsh_buckets(
+    corpus: DataFrame,
+    n_planes: int = 32,
+    bands: int = 4,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """The (band_idx, band_bits, ids) candidate buckets of the sign-LSH
+    gate — the internal stage of ``signlsh_neardup``, exposed so tests
+    and capacity checks can assert bucket-occupancy bounds directly.
+    Only multi-member buckets are returned (singletons generate no
+    pairs).
+
+    Two signature formulations, same output shape:
+    * small plane counts → JVM higher-order functions (no Python);
+    * ``n_planes × dim >= 2048`` → Arrow ``mapInPandas`` with ONE
+      float64 matmul per batch. The HOF expression tree carries
+      n_planes × dim literals — past a few thousand, Catalyst
+      analysis + codegen dominate runtime (measured ~15 s per call at
+      144×64 where the matmul path takes ~1 s), and at 100 TB the
+      BLAS path is how you'd compute a 1024-bit signature anyway
+      (q81's precedent). Both are deterministic per vector (seeded
+      planes; row-independent float64 dots).
+    """
+    sig = signlsh_bands(corpus, n_planes, bands, c_id, c_vec, seed, dim)
     return (
         sig.groupBy("band_idx", "band_bits")
         .agg(F.array_sort(F.collect_set(c_id)).alias("ids"))

@@ -1,0 +1,135 @@
+"""Streaming embedding-modality dedup gate
+(streaming/embedding_dedup_filter.py): micro-batch verdicts must equal
+the q100 operators recomputed over (corpus + accepted-so-far), the
+index must grow with accepted batches, and the attach() path must
+agree with direct process_batch calls."""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ml_with_spark_streaming_spark.operators.similarity import neardup_pairs
+from ml_with_spark_streaming_spark.streaming.embedding_dedup_filter import (
+    StreamingEmbeddingDedup,
+)
+
+_DIM = 16
+_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _jitter(rnd, v, eps=1e-3):
+    return [x * (1 + rnd.uniform(-eps, eps)) for x in v]
+
+
+def _mk_corpus(rnd, n=12):
+    return [(i, [rnd.gauss(0, 1) for _ in range(_DIM)]) for i in range(n)]
+
+
+def test_gate_verdicts_match_batch_operators(spark):
+    rnd = random.Random(3)
+    corpus_rows = _mk_corpus(rnd)
+    corpus = spark.createDataFrame(corpus_rows, _SCHEMA)
+    gate = StreamingEmbeddingDedup.from_corpus(corpus, threshold=0.95, dim=_DIM)
+
+    novel1 = [rnd.gauss(0, 1) for _ in range(_DIM)]
+    dup_vec = [rnd.gauss(0, 1) for _ in range(_DIM)]
+    b1 = [
+        (100, _jitter(rnd, corpus_rows[0][1])),  # near-dup of corpus vec 0
+        (101, novel1),                           # novel -> accepted
+        (102, dup_vec),                          # identical pair in one drop:
+        (103, dup_vec),                          # keep-first (102 kept)
+    ]
+    gate.process_batch(spark.createDataFrame(b1, _SCHEMA), 0)
+    h1 = gate.history[-1]
+    assert h1["n_vecs"] == 4
+    assert h1["n_near"] == 1 and h1["n_exact"] == 1
+    assert h1["n_kept"] == 2  # 101 and 102
+
+    b2 = [
+        (200, _jitter(rnd, novel1)),             # near-dup of ACCEPTED 101
+        (201, [rnd.gauss(0, 1) for _ in range(_DIM)]),  # novel
+        (202, _jitter(rnd, corpus_rows[5][1])),  # near-dup of corpus vec 5
+    ]
+    kept2: set[int] = set()
+    gate.on_kept = lambda df, bid: kept2.update(r.vec_id for r in df.collect())
+    gate.process_batch(spark.createDataFrame(b2, _SCHEMA), 1)
+    h2 = gate.history[-1]
+    assert h2["n_near"] == 2, "grown index must catch the accepted-batch near-dup"
+    assert kept2 == {201}
+
+    # parity: every near-rejection has a verified cosine edge to the
+    # reference set at that point; every acceptance has none
+    refs1 = corpus_rows
+    union1 = spark.createDataFrame(
+        refs1 + [(i, v) for i, v in b1], _SCHEMA
+    )
+    edges1 = {
+        (r.id1, r.id2)
+        for r in neardup_pairs(union1, threshold=0.95).collect()
+    }
+    ref_ids1 = {i for i, _ in refs1}
+    assert any(a in ref_ids1 and b == 100 for a, b in edges1)  # 100 was near
+    assert not any(b == 101 and a in ref_ids1 for a, b in edges1)  # 101 clean
+
+    refs2 = refs1 + [(101, novel1), (102, dup_vec)]
+    union2 = spark.createDataFrame(refs2 + [(i, v) for i, v in b2], _SCHEMA)
+    edges2 = {
+        (r.id1, r.id2) for r in neardup_pairs(union2, threshold=0.95).collect()
+    }
+    ref_ids2 = {i for i, _ in refs2}
+    assert any(a in ref_ids2 and b == 200 for a, b in edges2)
+    assert any(a in ref_ids2 and b == 202 for a, b in edges2)
+    assert not any(b == 201 and a in ref_ids2 for a, b in edges2)
+
+
+def test_attach_matches_direct_calls(spark):
+    """availableNow file-stream run == direct process_batch calls."""
+    rnd = random.Random(5)
+    corpus_rows = _mk_corpus(rnd)
+    corpus = spark.createDataFrame(corpus_rows, _SCHEMA)
+
+    batches = [
+        [(300, _jitter(rnd, corpus_rows[1][1])), (301, [rnd.gauss(0, 1) for _ in range(_DIM)])],
+        [(302, [rnd.gauss(0, 1) for _ in range(_DIM)])],
+    ]
+
+    direct = StreamingEmbeddingDedup.from_corpus(corpus, threshold=0.95, dim=_DIM)
+    direct_kept: set[int] = set()
+    direct.on_kept = lambda df, bid: direct_kept.update(
+        r.vec_id for r in df.collect()
+    )
+    for bid, rows in enumerate(batches):
+        direct.process_batch(spark.createDataFrame(rows, _SCHEMA), bid)
+
+    streamed = StreamingEmbeddingDedup.from_corpus(corpus, threshold=0.95, dim=_DIM)
+    stream_kept: set[int] = set()
+    streamed.on_kept = lambda df, bid: stream_kept.update(
+        r.vec_id for r in df.collect()
+    )
+    with tempfile.TemporaryDirectory() as root:
+        src = os.path.join(root, "in")
+        os.makedirs(src)
+        for bid, rows in enumerate(batches):
+            with open(os.path.join(src, f"b{bid}.jsonl"), "w") as f:
+                for vid, vec in rows:
+                    f.write(json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+        stream = (
+            spark.readStream.format("json")
+            .schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        q = streamed.attach(
+            stream, checkpoint=os.path.join(root, "ckpt"), available_now=True
+        )
+        q.awaitTermination()
+
+    assert stream_kept == direct_kept == {301, 302}
+    assert sum(h["n_kept"] for h in streamed.history) == sum(
+        h["n_kept"] for h in direct.history
+    )
