@@ -150,6 +150,41 @@ def inverted_index(
     )
 
 
+def index_term_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(term, df, total_tf)`` — the ADDITIVE slice of the inverted
+    index (no postings fingerprint), the form an incremental index
+    refresh merges: both columns are sums over disjoint doc sets, so
+    ``stats(base) ⊎ stats(delta) == stats(base ∪ delta)`` exactly
+    (q168 pins that against a full recompute)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_expr(clean_text_expr(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("term", id_col).agg(F.count("*").alias("tf"))
+    return tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+
+
+def merge_term_stats(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two disjoint-corpus ``index_term_stats`` tables: full
+    outer on term, per-column sum — one vocabulary-sized join, no
+    document rescan."""
+    b = base.select("term", F.col("df").alias("_bdf"), F.col("total_tf").alias("_btf"))
+    d = delta.select("term", F.col("df").alias("_ddf"), F.col("total_tf").alias("_dtf"))
+    return b.join(d, "term", "full_outer").select(
+        "term",
+        (F.coalesce("_bdf", F.lit(0)) + F.coalesce("_ddf", F.lit(0)))
+        .cast("long")
+        .alias("df"),
+        (F.coalesce("_btf", F.lit(0)) + F.coalesce("_dtf", F.lit(0)))
+        .cast("long")
+        .alias("total_tf"),
+    )
+
+
 def _corpus_stats(toks: DataFrame, id_col: str) -> tuple[DataFrame, DataFrame]:
     """(dl, st): per-doc length table and the 1-row (n, tt, a) stats."""
     dl = maybe_checkpoint(

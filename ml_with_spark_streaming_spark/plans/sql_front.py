@@ -142,6 +142,7 @@ SQL_REWRITTEN: tuple[str, ...] = (
     "q161_source_duplication_matrix",
     "q163_scd2_temporal_join",
     "q167_dedup_recall_audit",
+    "q168_incremental_index",
     "q24_date_functions",
     "q26_json_extract",
     "q34_range_frame_neighbors",

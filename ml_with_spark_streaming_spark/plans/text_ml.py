@@ -474,6 +474,60 @@ def q116_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q168 — incremental inverted-index maintenance (refresh == recompute)
+# ---------------------------------------------------------------------------
+
+Q168_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
+  FROM documents WHERE length({CLEAN_SQL}) > 0
+),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, doc_id)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf
+FROM tf GROUP BY term ORDER BY term
+"""
+
+
+@query("q168_incremental_index", Q168_SQL)
+def q168_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance — the q151 MV discipline
+    applied to the retrieval artifact: an append-only corpus must not
+    rebuild its index per drop. The Spark side REFRESHES: term stats
+    over the base slice (``doc_id % 5 != 0`` — the stored index
+    artifact), term stats over the delta (the new drop), merged with
+    one vocabulary-sized full-outer sum
+    (``operators/retrieval.py::merge_term_stats``). The oracle
+    RECOMPUTES over the whole corpus — the hash match IS the
+    refresh-equals-recompute invariant (df and total_tf are sums over
+    disjoint doc sets, so the merge is exact, not approximate).
+
+    The postings fingerprint (q116's audit column) is deliberately
+    absent: it digests the FULL posting list, which an incremental
+    refresh by definition does not rebuild — at scale the posting
+    lists themselves are term-sharded parquet appended per drop, and
+    df/total_tf are the maintained summary the BM25 scorer reads.
+
+    Scale shape: refresh cost = one tokenize pass over the DELTA plus
+    a vocabulary-sized merge join; the base is read from its artifact
+    (here recomputed — testdata has no persisted index), never from
+    the raw corpus.
+    """
+    from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
+    from ml_with_spark_streaming_spark.operators.retrieval import (
+        index_term_stats,
+        merge_term_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = index_term_stats(d.filter(F.col("doc_id") % 5 != 0))
+    delta = index_term_stats(d.filter(F.col("doc_id") % 5 == 0))
+    return merge_term_stats(maybe_checkpoint(base), delta).orderBy("term")
+
+
+# ---------------------------------------------------------------------------
 # q117 — BM25 top-k retrieval (exact integer-rational scoring)
 # ---------------------------------------------------------------------------
 

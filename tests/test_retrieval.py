@@ -354,3 +354,33 @@ def test_batch_bm25_shuffled_queries_mode(spark):
         )
     )
     assert ga == gb and ga
+
+
+def test_q168_incremental_index_merge(spark):
+    """Fixture intent for the refresh: delta-only terms appear with
+    delta counts, shared terms' df/total_tf are exact sums, base-only
+    terms ride through unchanged (the oracle hash separately proves
+    refresh == recompute corpus-wide)."""
+    from ml_with_spark_streaming_spark.operators.retrieval import (
+        index_term_stats,
+        merge_term_stats,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(3, "beta beta delta")], "doc_id long, text string"
+    )
+    merged = {
+        r.term: (r.df, r.total_tf)
+        for r in merge_term_stats(
+            index_term_stats(base), index_term_stats(delta)
+        ).collect()
+    }
+    assert merged == {
+        "alpha": (1, 2),
+        "beta": (3, 4),   # docs 1,2,3; tf 1+1+2
+        "gamma": (1, 1),
+        "delta": (1, 1),
+    }
