@@ -98,6 +98,10 @@ HEADLINE = [
     "q159_scd2_asof",
     "q163_scd2_temporal_join",
     "q164_dedup_bias_audit",
+    "q165_hard_negatives_ivf",
+    "q166_semdedup",
+    "q167_dedup_recall_audit",
+    "q168_incremental_index",
 ]
 
 
