@@ -72,6 +72,11 @@ class StreamingEmbeddingDedup:
     grow_index: bool = True
     on_kept: object = None
     history: list[dict] = field(default_factory=list)
+    # merge accepted-batch slices back into one materialized table
+    # every N accepted batches (the text gate's compaction contract:
+    # without it a long-running gate's union chain grows per batch)
+    compact_every: int | None = 16
+    _since_compact: int = field(default=0, init=False, repr=False)
 
     @classmethod
     def from_corpus(cls, corpus: DataFrame, **kw) -> "StreamingEmbeddingDedup":
@@ -86,6 +91,58 @@ class StreamingEmbeddingDedup:
             signlsh_bands(corpus, c_id=id_col, c_vec=vec_col, **sig_kw)
         )
         return cls(corpus=corpus, band_index=idx, **kw)
+
+    def compact(self) -> None:
+        """Re-materialize the grown index union into single
+        checkpointed tables (the text gate's compaction: plan depth
+        and pinned slice RDDs return to O(1); verdict-neutral — the
+        union's CONTENT is unchanged, pinned by test). At scale this
+        is the segment-merge every vector store runs."""
+        self.band_index = maybe_checkpoint(self.band_index)
+        self.corpus = maybe_checkpoint(self.corpus.select(self.id_col, self.vec_col))
+        self._since_compact = 0
+
+    def save_index(self, path: str) -> None:
+        """Persist the (possibly grown) artifacts: the band-signature
+        table, the vector table (the verify side), and a params
+        sidecar — band bits are a function of (n_planes, bands, seed),
+        so resuming with different knobs would silently never match."""
+        self.compact()
+        self.band_index.write.mode("overwrite").parquet(f"{path}/band_index")
+        self.corpus.select(self.id_col, self.vec_col).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/vectors")
+        spark = self.corpus.sparkSession
+        spark.createDataFrame(
+            [(self.n_planes, self.bands, self.seed, float(self.threshold))],
+            "n_planes int, bands int, seed int, threshold double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+    @classmethod
+    def from_index_path(cls, spark, path: str, **kw) -> "StreamingEmbeddingDedup":
+        """Resume a gate from ``save_index`` artifacts — no corpus
+        rescan. Knobs come from the params sidecar; conflicting
+        overrides raise (mismatched planes/bands/seed make every
+        stored signature unmatchable — a silently broken gate)."""
+        p = spark.read.parquet(f"{path}/params").collect()[0]
+        saved = {
+            "n_planes": int(p["n_planes"]),
+            "bands": int(p["bands"]),
+            "seed": int(p["seed"]),
+            "threshold": float(p["threshold"]),
+        }
+        for name, val in saved.items():
+            if name in kw and kw[name] != val:
+                raise ValueError(
+                    f"index at {path} was built with {name}={val}; "
+                    f"got {name}={kw[name]} — rebuild the index or drop the override"
+                )
+            kw[name] = val
+        return cls(
+            corpus=spark.read.parquet(f"{path}/vectors"),
+            band_index=spark.read.parquet(f"{path}/band_index"),
+            **kw,
+        )
 
     def _cosine(self, v1, v2) -> F.Column:
         return dot_expr(v1, v2) / (
@@ -180,6 +237,9 @@ class StreamingEmbeddingDedup:
             self.corpus = self.corpus.select(self.id_col, self.vec_col).unionByName(
                 kept.select(self.id_col, self.vec_col)
             )
+            self._since_compact += 1
+            if self.compact_every is not None and self._since_compact >= self.compact_every:
+                self.compact()
         if self.on_kept is not None:
             self.on_kept(kept, batch_id)
 

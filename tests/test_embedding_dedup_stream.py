@@ -133,3 +133,54 @@ def test_attach_matches_direct_calls(spark):
     assert sum(h["n_kept"] for h in streamed.history) == sum(
         h["n_kept"] for h in direct.history
     )
+
+
+def test_compact_and_save_resume_roundtrip(spark, tmp_path):
+    """compact() is verdict-neutral; save_index -> from_index_path
+    resumes with the grown index intact (a near-dup of an accepted
+    vector is still rejected after the round trip); conflicting knob
+    overrides on resume raise."""
+    import pytest
+
+    rnd = random.Random(9)
+    corpus_rows = _mk_corpus(rnd)
+    corpus = spark.createDataFrame(corpus_rows, _SCHEMA)
+    gate = StreamingEmbeddingDedup.from_corpus(
+        corpus, threshold=0.95, dim=_DIM, compact_every=1
+    )
+
+    novel = [rnd.gauss(0, 1) for _ in range(_DIM)]
+    gate.process_batch(
+        spark.createDataFrame([(400, novel)], _SCHEMA), 0
+    )  # accepted; compact_every=1 compacts right after
+    assert gate._since_compact == 0
+    assert gate.history[-1]["n_kept"] == 1
+
+    # verdict-neutral compaction: a jitter of the accepted vector is
+    # rejected by the compacted index
+    gate.process_batch(
+        spark.createDataFrame([(401, _jitter(rnd, novel))], _SCHEMA), 1
+    )
+    assert gate.history[-1]["n_near"] == 1 and gate.history[-1]["n_kept"] == 0
+
+    idx = str(tmp_path / "emb_index")
+    gate.save_index(idx)
+    resumed = StreamingEmbeddingDedup.from_index_path(spark, idx, dim=_DIM)
+    assert resumed.threshold == 0.95 and resumed.n_planes == 32
+
+    resumed.process_batch(
+        spark.createDataFrame(
+            [
+                (500, _jitter(rnd, novel)),                 # vs accepted-then-saved
+                (501, _jitter(rnd, corpus_rows[2][1])),     # vs original corpus
+                (502, [rnd.gauss(0, 1) for _ in range(_DIM)]),  # novel
+            ],
+            _SCHEMA,
+        ),
+        0,
+    )
+    h = resumed.history[-1]
+    assert h["n_near"] == 2 and h["n_kept"] == 1
+
+    with pytest.raises(ValueError, match="n_planes"):
+        StreamingEmbeddingDedup.from_index_path(spark, idx, n_planes=64)

@@ -181,6 +181,22 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "assignment table; the a/b pair roles and the id spine read that "
         "materialized table, not the base scan (q99's waived a/b shape).",
     ),
+    "q167_dedup_recall_audit": (
+        frozenset({"DupFactScan"}),
+        "sampled audit, everything confined to the doc_id<1000 slice by "
+        "construction: exact-side a/b posting roles read the checkpointed "
+        "shingle table (q51's waived shape), the LSH side is q50's waived "
+        "signature pass, plus the pruned sample spine; at scale the slice is "
+        "a content-hash sample and the corpus is never scanned whole.",
+    ),
+    "q168_incremental_index": (
+        frozenset({"DupFactScan"}),
+        "base and delta are DISJOINT doc_id%5 slices — two partition-pruned "
+        "scans of different rows, not a re-scan; in production the base term "
+        "stats come from the persisted index artifact and only the delta "
+        "touches raw documents (the query recomputes the base because "
+        "testdata ships no persisted index).",
+    ),
     "q97_table_profile": (
         frozenset({"DupFactScan"}),
         "visible only under SPARK_GRAFT_NO_CHECKPOINT: the 4 long-format union branches "
