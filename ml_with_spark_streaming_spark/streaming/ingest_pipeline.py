@@ -7,7 +7,11 @@ on the smallest surviving slice; all gates are the EXACT batch
 operators, so stream verdicts equal batch verdicts).
 
 Composes ``StreamingIngestDedup`` (q105's gates against the corpus
-fingerprint/band indexes), an optional ``StreamingSegmentDedup``
+fingerprint/band indexes), an optional ``StreamingEmbeddingDedup``
+(the semantic near-dup gate over a carried ``embedding`` column —
+runs right after text dedup, so a paraphrase that shares no shingle
+with the corpus is still caught by its vector), an optional
+``StreamingSegmentDedup``
 (q137's boilerplate REWRITE — runs right after document dedup so
 every later gate scores the text that would actually be stored),
 an optional ``StreamingSegmentQuality`` (q156's fine-grained quality
@@ -35,6 +39,9 @@ from ml_with_spark_streaming_spark.streaming.decon_filter import (
     StreamingDecontaminationFilter,
 )
 from ml_with_spark_streaming_spark.streaming.dsir_filter import StreamingDSIRFilter
+from ml_with_spark_streaming_spark.streaming.embedding_dedup_filter import (
+    StreamingEmbeddingDedup,
+)
 from ml_with_spark_streaming_spark.streaming.foreach import attach_foreach_batch
 from ml_with_spark_streaming_spark.streaming.ingest_dedup import StreamingIngestDedup
 from ml_with_spark_streaming_spark.streaming.perplexity_filter import (
@@ -61,6 +68,7 @@ class StreamingIngestPipeline:
 
     dedup: StreamingIngestDedup
     quality: StreamingQualityFilter
+    embdedup: StreamingEmbeddingDedup | None = None
     segdedup: StreamingSegmentDedup | None = None
     segquality: StreamingSegmentQuality | None = None
     decon: StreamingDecontaminationFilter | None = None
@@ -73,6 +81,7 @@ class StreamingIngestPipeline:
         # the pipeline drives the stages through their on_kept hooks;
         # user-supplied stage hooks are preserved and still called
         self._dedup_hook = self.dedup.on_kept
+        self._emb_hook = self.embdedup.on_kept if self.embdedup is not None else None
         self._seg_hook = self.segdedup.on_kept if self.segdedup is not None else None
         self._segq_hook = (
             self.segquality.on_kept if self.segquality is not None else None
@@ -88,6 +97,9 @@ class StreamingIngestPipeline:
         corpus: DataFrame,
         weights: list[tuple[str, int]],
         eval_corpus: DataFrame | None = None,
+        embedding_corpus: DataFrame | None = None,
+        embedding_threshold: float = 0.95,
+        vec_col: str = "embedding",
         segment_width: int | None = None,
         segment_quality_threshold_x100: int | None = None,
         perplexity_threshold_x1e6: int | None = None,
@@ -120,6 +132,16 @@ class StreamingIngestPipeline:
             if dsir_weights is not None
             else None
         )
+        embdedup = (
+            StreamingEmbeddingDedup.from_corpus(
+                embedding_corpus,
+                id_col=col_kw.get("id_col", "doc_id"),
+                vec_col=vec_col,
+                threshold=embedding_threshold,
+            )
+            if embedding_corpus is not None
+            else None
+        )
         segdedup = (
             StreamingSegmentDedup.from_corpus(corpus, width=segment_width, **col_kw)
             if segment_width is not None
@@ -137,6 +159,7 @@ class StreamingIngestPipeline:
         return cls(
             dedup=StreamingIngestDedup.from_corpus(corpus, **dedup_kw),
             quality=StreamingQualityFilter(weights=weights, **col_kw),
+            embdedup=embdedup,
             segdedup=segdedup,
             segquality=segquality,
             decon=decon,
@@ -161,6 +184,32 @@ class StreamingIngestPipeline:
         def _after_dedup(kept_df: DataFrame, bid: int) -> None:
             if self._dedup_hook is not None:
                 self._dedup_hook(kept_df, bid)
+            if self.embdedup is None:
+                _after_emb(kept_df, bid, ran_emb=False)
+            elif kept_df.isEmpty():
+                self._zero_row(
+                    self.embdedup.history,
+                    bid,
+                    ("n_vecs", "n_exact", "n_near", "n_kept"),
+                )
+                _after_emb(kept_df, bid, ran_emb=False)
+            else:
+                # the embedding gate emits its kept (id, vec) slice;
+                # map back to the full doc rows by id (the stream must
+                # carry the vec column when this stage is configured)
+                idc = self.embdedup.id_col
+
+                def _emb_done(kept_vecs: DataFrame, b: int) -> None:
+                    _after_emb(
+                        kept_df.join(kept_vecs.select(idc), idc, "semi"), b
+                    )
+
+                self.embdedup.on_kept = _emb_done
+                self.embdedup.process_batch(kept_df, bid)
+
+        def _after_emb(kept_df: DataFrame, bid: int, ran_emb: bool = True) -> None:
+            if ran_emb and self._emb_hook is not None:
+                self._emb_hook(kept_df, bid)
             if self.segdedup is None:
                 _after_seg(kept_df, bid, ran_seg=False)
             elif kept_df.isEmpty():
@@ -258,6 +307,12 @@ class StreamingIngestPipeline:
         # the ledger is derived from the stage histories (each stage
         # already counted its batch) — no extra Spark actions
         dh = self.dedup.history[-1]
+        emb_h = (
+            self.embdedup.history[-1]
+            if self.embdedup is not None and self.embdedup.history
+            else None
+        )
+        n_after_emb = emb_h["n_kept"] if emb_h is not None else dh["n_kept"]
         gh = (
             self.segdedup.history[-1]
             if self.segdedup is not None and self.segdedup.history
@@ -289,6 +344,7 @@ class StreamingIngestPipeline:
                 "batch_id": batch_id,
                 "n_in": dh["n_docs"],
                 "n_after_dedup": dh["n_kept"],
+                "n_after_embdedup": n_after_emb,
                 "n_after_rewrite": n_after_rewrite,
                 "n_after_segquality": n_after_segq,
                 "n_after_decon": ch["n_kept"] if ch is not None else n_after_segq,

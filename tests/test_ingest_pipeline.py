@@ -145,6 +145,7 @@ def test_fully_rejected_batch_keeps_histories_aligned(spark):
             "batch_id": 7,
             "n_in": 1,
             "n_after_dedup": 0,
+            "n_after_embdedup": 0,
             "n_after_rewrite": 0,
             "n_after_segquality": 0,
             "n_after_decon": 0,
@@ -310,3 +311,63 @@ def test_pipeline_with_segment_rewrite_stage(spark):
     # the trailing boilerplate segment is cut; the accepted text is
     # exactly the 30 novel tokens
     assert accepted == {1400: novel}
+
+
+def test_pipeline_with_embedding_gate(spark):
+    """Multimodal door: a doc with novel TEXT but a near-duplicate
+    EMBEDDING is cut by the embedding stage (text dedup is blind to
+    it); novel doc passes; ledger tracks the stage."""
+    import random as _random
+
+    corpus = _docs(spark)  # text corpus for the text gates
+    frozen = freeze_weights(
+        classifier_weights(feature_presence(corpus), heuristic_labels(corpus))
+    )
+    rnd = _random.Random(21)
+    dim = 16
+    emb_corpus = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(8)],
+        "doc_id long, embedding array<float>",
+    )
+    base_vec = emb_corpus.collect()[3].embedding
+
+    # novel-by-shingle but classifier-liked: every 3-gram carries a
+    # unique connector token (so the text gate sees no corpus shingle)
+    # while the _HI_WORDS presence features keep the quality score
+    # positive (letters only — the cleaner strips digits)
+    def _novel(tag, off):
+        return " ".join(
+            f"{_HI_WORDS[(off + j) % len(_HI_WORDS)]} {tag}{chr(97 + j // 5)}{chr(97 + j % 5)}"
+            for j in range(20)
+        )
+
+    hi = _novel("qm", 5)
+    hi2 = _novel("zx", 9)
+    batch = [
+        # novel text, embedding ~= corpus vec 3 -> embedding gate cuts
+        (2000, hi, [x * (1 + rnd.uniform(-1e-3, 1e-3)) for x in base_vec]),
+        # novel text, novel embedding -> accepted end to end
+        (2001, hi2, [rnd.gauss(0, 1) for _ in range(dim)]),
+    ]
+    batch_df = spark.createDataFrame(
+        batch, "doc_id long, text string, embedding array<float>"
+    )
+
+    accepted: set[int] = set()
+    pipe = StreamingIngestPipeline.build(
+        corpus,
+        frozen,
+        embedding_corpus=emb_corpus,
+        embedding_threshold=0.95,
+        threshold=0.9,
+        on_accepted=lambda df, bid: accepted.update(r["doc_id"] for r in df.collect()),
+    )
+    pipe.process_batch(batch_df, 0)
+
+    assert accepted == {2001}
+    row = pipe.ledger[0]
+    assert row["n_in"] == 2
+    assert row["n_after_dedup"] == 2       # both texts novel
+    assert row["n_after_embdedup"] == 1    # 2000 cut by the vector gate
+    assert row["n_accepted"] == 1
+    assert pipe.embdedup.history[0]["n_near"] == 1
