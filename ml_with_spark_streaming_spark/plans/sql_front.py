@@ -194,7 +194,8 @@ _FN_RENAMES = [
     ("quantile_cont", "percentile"),
     ("list_contains", "array_contains"),
     ("list_transform", "transform"),
-    ("generate_series", "sequence"),
+    # generate_series is NOT in this list: its empty-range semantics
+    # differ from sequence's, so it has a dedicated guarded rewrite
     ("json_extract", "get_json_object"),
     ("list_filter", "filter"),
     ("list_sort", "sort_array"),
@@ -483,9 +484,107 @@ def _rewrite_brackets(sql: str) -> str:
 
 def _rewrite_literal_arrays(sql: str) -> str:
     """``['a', 'b']`` / ``[0, 1, 2]`` -> ``array(...)`` (literal
-    element lists only — slices were rewritten away first)."""
+    element lists only — slices were rewritten away first).
+    Quote-aware: a ``[...]``-shaped substring INSIDE a string literal
+    (e.g. a regex character class ``'[0, 1]'``) must survive, so a
+    match whose ``[`` sits inside quotes is skipped."""
     lit = r"(?:'[^']*'|-?\d+(?:\.\d+)?)"
-    return re.sub(rf"\[(\s*{lit}(?:\s*,\s*{lit})*\s*)\]", r"array(\1)", sql)
+    pat = re.compile(rf"\[(\s*{lit}(?:\s*,\s*{lit})*\s*)\]")
+    pos = 0
+    while True:
+        qmap = _in_quote_map(sql)
+        m = next(
+            (mm for mm in pat.finditer(sql, pos) if not qmap[mm.start()]), None
+        )
+        if m is None:
+            return sql
+        new = f"array({m.group(1)})"
+        sql = sql[: m.start()] + new + sql[m.end() :]
+        pos = m.start() + len(new)
+
+
+def _call_args(sql: str, open_paren: int) -> tuple[list[str], int]:
+    """Split the argument list of the call whose ``(`` is at
+    ``open_paren`` on top-level commas (quote/paren-aware). Returns
+    (args, index of the closing paren)."""
+    qmap = _in_quote_map(sql)
+    d, j, args, last = 1, open_paren + 1, [], open_paren + 1
+    while j < len(sql):
+        if not qmap[j]:
+            if sql[j] == "(":
+                d += 1
+            elif sql[j] == ")":
+                d -= 1
+                if d == 0:
+                    break
+            elif sql[j] == "," and d == 1:
+                args.append(sql[last:j])
+                last = j + 1
+        j += 1
+    args.append(sql[last:j])
+    return args, j
+
+
+def _rewrite_generate_series(sql: str) -> str:
+    """DuckDB ``generate_series(a, b)`` is inclusive and EMPTY when
+    b < a; Spark ``sequence(a, b)`` is inclusive but DESCENDS when
+    b < a. The guarded form preserves the empty-range semantics (and
+    the element type, which a CASE over a bare ``array()`` would not):
+    ``slice(sequence(a, greatest(b, a)), 1, greatest(b-a+1, 0))``.
+    The 3-arg (step) form maps to plain ``sequence(a, b, s)`` — the
+    engines agree whenever the step sign matches the direction, the
+    only regime the promoted twins use."""
+    pos = 0
+    while True:
+        qmap = _in_quote_map(sql)
+        m = next(
+            (
+                mm
+                for mm in re.finditer(r"\bgenerate_series\s*\(", sql)
+                if mm.start() >= pos and not qmap[mm.start()]
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        args, close = _call_args(sql, m.end() - 1)
+        if len(args) == 2:
+            a, b = (x.strip() for x in args)
+            new = (
+                f"slice(sequence(({a}), greatest(({b}), ({a}))), 1, "
+                f"greatest(({b})-({a})+1, 0))"
+            )
+        else:
+            new = f"sequence({', '.join(x.strip() for x in args)})"
+        sql = sql[: m.start()] + new + sql[close + 1 :]
+        pos = m.start() + len(new)
+
+
+def _strip_regex_g_flag(sql: str) -> str:
+    """DuckDB ``regexp_replace(x, pat, rep, 'g')``: Spark replaces
+    globally by default and takes no flags argument. Scoped to 4-arg
+    ``regexp_replace`` calls whose LAST top-level argument is the
+    literal ``'g'`` — a bare ``, 'g')`` anywhere else (another
+    function's real argument, or a 3-arg replace whose REPLACEMENT is
+    the letter g) must survive."""
+    pos = 0
+    while True:
+        qmap = _in_quote_map(sql)
+        m = next(
+            (
+                mm
+                for mm in re.finditer(r"\bregexp_replace\s*\(", sql)
+                if mm.start() >= pos and not qmap[mm.start()]
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        args, close = _call_args(sql, m.end() - 1)
+        if len(args) == 4 and args[3].strip() == "'g'":
+            inner = ",".join(args[:3])
+            sql = f"{sql[:m.end()]}{inner}{sql[close:]}"
+        pos = m.end()
 
 
 def _rewrite_strftime(sql: str) -> str:
@@ -609,11 +708,11 @@ def spark_dialect(sql: str) -> str:
     sql = _rewrite_strftime(sql)
     sql = _special_calls(sql)
     sql = _map_quoted(sql, _outside_rewrites)
+    sql = _rewrite_generate_series(sql)
     sql = _lateralize_tvf(sql)
     sql = _tvf_wrap_arrays(sql)
     sql = _rewrite_literal_arrays(sql)
-    # regexp_replace's explicit 'g' flag: Spark is global by default
-    sql = re.sub(r",\s*'g'\s*\)", ")", sql)
+    sql = _strip_regex_g_flag(sql)
     # DuckDB's unit-first day difference (timestamps here are all
     # midnight-aligned, so complete-day and boundary counts agree)
     sql = re.sub(r"\bdate_?diff\(\s*'day'\s*,", "timestampdiff(DAY,", sql)

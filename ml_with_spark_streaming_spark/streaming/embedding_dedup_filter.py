@@ -24,12 +24,16 @@ Scopes, mirroring the text gate's contract:
 * vs the CORPUS index (and, with ``grow_index=True``, vs every
   previously-accepted batch — each accepted batch appends one
   checkpointed signature slice + its vectors);
-* WITHIN the batch, exact duplicates only (bit-identical signatures
-  across ALL bands — keep-first by id), matching the text gate's
-  exact-fingerprint intra-batch scope. Two merely-NEAR vectors in one
-  drop are both admitted (and the second drop of either is then
-  rejected against the grown index) — same documented semantics as
-  the text gate.
+* WITHIN the batch, near-duplicates of the batch's FIRST vector per
+  full-signature bucket (bit-identical signatures across ALL bands →
+  candidate; exact cosine >= threshold vs the bucket's first →
+  verdict; keep-first by id). The cosine verify matters: a full
+  signature is a 32-bit hash of the vector, and two distinct
+  sub-threshold vectors collide on all bits with small but real
+  probability — without the verify one would be silently dropped.
+  Two near vectors that land in DIFFERENT signature buckets are both
+  admitted (and the second drop of either is then rejected against
+  the grown index) — same documented semantics as the text gate.
 
 Batch/stream parity is structural: the gate's candidate and verify
 stages are the q100 operators; pinned by
@@ -170,8 +174,12 @@ class StreamingEmbeddingDedup:
             )
         )
 
-        # intra-batch EXACT duplicates: identical full signatures,
-        # keep-first by id (the text gate's fingerprint scope)
+        # intra-batch duplicates: identical full signatures nominate a
+        # candidate pair (id, bucket-first), keep-first by id — but a
+        # full signature is a 32-bit hash, NOT vector equality, so the
+        # exact cosine verifies each pair before anything is dropped
+        # (two distinct sub-threshold vectors collide on all bits with
+        # ~(1 - theta/pi)^n_planes probability)
         full_sig = bb.groupBy(self.id_col).agg(
             F.concat_ws(
                 "|",
@@ -184,9 +192,21 @@ class StreamingEmbeddingDedup:
         first_per_sig = full_sig.groupBy("_sig").agg(
             F.min(self.id_col).alias("_first")
         )
-        exact_dups = (
+        sig_pairs = (
             full_sig.join(first_per_sig, "_sig")
             .filter(F.col(self.id_col) != F.col("_first"))
+            .select(self.id_col, "_first")
+        )
+        bv1 = b.select(self.id_col, F.col(self.vec_col).alias("_v1"))
+        bv2 = b.select(
+            F.col(self.id_col).alias("_first"), F.col(self.vec_col).alias("_v2")
+        )
+        exact_dups = (
+            sig_pairs.join(bv1, self.id_col)
+            .join(bv2, "_first")
+            .filter(
+                self._cosine(F.col("_v1"), F.col("_v2")) >= F.lit(self.threshold)
+            )
             .select(self.id_col)
         )
 

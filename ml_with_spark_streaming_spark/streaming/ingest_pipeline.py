@@ -318,7 +318,11 @@ class StreamingIngestPipeline:
             if self.segdedup is not None and self.segdedup.history
             else None
         )
-        n_after_rewrite = gh["n_docs_kept"] if gh is not None else dh["n_kept"]
+        # fall back to the EMBEDDING stage's count (not the text-dedup
+        # count): when embdedup is configured but segdedup is not, the
+        # rewrite column must reflect what later stages actually saw,
+        # or the ledger funnel goes non-monotonic
+        n_after_rewrite = gh["n_docs_kept"] if gh is not None else n_after_emb
         sqh = (
             self.segquality.history[-1]
             if self.segquality is not None and self.segquality.history

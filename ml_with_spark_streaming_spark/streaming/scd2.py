@@ -94,7 +94,9 @@ def changes_from_events(batch_df: DataFrame) -> DataFrame:
     )
 
 
-_VDIR_RE = re.compile(r"^v\d{8}$")
+# 8+ digits: f"v{batch_id:08d}" WIDENS past 99,999,999 batches — the
+# match must widen with it or vacuum would silently leak those dirs
+_VDIR_RE = re.compile(r"^v\d{8,}$")
 
 
 @dataclass
@@ -115,9 +117,18 @@ class StreamingScd2:
     def _load_manifest(self) -> dict:
         try:
             with open(self._manifest_path(), encoding="utf-8") as fh:
-                return json.load(fh)
+                manifest = json.load(fh)
         except FileNotFoundError:
             return {"buckets": self.buckets, "last_batch_id": -1, "paths": {}}
+        # the bucketing width is a property of the PERSISTED layout, not
+        # of the maintainer object: a restart configured with a different
+        # `buckets` would compute different bucket ids than the stored
+        # files and silently miss entities' rows (treating them as new —
+        # forked history). Adopt the committed value and say so.
+        persisted = int(manifest.get("buckets", self.buckets))
+        if manifest.get("paths") and persisted != self.buckets:
+            self.buckets = persisted
+        return manifest
 
     def _commit_manifest(self, manifest: dict) -> None:
         """Atomic swap: tmp file + ``os.replace`` in the same dir, so a
@@ -178,9 +189,16 @@ class StreamingScd2:
             else:  # bucket emptied (e.g. only a never-seen user's delete)
                 manifest["paths"].pop(str(b), None)
 
-    def snapshot(self, spark: SparkSession) -> DataFrame:
-        """The current SCD2 table (all versions, all buckets)."""
-        return self._read_state(spark, self._load_manifest())
+    def snapshot(self, spark: SparkSession, eager: bool = False) -> DataFrame:
+        """The current SCD2 table (all versions, all buckets).
+
+        The default return is LAZY: it references the version dirs the
+        manifest points at *now*, and a later ``process_batch`` may
+        vacuum those dirs — collect it (or pass ``eager=True`` for a
+        ``localCheckpoint``) before applying the next batch if the
+        snapshot must outlive it."""
+        df = self._read_state(spark, self._load_manifest())
+        return df.localCheckpoint(eager=True) if eager else df
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -184,3 +184,47 @@ def test_compact_and_save_resume_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="n_planes"):
         StreamingEmbeddingDedup.from_index_path(spark, idx, n_planes=64)
+
+
+def test_signature_collision_without_near_cosine_is_kept(spark):
+    """A full signature is an n_planes-bit hash of the vector, not
+    vector equality: two DISTINCT sub-threshold vectors can collide on
+    every bit. The intra-batch stage must verify colliding pairs with
+    the exact cosine before dropping — here n_planes=1 forces
+    collisions (8 vectors, 2 possible signatures) while every pairwise
+    cosine of random gaussians sits far below 0.95, so ALL vectors
+    must survive."""
+    rnd = random.Random(7)
+    corpus = spark.createDataFrame([], _SCHEMA)
+    gate = StreamingEmbeddingDedup.from_corpus(
+        corpus, threshold=0.95, dim=_DIM, n_planes=1, bands=1
+    )
+    batch = [(i, [rnd.gauss(0, 1) for _ in range(_DIM)]) for i in range(8)]
+    # sanity: the planted batch really is pairwise sub-threshold
+    import math
+
+    def _cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    assert all(
+        _cos(batch[i][1], batch[j][1]) < 0.95
+        for i in range(8)
+        for j in range(i + 1, 8)
+    )
+    kept: set[int] = set()
+    gate.on_kept = lambda df, bid: kept.update(r.vec_id for r in df.collect())
+    gate.process_batch(spark.createDataFrame(batch, _SCHEMA), 0)
+    h = gate.history[-1]
+    assert h["n_exact"] == 0, "signature collisions below threshold must not drop"
+    assert kept == set(range(8))
+
+    # positive control: a bit-identical vector in the same drop is
+    # still cut (cosine 1 >= threshold), keep-first by id
+    v = [rnd.gauss(0, 1) for _ in range(_DIM)]
+    gate2 = StreamingEmbeddingDedup.from_corpus(
+        corpus, threshold=0.95, dim=_DIM, n_planes=1, bands=1
+    )
+    gate2.process_batch(spark.createDataFrame([(0, v), (1, v)], _SCHEMA), 0)
+    assert gate2.history[-1]["n_exact"] == 1
+    assert gate2.history[-1]["n_kept"] == 1

@@ -369,5 +369,9 @@ def test_pipeline_with_embedding_gate(spark):
     assert row["n_in"] == 2
     assert row["n_after_dedup"] == 2       # both texts novel
     assert row["n_after_embdedup"] == 1    # 2000 cut by the vector gate
+    # with no segdedup configured the rewrite column must fall back to
+    # the EMBEDDING stage's count, keeping the funnel monotonic
+    assert row["n_after_rewrite"] == 1
+    assert row["n_after_rewrite"] <= row["n_after_embdedup"]
     assert row["n_accepted"] == 1
     assert pipe.embdedup.history[0]["n_near"] == 1

@@ -123,6 +123,50 @@ def test_state_survives_maintainer_restart(spark, tmp_path):
     assert _rows(m2.snapshot(spark)) == _rows(q154_scd2_history(spark, union_dir))
 
 
+def test_restart_with_different_buckets_adopts_persisted_layout(spark, tmp_path):
+    """The bucketing width belongs to the PERSISTED layout: a restart
+    configured with a different ``buckets`` must adopt the committed
+    value, not hash entities into buckets the stored files don't use
+    (which would silently miss their open rows and fork history)."""
+    batches = _batches()
+    state = str(tmp_path / "state")
+
+    m1 = StreamingScd2(state_dir=state, buckets=4)
+    m1.process_batch(spark.createDataFrame(batches[0], _EV_SCHEMA), 0)
+    del m1
+
+    m2 = StreamingScd2(state_dir=state, buckets=7)  # misconfigured restart
+    for bid, rows in enumerate(batches[1:], start=1):
+        m2.process_batch(spark.createDataFrame(rows, _EV_SCHEMA), bid)
+    assert m2.buckets == 4  # adopted from the manifest
+
+    union_dir = str(tmp_path / "union")
+    spark.createDataFrame(
+        [r for b in batches for r in b], _EV_SCHEMA
+    ).coalesce(1).write.parquet(os.path.join(union_dir, "events.parquet"))
+    assert _rows(m2.snapshot(spark)) == _rows(q154_scd2_history(spark, union_dir))
+
+
+def test_vacuum_handles_nine_digit_batch_ids(spark, tmp_path):
+    """``v{batch_id:08d}`` widens past 8 digits; the vacuum pattern
+    must widen with it or superseded version dirs leak forever."""
+    state = str(tmp_path / "state")
+    m = StreamingScd2(state_dir=state)
+    m.process_batch(
+        spark.createDataFrame([(0, _t(0), 1, "view", 1.0, "{}")], _EV_SCHEMA),
+        100_000_000,
+    )
+    assert os.path.isdir(os.path.join(state, "v100000000"))
+    m.process_batch(
+        spark.createDataFrame([(1, _t(1), 1, "click", 2.0, "{}")], _EV_SCHEMA),
+        100_000_001,
+    )
+    # the superseded 9-digit dir was vacuumed, the live one remains
+    assert not os.path.isdir(os.path.join(state, "v100000000"))
+    assert os.path.isdir(os.path.join(state, "v100000001"))
+    assert len(m.snapshot(spark).collect()) == 2  # history intact
+
+
 def _bucket_of(spark, user_id: int, buckets: int) -> int:
     return spark.sql(
         f"SELECT pmod(hash(CAST({user_id} AS BIGINT)), {buckets})"

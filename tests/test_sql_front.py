@@ -54,3 +54,41 @@ def test_run_sql_rejects_non_portable_and_unknown(spark):
         run_sql(spark, SF, "q47_stemmed_tokens")  # no SQL twin at all
     with pytest.raises(KeyError):
         run_sql(spark, SF, "nope")
+
+
+def test_dialect_rewrites_are_quote_aware_and_scoped(spark):
+    """The mechanical rewrites must not fire inside string literals,
+    must scope the 'g'-flag strip to 4-arg regexp_replace, and must
+    preserve DuckDB's empty-range generate_series semantics."""
+    # literal-array rewrite skips [..]-shaped substrings inside quotes
+    assert (
+        spark_dialect("SELECT regexp_extract(x, '[1, 2]', 0) FROM t")
+        == "SELECT regexp_extract(x, '[1, 2]', 0) FROM t"
+    )
+    assert spark_dialect("SELECT [1, 2] AS a") == "SELECT array(1, 2) AS a"
+
+    # 'g' strip: 4-arg regexp_replace loses the flag; a 3-arg call
+    # whose REPLACEMENT is the letter g, and other functions' real
+    # 'g' arguments, survive
+    assert (
+        spark_dialect("SELECT regexp_replace(x, 'a+', 'b', 'g') FROM t")
+        == "SELECT regexp_replace(x, 'a+', 'b') FROM t"
+    )
+    assert (
+        spark_dialect("SELECT regexp_replace(x, 'a+', 'g') FROM t")
+        == "SELECT regexp_replace(x, 'a+', 'g') FROM t"
+    )
+    assert (
+        spark_dialect("SELECT array_to_string(x, 'g') FROM t")
+        == "SELECT array_join(x, 'g') FROM t"
+    )
+
+    # generate_series: inclusive AND empty when b < a, matching DuckDB
+    import duckdb
+
+    for a, b in ((1, 5), (1, 1), (1, 0), (3, 2)):
+        duck = duckdb.sql(f"SELECT generate_series({a}, {b}) AS s").fetchone()[0]
+        got = spark.sql(
+            spark_dialect(f"SELECT generate_series({a}, {b}) AS s")
+        ).collect()[0]["s"]
+        assert list(got) == list(duck), f"range ({a},{b}): {got} != {duck}"
