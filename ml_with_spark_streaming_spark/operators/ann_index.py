@@ -1,0 +1,179 @@
+"""Persisted IVF index artifact for the batch ANN path: fit once,
+save, probe many.
+
+Every batch ANN query used to refit KMeans centroids and recompute the
+corpus→centroid assignment at query time — correct, but at 100 TB the
+fit is a multi-pass job you run ONCE and the assignment is a table you
+store next to the corpus, not a per-query cost (locally the two fits
+were most of q165+q166's bench time). ``IVFIndex`` is that artifact:
+
+* ``build`` — one MLlib KMeans fit (``kmeans_centroids``, seeded,
+  layout-pinned) + one assignment pass (``assign_to_centroids``),
+  recording the corpus row count so downstream knob derivation
+  (sign-LSH bits, SemDeDup k) never needs another full-table action;
+* ``save``/``load`` — centroids + assignment table as parquet plus a
+  params sidecar; loading with conflicting knobs RAISES (an index fit
+  with different k/seed answers a different question — silently
+  probing it would be a wrong-results bug), the exact contract
+  ``streaming/embedding_dedup_filter.py`` ships for the vector gate;
+* ``ivf_index_for`` — the build-once/load-many front door the
+  registered queries (q106/q165/q166) use: keyed by (corpus key,
+  knobs), backed by disk under ``$SPARK_GRAFT_INDEX_DIR`` (default: a
+  per-process temp dir) and an in-process memo, so the first caller
+  pays the fit and every later query — including bench re-runs —
+  reads the artifact.
+
+Consumers: ``ivf_topk(..., centroids=idx.centroids,
+assignments=idx.assignments)`` and ``semdedup(...,
+assignments=idx.assignments)`` skip their in-query fit/assign stages;
+equality with the fresh-fit paths is pinned by tests/test_ann_index.py.
+
+At scale: centroids are a k×dim broadcast table; the assignment table
+is co-partitioned/bucketed with the corpus by id so the probe join is
+shuffle-free; refresh (new corpus slices) appends assignment rows for
+the delta against the FROZEN centroids and refits only when drift
+metrics demand it — the q168 refresh-equals-recompute discipline.
+"""
+
+from __future__ import annotations
+
+import atexit
+import hashlib
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
+from ml_with_spark_streaming_spark.operators.similarity import (
+    assign_to_centroids,
+    derive_semdedup_knobs,
+    kmeans_centroids,
+)
+
+
+@dataclass
+class IVFIndex:
+    """The persisted fit: ``centroids`` (cent_id, cent_vec),
+    ``assignments`` (c_id, cent_id), and the knobs + corpus size the
+    fit is a function of."""
+
+    centroids: DataFrame
+    assignments: DataFrame
+    n_centroids: int
+    seed: int
+    c_id: str
+    c_vec: str
+    n_vectors: int
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        n_centroids: int | None = 16,
+        c_id: str = "vec_id",
+        c_vec: str = "embedding",
+        seed: int = 42,
+    ) -> "IVFIndex":
+        """Fit + assign, once. ``n_centroids=None`` derives k ≈ √n
+        (``derive_semdedup_knobs``) — the one corpus ``count()`` here
+        is a BUILD-time action, amortized over the artifact's life
+        (and recorded in the sidecar so no consumer repeats it)."""
+        n = corpus.count()
+        k = derive_semdedup_knobs(n) if n_centroids is None else int(n_centroids)
+        cents = maybe_checkpoint(
+            kmeans_centroids(corpus, n_centroids=k, c_vec=c_vec, c_id=c_id, seed=seed)
+        )
+        assigned = maybe_checkpoint(assign_to_centroids(corpus, cents, c_id, c_vec))
+        return cls(
+            centroids=cents,
+            assignments=assigned,
+            n_centroids=k,
+            seed=seed,
+            c_id=c_id,
+            c_vec=c_vec,
+            n_vectors=int(n),
+        )
+
+    def save(self, path: str) -> None:
+        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        self.assignments.write.mode("overwrite").parquet(f"{path}/assignments")
+        spark = self.centroids.sparkSession
+        spark.createDataFrame(
+            [(self.n_centroids, self.seed, self.c_id, self.c_vec, self.n_vectors)],
+            "n_centroids int, seed int, c_id string, c_vec string, n_vectors long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+    @classmethod
+    def load(cls, spark, path: str, **kw) -> "IVFIndex":
+        """Resume from ``save`` artifacts — no corpus rescan, no fit.
+        Knobs come from the params sidecar; conflicting overrides
+        raise (a different k or seed is a DIFFERENT index)."""
+        p = spark.read.parquet(f"{path}/params").collect()[0]
+        saved = {
+            "n_centroids": int(p["n_centroids"]),
+            "seed": int(p["seed"]),
+            "c_id": str(p["c_id"]),
+            "c_vec": str(p["c_vec"]),
+        }
+        for name, val in saved.items():
+            if name in kw and kw[name] is not None and kw[name] != val:
+                raise ValueError(
+                    f"index at {path} was built with {name}={val!r}; "
+                    f"got {name}={kw[name]!r} — rebuild the index or drop the override"
+                )
+        return cls(
+            centroids=spark.read.parquet(f"{path}/centroids"),
+            assignments=spark.read.parquet(f"{path}/assignments"),
+            n_vectors=int(p["n_vectors"]),
+            **saved,
+        )
+
+
+_MEMO: dict[tuple, IVFIndex] = {}
+_PROC_ROOT: list[str] = []
+
+
+def _index_root() -> str:
+    root = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+    if root:
+        os.makedirs(root, exist_ok=True)
+        return root
+    if not _PROC_ROOT:
+        d = tempfile.mkdtemp(prefix="spark_graft_ivf_")
+        _PROC_ROOT.append(d)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return _PROC_ROOT[0]
+
+
+def ivf_index_for(
+    corpus: DataFrame,
+    cache_key: str,
+    n_centroids: int | None = 16,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    seed: int = 42,
+) -> IVFIndex:
+    """Build-once / load-many: return the IVF index for ``corpus``
+    under ``cache_key`` (the caller's corpus identity — the registered
+    queries pass the sf_dir path). First call fits, SAVES the artifact
+    to disk, and reloads it (so the returned tables genuinely read the
+    persisted parquet — the plan a probe-many deployment runs); later
+    calls in the same process return the memo, later processes with
+    ``SPARK_GRAFT_INDEX_DIR`` set reload from disk."""
+    key = (os.path.realpath(cache_key), n_centroids, c_id, c_vec, seed)
+    idx = _MEMO.get(key)
+    if idx is not None:
+        return idx
+    spark = corpus.sparkSession
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    path = os.path.join(_index_root(), f"ivf_{digest}")
+    if not os.path.exists(os.path.join(path, "params")):
+        IVFIndex.build(
+            corpus, n_centroids=n_centroids, c_id=c_id, c_vec=c_vec, seed=seed
+        ).save(path)
+    idx = IVFIndex.load(spark, path, c_id=c_id, c_vec=c_vec, seed=seed)
+    _MEMO[key] = idx
+    return idx

@@ -405,6 +405,53 @@ def signlsh_neardup(
     )
 
 
+def derive_semdedup_knobs(
+    n_vectors: int, min_k: int = 4, max_k: int = 65536
+) -> int:
+    """Size the SemDeDup cluster count from the corpus: k =
+    clamp(ceil(sqrt(n)), min_k, max_k) — the paper's operating regime
+    (Abbas et al. 2023 run k ≈ √n), and the value that keeps the
+    within-cluster pair search at n²/k ≈ n^1.5 total pairs with
+    expected cluster size √n. A FIXED k makes clusters (and the
+    quadratic in-cluster fan-out) grow linearly with the corpus — the
+    q50 ``derive_minhash_knobs`` lesson applied to the cluster knob."""
+    import math
+
+    return min(max(min_k, math.ceil(math.sqrt(max(n_vectors, 1)))), max_k)
+
+
+def assign_to_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Each corpus vector's nearest centroid (by cosine, ties to the
+    lowest cent_id): one broadcast of the k×dim centroid table + one
+    narrow pass. Returns ``(c_id, cent_id)`` — the IVF assignment
+    table ``IVFIndex`` persists; ``ivf_topk``/``semdedup`` consume it
+    via their ``assignments`` parameter instead of re-deriving it per
+    query. Arithmetic is identical to the fused in-query assignment
+    (same cosine expression, same tie-break), so precomputed and fresh
+    paths agree row-for-row (pinned by tests/test_ann_index.py)."""
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select(
+            c_id,
+            "cent_id",
+            cosine_expr(F.col(c_vec), F.col("cent_vec")).alias("sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(c_id).orderBy(F.col("sim").desc(), "cent_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(c_id, "cent_id")
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -453,6 +500,7 @@ def semdedup(
     c_vec: str = "embedding",
     seed: int = 42,
     centroids: DataFrame | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
     semantic dedup. KMeans-cluster the embedding space, compute exact
@@ -481,24 +529,34 @@ def semdedup(
     """
     from ml_with_spark_streaming_spark.operators.graph import connected_components
 
-    if centroids is None:
-        centroids = kmeans_centroids(
-            corpus, n_centroids=n_centroids, c_vec=c_vec, c_id=c_id, seed=seed
+    if assignments is not None:
+        # persisted-index path (IVFIndex): the fit + assignment pass
+        # already happened at build time — join the (c_id, cent_id)
+        # table back onto the vectors (at scale: co-bucketed by c_id)
+        assigned = maybe_checkpoint(
+            corpus.select(c_id, c_vec).join(
+                assignments.select(c_id, F.col("cent_id").alias("cluster")), c_id
+            )
         )
-    centroids = maybe_checkpoint(centroids)
-    assigned = maybe_checkpoint(
-        corpus.crossJoin(F.broadcast(centroids))
-        .select(
-            c_id, c_vec, "cent_id",
-            cosine_expr(F.col(c_vec), F.col("cent_vec")).alias("sim"),
+    else:
+        if centroids is None:
+            centroids = kmeans_centroids(
+                corpus, n_centroids=n_centroids, c_vec=c_vec, c_id=c_id, seed=seed
+            )
+        centroids = maybe_checkpoint(centroids)
+        assigned = maybe_checkpoint(
+            corpus.crossJoin(F.broadcast(centroids))
+            .select(
+                c_id, c_vec, "cent_id",
+                cosine_expr(F.col(c_vec), F.col("cent_vec")).alias("sim"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(W.partitionBy(c_id).orderBy(F.col("sim").desc(), "cent_id")),
+            )
+            .filter(F.col("rn") == 1)
+            .select(F.col(c_id), F.col(c_vec), F.col("cent_id").alias("cluster"))
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(W.partitionBy(c_id).orderBy(F.col("sim").desc(), "cent_id")),
-        )
-        .filter(F.col("rn") == 1)
-        .select(F.col(c_id), F.col(c_vec), F.col("cent_id").alias("cluster"))
-    )
     a = assigned.select(
         F.col("cluster"),
         F.col(c_id).alias("id1"),
@@ -545,8 +603,16 @@ def ivf_topk(
     centroids: DataFrame | None = None,
     q_group: str | None = None,
     c_group: str | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: IVF with deterministic hash-sampled centroids.
+
+    ``assignments`` (requires ``centroids``): the persisted
+    ``(c_id, cent_id)`` table from an ``IVFIndex`` artifact — the
+    corpus→centroid pass is skipped and the bucket id joins on
+    ``c_id`` instead (at scale: assignment table co-bucketed with the
+    corpus by id). Fit-once / probe-many; equality with the fresh-fit
+    path is pinned by tests/test_ann_index.py.
 
     ``q_group``/``c_group`` (both or neither): group-exclusion columns
     for hard-negative mining — candidates whose ``c_group`` equals the
@@ -569,19 +635,27 @@ def ivf_topk(
     """
     if (q_group is None) != (c_group is None):
         raise ValueError("q_group and c_group must be set together")
+    if assignments is not None and centroids is None:
+        raise ValueError("assignments requires the matching centroids table")
     if centroids is None:
         centroids = _hash_sample_centroids(corpus, n_centroids, c_id, c_vec)
     centroids = maybe_checkpoint(centroids)
     c_extra = [c_group] if c_group is not None else []
     q_extra = [q_group] if q_group is not None else []
-    # corpus -> nearest centroid
-    assigned = (
-        corpus.crossJoin(F.broadcast(centroids))
-        .select(c_id, c_vec, *c_extra, "cent_id", cosine_expr(F.col(c_vec), F.col("cent_vec")).alias("sim"))
-        .withColumn("rn", F.row_number().over(W.partitionBy(c_id).orderBy(F.col("sim").desc(), "cent_id")))
-        .filter(F.col("rn") == 1)
-        .select(c_id, c_vec, *c_extra, "cent_id")
-    )
+    # corpus -> nearest centroid (skipped when a persisted assignment
+    # table is supplied — the IVFIndex fit-once/probe-many path)
+    if assignments is not None:
+        assigned = corpus.select(c_id, c_vec, *c_extra).join(
+            assignments.select(c_id, "cent_id"), c_id
+        )
+    else:
+        assigned = (
+            corpus.crossJoin(F.broadcast(centroids))
+            .select(c_id, c_vec, *c_extra, "cent_id", cosine_expr(F.col(c_vec), F.col("cent_vec")).alias("sim"))
+            .withColumn("rn", F.row_number().over(W.partitionBy(c_id).orderBy(F.col("sim").desc(), "cent_id")))
+            .filter(F.col("rn") == 1)
+            .select(c_id, c_vec, *c_extra, "cent_id")
+        )
     # query -> nprobe nearest centroids
     probes = (
         queries.crossJoin(F.broadcast(centroids))

@@ -2799,16 +2799,23 @@ def q165_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py::test_ivf_hard_negatives_recall — the
     q126 discipline applied to q158. The capped-exact q158 stays as
     the oracle twin for the arithmetic.
+
+    Index plumbing: the KMeans fit + assignment come from the
+    PERSISTED ``IVFIndex`` artifact (fit-once/probe-many,
+    ``operators/ann_index.py``), and the sign-LSH knobs derive from
+    the corpus size RECORDED IN the artifact's sidecar — no per-run
+    ``count()`` action over the embeddings table.
     """
+    from ml_with_spark_streaming_spark.operators.ann_index import ivf_index_for
     from ml_with_spark_streaming_spark.operators.similarity import (
         derive_signlsh_knobs,
         ivf_topk,
-        kmeans_centroids,
         signlsh_neardup,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    n_planes, bands = derive_signlsh_knobs(e.count())
+    idx = ivf_index_for(e, sf_dir, n_centroids=16, c_vec="embedding", seed=42)
+    n_planes, bands = derive_signlsh_knobs(idx.n_vectors)
     edges = signlsh_neardup(
         e, threshold=0.45, n_planes=n_planes, bands=bands,
         c_id="vec_id", c_vec="embedding",
@@ -2834,14 +2841,14 @@ def q165_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("component").alias("q_comp"),
         )
     )
-    cents = kmeans_centroids(e, n_centroids=16, c_vec="embedding", seed=42)
     return (
         ivf_topk(
             anchors,
             corpus,
             k=3,
             nprobe=4,
-            centroids=cents,
+            centroids=idx.centroids,
+            assignments=idx.assignments,
             q_group="q_comp",
             c_group="neg_component",
         )
@@ -2874,15 +2881,24 @@ def q166_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-identical clusters) is pinned by
     tests/test_similarity.py::test_semdedup_planted_clusters.
 
-    Scale: pair search is an equi-join on cluster over the
-    checkpointed assignment — n²/k pairs for k clusters; production
-    picks k ≈ √n so clusters stay index-sized. Nothing corpus-wide is
-    ever all-pairs.
+    Scale: pair search is an equi-join on cluster over the persisted
+    assignment table — n²/k pairs for k clusters, and k is DERIVED as
+    ceil(√n) (``derive_semdedup_knobs``, the paper's k ≈ √n regime)
+    from the corpus size, not hardcoded: total pair work stays ~n^1.5
+    and expected cluster size √n as the corpus grows (cluster-size
+    bound pinned by tests/test_ann_index.py). The fit + assignment
+    come from the persisted ``IVFIndex`` artifact (fit-once/
+    probe-many, ``operators/ann_index.py``) — no per-query KMeans.
+    Nothing corpus-wide is ever all-pairs.
     """
+    from ml_with_spark_streaming_spark.operators.ann_index import ivf_index_for
     from ml_with_spark_streaming_spark.operators.similarity import semdedup
 
     e = load_table(spark, sf_dir, "embeddings")
-    return semdedup(e, n_centroids=16, threshold=0.4).orderBy("vec_id")
+    # n_centroids=None -> k = ceil(sqrt(n)), derived at build time and
+    # frozen into the artifact
+    idx = ivf_index_for(e, sf_dir, n_centroids=None, c_vec="embedding", seed=42)
+    return semdedup(e, threshold=0.4, assignments=idx.assignments).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------

@@ -405,20 +405,31 @@ def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q106_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q55's IVF probing with REAL KMeans centroids (MLlib fit, seed
     42) instead of the content-hash sample — the production index fit
-    the q55 docstring promises. Same bucketing/probing plumbing
-    (operators/similarity.py::ivf_topk); only the centroid table
+    the q55 docstring promises, consumed through the PERSISTED
+    ``IVFIndex`` artifact (``operators/ann_index.py``): the first
+    invocation per process fits + saves centroids and the assignment
+    table, every later invocation (bench re-runs, sibling queries)
+    loads and probes — fit-once / probe-many, never a per-query refit.
+    Same bucketing/probing plumbing (operators/similarity.py::
+    ivf_topk); only where the centroid/assignment tables come from
     changes. Rows-only: which neighbors an approximate index returns
     is not SQL-expressible; recall-vs-brute-force is pinned by
-    tests/test_similarity.py::test_ivf_kmeans_recall_on_planted_clusters."""
-    from ml_with_spark_streaming_spark.operators.similarity import kmeans_centroids
+    tests/test_similarity.py::test_ivf_kmeans_recall_on_planted_clusters
+    and artifact-equals-fresh-fit by tests/test_ann_index.py."""
+    from ml_with_spark_streaming_spark.operators.ann_index import ivf_index_for
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(e, n_centroids=16, c_vec="embedding", seed=42)
+    idx = ivf_index_for(e, sf_dir, n_centroids=16, c_vec="embedding", seed=42)
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return ivf_topk(
-        queries, e, k=10, n_centroids=16, nprobe=4, centroids=cents
+        queries,
+        e,
+        k=10,
+        nprobe=4,
+        centroids=idx.centroids,
+        assignments=idx.assignments,
     ).orderBy("q_id", "rank")
 
 

@@ -161,26 +161,23 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
     "q156_segment_quality_rewrite": (frozenset({"DupFactScan"}), "q137's waived shape: segment branch and doc spine share one maybe_checkpoint-materialized token table at runtime"),
     "q100_embedding_dedup_at_scale": (frozenset({"DupFactScan"}), "LSH stage scans vectors once; singleton-assignment base is a vec_id-only pruned scan"),
     "q106_ivf_kmeans_ann": (
-        frozenset({"CartesianProduct", "DupFactScan"}),
-        "broadcast centroid/probe fan-out (q55's waived shape); the second embeddings "
-        "scan is the corpus-assignment role vs the query-slice role — the KMeans fit "
-        "itself is a separate MLlib job whose centroids arrive as a checkpointed "
-        "k-row table (at scale a persisted index artifact).",
+        frozenset({"DupFactScan"}),
+        "broadcast centroid/probe fan-out (q55's waived shape); the centroid and "
+        "assignment tables are READ FROM the persisted IVFIndex parquet artifact "
+        "(fit-once at first build, operators/ann_index.py) — the embeddings scans "
+        "are the corpus/probe roles and the query slice, never a refit.",
     ),
     "q165_hard_negatives_ivf": (
-        frozenset({"CartesianProduct", "DupFactScan"}),
+        frozenset({"DupFactScan"}),
         "q100 + q106 composed, both shapes already waived: embeddings scans are the "
-        "sign-LSH edge stage (scans vectors once), the corpus-assignment role, and "
-        "the vec_id<10 anchor slice; the component map and centroid table arrive as "
-        "checkpointed narrow tables (persisted index artifacts at scale); the "
-        "crossJoins are the waived broadcast centroid/probe fan-outs.",
+        "sign-LSH edge stage (scans vectors once), the corpus role, and the "
+        "vec_id<10 anchor slice; the centroid/assignment tables are read from the "
+        "persisted IVFIndex artifact and the component map is a checkpointed "
+        "narrow table; the crossJoin is the waived broadcast probe fan-out.",
     ),
-    "q166_semdedup": (
-        frozenset({"CartesianProduct", "DupFactScan"}),
-        "broadcast centroid fan-out (q106's waived shape) feeding one checkpointed "
-        "assignment table; the a/b pair roles and the id spine read that "
-        "materialized table, not the base scan (q99's waived a/b shape).",
-    ),
+    # q166_semdedup: no waiver since round 8 — the cluster assignment is
+    # read from the persisted IVFIndex artifact (derived k = ceil(sqrt n)),
+    # so the plan carries no crossJoin and no duplicate fact scan.
     "q167_dedup_recall_audit": (
         frozenset({"DupFactScan"}),
         "sampled audit, everything confined to the doc_id<1000 slice by "
