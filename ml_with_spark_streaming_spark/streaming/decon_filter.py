@@ -78,6 +78,33 @@ class StreamingDecontaminationFilter:
             **kw,
         )
 
+    def save_grams(self, path: str) -> None:
+        """Persist the eval gram table as parquet — the durable
+        artifact a restarted gate resumes from (grams are a function
+        of the eval corpus AND of n, so the params sidecar records n;
+        resuming with a different n would shingle batches into grams
+        the stored set can never match)."""
+        self.eval_grams.write.mode("overwrite").parquet(f"{path}/grams")
+        self.eval_grams.sparkSession.createDataFrame(
+            [(self.n,)], "n int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+    @classmethod
+    def from_grams_path(
+        cls, spark, path: str, **kw
+    ) -> "StreamingDecontaminationFilter":
+        """Resume a gate from ``save_grams`` artifacts — no eval-corpus
+        rescan. n comes from the sidecar; a conflicting override
+        raises."""
+        p = spark.read.parquet(f"{path}/params").collect()[0]
+        if "n" in kw and kw["n"] != int(p["n"]):
+            raise ValueError(
+                f"grams at {path} were built with n={int(p['n'])}; "
+                f"got n={kw['n']} — rebuild the gram set or drop the override"
+            )
+        kw["n"] = int(p["n"])
+        return cls(eval_grams=spark.read.parquet(f"{path}/grams"), **kw)
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return

@@ -168,6 +168,191 @@ class StreamingIngestPipeline:
             on_accepted=on_accepted,
         )
 
+    def save_state(self, path: str) -> None:
+        """Persist the WHOLE door as one unit: every configured gate's
+        index/model artifacts (each via its own ``save_*`` contract,
+        so compaction + params sidecars apply) plus one pipeline
+        manifest carrying the stage configuration, the frozen scalar
+        weights, and the ledger. The manifest is written LAST and
+        atomically (tmp + rename): a crash mid-save leaves no
+        committed manifest, and ``from_state`` refuses to resume from
+        an uncommitted directory — the SCD2 state discipline applied
+        to the composed pipeline."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        self.dedup.save_index(os.path.join(path, "dedup_index"))
+        if self.embdedup is not None:
+            self.embdedup.save_index(os.path.join(path, "emb_index"))
+        if self.segdedup is not None:
+            self.segdedup.save_index(os.path.join(path, "seg_index"))
+        if self.decon is not None:
+            self.decon.save_grams(os.path.join(path, "decon_grams"))
+        if self.perplexity is not None:
+            self.perplexity.save_model(os.path.join(path, "ppl_model"))
+        manifest = {
+            "id_col": self.dedup.id_col,
+            "text_col": self.dedup.text_col,
+            "dedup": {
+                "grow_index": self.dedup.grow_index,
+                "compact_every": self.dedup.compact_every,
+                "bloom_prefilter": self.dedup.bloom_prefilter,
+            },
+            "quality": {"weights": [[fb, int(w)] for fb, w in self.quality.weights]},
+            "embdedup": (
+                None
+                if self.embdedup is None
+                else {
+                    "vec_col": self.embdedup.vec_col,
+                    "grow_index": self.embdedup.grow_index,
+                    "compact_every": self.embdedup.compact_every,
+                    "dim": self.embdedup.dim,
+                }
+            ),
+            "segdedup": (
+                None
+                if self.segdedup is None
+                else {
+                    "grow_index": self.segdedup.grow_index,
+                    "compact_every": self.segdedup.compact_every,
+                }
+            ),
+            "segquality": (
+                None
+                if self.segquality is None
+                else {
+                    "width": self.segquality.width,
+                    "threshold_x100": self.segquality.threshold_x100,
+                }
+            ),
+            "decon": (
+                None
+                if self.decon is None
+                else {"bench_names": self.decon.bench_names}
+            ),
+            "perplexity": (
+                None
+                if self.perplexity is None
+                else {
+                    "threshold_x1e6": self.perplexity.threshold_x1e6,
+                    "keep_unscored": self.perplexity.keep_unscored,
+                }
+            ),
+            "dsir": (
+                None
+                if self.dsir is None
+                else {
+                    "weights": [[int(b), int(w)] for b, w in self.dsir.weights],
+                    "n_buckets": self.dsir.n_buckets,
+                }
+            ),
+            "ledger": self.ledger,
+        }
+        tmp = os.path.join(path, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(path, "MANIFEST.json"))
+
+    @classmethod
+    def from_state(
+        cls, spark, path: str, corpus: DataFrame, on_accepted: object = None
+    ) -> "StreamingIngestPipeline":
+        """Resume the whole door from ``save_state`` artifacts — no
+        corpus/eval/LM rescans; every gate loads its persisted index
+        or frozen weights, and the ledger continues where it left off.
+        ``corpus`` is the stored document corpus (the text-dedup
+        gate's verify side — in production the durable doc store, so
+        it is an input here, not part of the state dir)."""
+        import json
+        import os
+
+        mpath = os.path.join(path, "MANIFEST.json")
+        if not os.path.exists(mpath):
+            raise FileNotFoundError(
+                f"no committed pipeline manifest at {mpath} — "
+                "save_state did not complete"
+            )
+        with open(mpath) as f:
+            m = json.load(f)
+        col_kw = {"id_col": m["id_col"], "text_col": m["text_col"]}
+        dedup = StreamingIngestDedup.from_index_path(
+            spark,
+            corpus,
+            os.path.join(path, "dedup_index"),
+            grow_index=m["dedup"]["grow_index"],
+            compact_every=m["dedup"]["compact_every"],
+            bloom_prefilter=m["dedup"]["bloom_prefilter"],
+            **col_kw,
+        )
+        quality = StreamingQualityFilter(
+            weights=[(fb, int(w)) for fb, w in m["quality"]["weights"]], **col_kw
+        )
+        embdedup = None
+        if m["embdedup"] is not None:
+            embdedup = StreamingEmbeddingDedup.from_index_path(
+                spark,
+                os.path.join(path, "emb_index"),
+                id_col=m["id_col"],
+                vec_col=m["embdedup"]["vec_col"],
+                grow_index=m["embdedup"]["grow_index"],
+                compact_every=m["embdedup"]["compact_every"],
+                dim=m["embdedup"]["dim"],
+            )
+        segdedup = None
+        if m["segdedup"] is not None:
+            segdedup = StreamingSegmentDedup.from_index_path(
+                spark,
+                os.path.join(path, "seg_index"),
+                grow_index=m["segdedup"]["grow_index"],
+                compact_every=m["segdedup"]["compact_every"],
+                **col_kw,
+            )
+        segquality = None
+        if m["segquality"] is not None:
+            segquality = StreamingSegmentQuality(
+                width=m["segquality"]["width"],
+                threshold_x100=m["segquality"]["threshold_x100"],
+                **col_kw,
+            )
+        decon = None
+        if m["decon"] is not None:
+            decon = StreamingDecontaminationFilter.from_grams_path(
+                spark,
+                os.path.join(path, "decon_grams"),
+                bench_names=m["decon"]["bench_names"],
+                **col_kw,
+            )
+        ppl = None
+        if m["perplexity"] is not None:
+            ppl = StreamingPerplexityFilter.from_model_path(
+                spark,
+                os.path.join(path, "ppl_model"),
+                threshold_x1e6=m["perplexity"]["threshold_x1e6"],
+                keep_unscored=m["perplexity"]["keep_unscored"],
+                **col_kw,
+            )
+        dsir = None
+        if m["dsir"] is not None:
+            dsir = StreamingDSIRFilter(
+                weights=[(int(b), int(w)) for b, w in m["dsir"]["weights"]],
+                n_buckets=m["dsir"]["n_buckets"],
+                **col_kw,
+            )
+        pipe = cls(
+            dedup=dedup,
+            quality=quality,
+            embdedup=embdedup,
+            segdedup=segdedup,
+            segquality=segquality,
+            decon=decon,
+            perplexity=ppl,
+            dsir=dsir,
+            on_accepted=on_accepted,
+        )
+        pipe.ledger.extend(m["ledger"])
+        return pipe
+
     @staticmethod
     def _zero_row(history: list[dict], batch_id: int, keys: tuple[str, ...]) -> None:
         """Keep stage histories aligned with the ledger when an

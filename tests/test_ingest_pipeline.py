@@ -313,6 +313,130 @@ def test_pipeline_with_segment_rewrite_stage(spark):
     assert accepted == {1400: novel}
 
 
+def _novel_doc(tag, off):
+    """Novel-by-shingle but classifier-liked text: every 3-gram carries
+    a unique connector token while the _HI_WORDS presence features keep
+    the quality score positive (letters only — the cleaner strips
+    digits)."""
+    return " ".join(
+        f"{_HI_WORDS[(off + j) % len(_HI_WORDS)]} {tag}{chr(97 + j // 5)}{chr(97 + j % 5)}"
+        for j in range(20)
+    )
+
+
+def test_pipeline_save_state_resume_equals_uninterrupted(spark, tmp_path):
+    """The whole door restarts as ONE unit: run two batches, save_state,
+    from_state, run two more — ledger and accepted set must equal the
+    uninterrupted 4-batch run. Exercises every gate's persisted
+    artifact (text-dedup index GROWN by accepted batches, embedding
+    index grown likewise, decon grams, frozen quality/DSIR weights,
+    perplexity LM) — batch 2 contains a duplicate of a batch-0-accepted
+    doc and a near-dup of a batch-1-accepted VECTOR, so a resume that
+    lost the grown state would visibly over-accept."""
+    import random as _random
+
+    corpus = _docs(spark)
+    frozen = freeze_weights(
+        classifier_weights(feature_presence(corpus), heuristic_labels(corpus))
+    )
+    bench = " ".join(f"bench{chr(97 + i)}" for i in range(13))
+    eval_corpus = spark.createDataFrame(
+        [(9000, f"intro {bench} outro")], "doc_id long, text string"
+    )
+    rnd = _random.Random(29)
+    dim = 16
+    emb_corpus = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(8)],
+        "doc_id long, embedding array<float>",
+    )
+
+    def vec():
+        return [rnd.gauss(0, 1) for _ in range(dim)]
+
+    doc_a = _novel_doc("qa", 2)
+    doc_c = _novel_doc("qc", 6)
+    vec_c = vec()
+    batches = [
+        # b0: A accepted; B carries the eval 13-gram -> decon reject
+        [(3000, doc_a, vec()), (3001, f"{_novel_doc('qb', 4)} {bench}", vec())],
+        # b1: C accepted (novel text + novel vector)
+        [(3002, doc_c, vec_c)],
+        # b2: copy of A's TEXT (grown text index must reject), novel
+        # text with C's VECTOR perturbed (grown vector index must
+        # reject), E novel -> accepted
+        [
+            (3003, doc_a, vec()),
+            (3004, _novel_doc("qd", 8), [x * (1 + rnd.uniform(-1e-3, 1e-3)) for x in vec_c]),
+            (3005, _novel_doc("qe", 11), vec()),
+        ],
+        # b3: F novel -> accepted
+        [(3006, _novel_doc("qf", 13), vec())],
+    ]
+    schema = "doc_id long, text string, embedding array<float>"
+    build_kw = dict(
+        eval_corpus=eval_corpus,
+        embedding_corpus=emb_corpus,
+        embedding_threshold=0.95,
+        segment_width=10,
+        segment_quality_threshold_x100=1,
+        perplexity_threshold_x1e6=10**12,  # pass-all: state round-trip is the point
+        dsir_weights=[(b, 1) for b in range(64)],  # all-positive: pass-all
+        dsir_n_buckets=64,
+        threshold=0.9,
+    )
+
+    # uninterrupted reference
+    ref_accepted: set[int] = set()
+    ref = StreamingIngestPipeline.build(
+        corpus,
+        frozen,
+        on_accepted=lambda df, bid: ref_accepted.update(r["doc_id"] for r in df.collect()),
+        **build_kw,
+    )
+    for bid, rows in enumerate(batches):
+        ref.process_batch(spark.createDataFrame(rows, schema), bid)
+    assert ref_accepted == {3000, 3002, 3005, 3006}  # fixture sanity
+
+    # interrupted: 2 batches -> save -> resume -> 2 batches
+    acc_a: set[int] = set()
+    pipe_a = StreamingIngestPipeline.build(
+        corpus,
+        frozen,
+        on_accepted=lambda df, bid: acc_a.update(r["doc_id"] for r in df.collect()),
+        **build_kw,
+    )
+    for bid in (0, 1):
+        pipe_a.process_batch(spark.createDataFrame(batches[bid], schema), bid)
+    state = str(tmp_path / "door_state")
+    pipe_a.save_state(state)
+
+    acc_b: set[int] = set()
+    pipe_b = StreamingIngestPipeline.from_state(
+        spark,
+        state,
+        corpus,
+        on_accepted=lambda df, bid: acc_b.update(r["doc_id"] for r in df.collect()),
+    )
+    assert pipe_b.ledger == ref.ledger[:2]  # ledger resumed, not reset
+    for bid in (2, 3):
+        pipe_b.process_batch(spark.createDataFrame(batches[bid], schema), bid)
+
+    assert acc_a | acc_b == ref_accepted
+    assert pipe_b.ledger == ref.ledger
+    # the resumed gates produced the same per-stage verdicts
+    assert pipe_b.dedup.history[-2:] == ref.dedup.history[-2:]
+    assert pipe_b.embdedup.history[-2:] == ref.embdedup.history[-2:]
+
+
+def test_from_state_refuses_uncommitted_dir(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="manifest"):
+        StreamingIngestPipeline.from_state(
+            spark, str(tmp_path / "nowhere"), _docs(spark)
+        )
+
+
 def test_pipeline_with_embedding_gate(spark):
     """Multimodal door: a doc with novel TEXT but a near-duplicate
     EMBEDDING is cut by the embedding stage (text dedup is blind to
