@@ -220,24 +220,34 @@ def _streaming_rate(spark, per_file: int = 5000, n_files: int = 3) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _ingest_pipeline_rate(spark, per_file: int, n_files: int = 3) -> dict:
+def _ingest_pipeline_rate(
+    spark, per_file: int, n_files: int = 3, embedding: bool = False
+) -> dict:
     """documents/s through the composed streaming ingest door —
     StreamingIngestPipeline with the declared production config:
     exact+LSH dedup (threshold 0.9) -> segment-dedup rewrite (width
     10) -> 13-gram decontamination -> frozen quality classifier.
+    With ``embedding=True`` the semantic near-dup stage is configured
+    too (sign-LSH index over the sf ``embeddings`` table; the stream
+    carries a vector per doc) — the vector gate's marginal cost as a
+    measured number.
 
     Gate artifacts (corpus fingerprint/band indexes, eval gram set,
-    classifier weights) are built from the REAL ``documents`` table at
-    ``SF_DIR`` before the clock starts — index builds are amortized
-    over a deployment's lifetime; the measured number is the per-batch
-    marginal cost, matching how ``_streaming_rate`` measures the
-    trainer. The stream itself is corpus-derived: ~10% exact
-    duplicates (dedup hits), ~5% planted eval 13-grams (decon hits),
-    the rest novel mutations, so every gate does real work."""
+    classifier weights, vector signature index) are built from the
+    REAL tables at ``SF_DIR`` before the clock starts — index builds
+    are amortized over a deployment's lifetime; the measured number is
+    the per-batch marginal cost, matching how ``_streaming_rate``
+    measures the trainer. The stream itself is corpus-derived: ~10%
+    exact duplicates (dedup hits), ~5% planted eval 13-grams (decon
+    hits), with ``embedding`` a further ~10% text-novel docs carrying
+    a corpus-near vector (embedding-gate hits — text dedup is blind to
+    them), the rest novel mutations, so every gate does real work."""
     import json as _json
     import random
     import shutil
     import tempfile
+
+    from pyspark.sql import functions as _F
 
     from ml_with_spark_streaming_spark.operators.quality_clf import (
         classifier_weights,
@@ -258,12 +268,26 @@ def _ingest_pipeline_rate(spark, per_file: int, n_files: int = 3) -> dict:
     eval_corpus = spark.createDataFrame(
         [(90_000, f"prelude {bench_gram} coda")], "doc_id long, text string"
     )
+    emb_corpus = None
+    base_vecs: list[list[float]] = []
+    if embedding:
+        emb_corpus = load_table(spark, SF_DIR, "embeddings").select(
+            _F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        base_vecs = [list(map(float, r.embedding)) for r in emb_corpus.collect()]
     pipe = StreamingIngestPipeline.build(
-        corpus, frozen, eval_corpus=eval_corpus, segment_width=10, threshold=0.9
+        corpus,
+        frozen,
+        eval_corpus=eval_corpus,
+        embedding_corpus=emb_corpus,
+        embedding_threshold=0.95,
+        segment_width=10,
+        threshold=0.9,
     )
 
     base = [(r.doc_id, r.text) for r in corpus.collect()]
     rnd = random.Random(13)
+    dim = len(base_vecs[0]) if base_vecs else 0
     root = tempfile.mkdtemp(prefix="bench_ingest_")
     try:
         src = os.path.join(root, "in")
@@ -274,8 +298,12 @@ def _ingest_pipeline_rate(spark, per_file: int, n_files: int = 3) -> dict:
                 for i in range(per_file):
                     _bid, text = base[rnd.randrange(len(base))]
                     roll = rnd.random()
+                    vec = None
                     if roll < 0.10:
-                        pass  # exact duplicate of a corpus doc
+                        # exact duplicate of a corpus doc (text gate hit;
+                        # its vector never reaches the embedding stage)
+                        if embedding:
+                            vec = base_vecs[rnd.randrange(len(base_vecs))]
                     else:
                         # genuinely novel: splice two corpus docs
                         # (Jaccard ~0.5 to each parent, under the 0.9
@@ -287,11 +315,27 @@ def _ingest_pipeline_rate(spark, per_file: int, n_files: int = 3) -> dict:
                         )
                         if roll < 0.15:
                             text = f"{text} {bench_gram}"
-                    f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+                        if embedding:
+                            if roll >= 0.90:
+                                # text-novel but vector-near-dup: only
+                                # the embedding gate can catch it
+                                src_vec = base_vecs[rnd.randrange(len(base_vecs))]
+                                vec = [
+                                    x * (1 + rnd.uniform(-1e-3, 1e-3)) for x in src_vec
+                                ]
+                            else:
+                                vec = [rnd.gauss(0, 1) for _ in range(dim)]
+                    rec = {"doc_id": doc_id, "text": text}
+                    if embedding:
+                        rec["embedding"] = vec
+                    f.write(_json.dumps(rec) + "\n")
                     doc_id += 1
+        schema = "doc_id long, text string" + (
+            ", embedding array<float>" if embedding else ""
+        )
         docs = (
             spark.readStream.format("json")
-            .schema("doc_id long, text string")
+            .schema(schema)
             .option("maxFilesPerTrigger", 1)
             .load(src)
         )
@@ -306,19 +350,18 @@ def _ingest_pipeline_rate(spark, per_file: int, n_files: int = 3) -> dict:
         wall = time.monotonic() - t0
         n_docs = n_files * per_file
         led = pipe.ledger
+        keys = (
+            "n_in",
+            "n_after_dedup",
+            "n_after_embdedup",
+            "n_after_rewrite",
+            "n_after_decon",
+            "n_accepted",
+        )
         return {
             "docs_per_sec": round(n_docs / wall, 1),
             "n_docs": n_docs,
-            "survivors": {
-                k: sum(r[k] for r in led)
-                for k in (
-                    "n_in",
-                    "n_after_dedup",
-                    "n_after_rewrite",
-                    "n_after_decon",
-                    "n_accepted",
-                )
-            },
+            "survivors": {k: sum(r[k] for r in led) for k in keys},
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -428,14 +471,22 @@ def main() -> None:
         out["streaming_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # documents/s through the composed ingest-gate door (the production
-    # number next to the trainer's reference-parity rec/s curve)
+    # number next to the trainer's reference-parity rec/s curve); the
+    # payload-5000 point is also measured WITH the embedding near-dup
+    # stage so the vector gate's marginal cost is a committed number
     try:
         ingest = {
             str(size): _ingest_pipeline_rate(spark, per_file=size)
             for size in (1000, 5000)
         }
+        ingest["5000_emb"] = _ingest_pipeline_rate(
+            spark, per_file=5000, embedding=True
+        )
         out["ingest_pipeline"] = ingest
         compact["ingest_pipeline_docs_per_sec"] = ingest["5000"]["docs_per_sec"]
+        compact["ingest_pipeline_emb_docs_per_sec"] = ingest["5000_emb"][
+            "docs_per_sec"
+        ]
     except Exception as e:  # noqa: BLE001 — keep the rest of the artifact
         out["ingest_pipeline_error"] = f"{type(e).__name__}: {e}"[:200]
 
