@@ -102,6 +102,8 @@ HEADLINE = [
     "q166_semdedup",
     "q167_dedup_recall_audit",
     "q168_incremental_index",
+    "q169_ivf_index_refresh",
+    "q170_ivfpq_ann",
 ]
 
 

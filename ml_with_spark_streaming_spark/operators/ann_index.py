@@ -97,6 +97,32 @@ class IVFIndex:
             n_vectors=int(n),
         )
 
+    def append(self, delta: DataFrame) -> "IVFIndex":
+        """Incremental index maintenance: assign ONLY the delta against
+        the FROZEN centroids and union the assignment rows — one narrow
+        pass over the new slice, the corpus is never rescanned (q168's
+        refresh-==-recompute discipline applied to the vector index).
+        Because assignment is per-vector independent given fixed
+        centroids, the merged table is EXACTLY what a full assignment
+        pass over base ∪ delta against the same centroids would produce
+        (pinned by tests/test_ann_index.py). Centroids are deliberately
+        NOT refit — at scale you refit on drift metrics, not per drop;
+        a refit is a new index, not an append. Returns a new IVFIndex
+        (the artifact is immutable once saved)."""
+        new_rows = maybe_checkpoint(
+            assign_to_centroids(delta, self.centroids, self.c_id, self.c_vec)
+        )
+        merged = maybe_checkpoint(self.assignments.unionByName(new_rows))
+        return IVFIndex(
+            centroids=self.centroids,
+            assignments=merged,
+            n_centroids=self.n_centroids,
+            seed=self.seed,
+            c_id=self.c_id,
+            c_vec=self.c_vec,
+            n_vectors=self.n_vectors + delta.count(),
+        )
+
     def save(self, path: str) -> None:
         self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
         self.assignments.write.mode("overwrite").parquet(f"{path}/assignments")
@@ -132,7 +158,78 @@ class IVFIndex:
         )
 
 
+@dataclass
+class PQIndex:
+    """The persisted product-quantization fit: per-subspace
+    ``codebooks`` (sub_id, cent_id, cent_vec), the corpus ``codes``
+    (c_id, codes array<int>) — the 4-byte-per-vector compressed
+    representation ADC scans — and the knobs the fit is a function of.
+    Same save/load/refusal contract as ``IVFIndex``; at scale codes
+    are co-partitioned with the corpus (and with the IVF assignment
+    table) by id, so the IVF-PQ probe join is shuffle-free."""
+
+    codebooks: DataFrame
+    codes: DataFrame
+    m: int
+    k_sub: int
+    seed: int
+    c_id: str
+    c_vec: str
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        m: int = 4,
+        k_sub: int = 16,
+        c_id: str = "vec_id",
+        c_vec: str = "embedding",
+        seed: int = 42,
+    ) -> "PQIndex":
+        from ml_with_spark_streaming_spark.operators.pq import pq_codebooks, pq_encode
+
+        cbs = maybe_checkpoint(
+            pq_codebooks(corpus, m=m, k_sub=k_sub, c_id=c_id, c_vec=c_vec, seed=seed)
+        )
+        codes = maybe_checkpoint(pq_encode(corpus, cbs, m=m, c_id=c_id, c_vec=c_vec))
+        return cls(
+            codebooks=cbs, codes=codes, m=m, k_sub=k_sub, seed=seed, c_id=c_id, c_vec=c_vec
+        )
+
+    def save(self, path: str) -> None:
+        self.codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+        self.codes.write.mode("overwrite").parquet(f"{path}/codes")
+        spark = self.codebooks.sparkSession
+        spark.createDataFrame(
+            [(self.m, self.k_sub, self.seed, self.c_id, self.c_vec)],
+            "m int, k_sub int, seed int, c_id string, c_vec string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+    @classmethod
+    def load(cls, spark, path: str, **kw) -> "PQIndex":
+        p = spark.read.parquet(f"{path}/params").collect()[0]
+        saved = {
+            "m": int(p["m"]),
+            "k_sub": int(p["k_sub"]),
+            "seed": int(p["seed"]),
+            "c_id": str(p["c_id"]),
+            "c_vec": str(p["c_vec"]),
+        }
+        for name, val in saved.items():
+            if name in kw and kw[name] is not None and kw[name] != val:
+                raise ValueError(
+                    f"index at {path} was built with {name}={val!r}; "
+                    f"got {name}={kw[name]!r} — rebuild the index or drop the override"
+                )
+        return cls(
+            codebooks=spark.read.parquet(f"{path}/codebooks"),
+            codes=spark.read.parquet(f"{path}/codes"),
+            **saved,
+        )
+
+
 _MEMO: dict[tuple, IVFIndex] = {}
+_PQ_MEMO: dict[tuple, PQIndex] = {}
 _PROC_ROOT: list[str] = []
 
 
@@ -176,4 +273,33 @@ def ivf_index_for(
         ).save(path)
     idx = IVFIndex.load(spark, path, c_id=c_id, c_vec=c_vec, seed=seed)
     _MEMO[key] = idx
+    return idx
+
+
+def pq_index_for(
+    corpus: DataFrame,
+    cache_key: str,
+    m: int = 4,
+    k_sub: int = 16,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    seed: int = 42,
+) -> PQIndex:
+    """``ivf_index_for``'s contract for the PQ artifact: first caller
+    fits (m seeded KMeans runs) + encodes + saves; later calls load
+    the persisted codebooks/codes — the compressed corpus is encoded
+    ONCE, not per query."""
+    key = ("pq", os.path.realpath(cache_key), m, k_sub, c_id, c_vec, seed)
+    idx = _PQ_MEMO.get(key)
+    if idx is not None:
+        return idx
+    spark = corpus.sparkSession
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    path = os.path.join(_index_root(), f"pq_{digest}")
+    if not os.path.exists(os.path.join(path, "params")):
+        PQIndex.build(
+            corpus, m=m, k_sub=k_sub, c_id=c_id, c_vec=c_vec, seed=seed
+        ).save(path)
+    idx = PQIndex.load(spark, path, c_id=c_id, c_vec=c_vec, seed=seed)
+    _PQ_MEMO[key] = idx
     return idx

@@ -110,6 +110,12 @@ def _packed_codebooks(codebooks: DataFrame) -> DataFrame:
     ).select(F.col("_cb.vecs").alias("cbs"))
 
 
+# code-space size (m x k_sub x sub_dim floats) past which pq_encode
+# switches from the interpreted HOF argmin to the Arrow/numpy batch
+# formulation (module constant so the parity test can force either)
+_ARROW_ENCODE_MIN = 1024
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: DataFrame,
@@ -120,7 +126,50 @@ def pq_encode(
     """``(c_id, codes array<int>)``: each vector's m nearest-subcentroid
     ids (squared-L2 argmin per subspace on the normalized vector,
     ties to the smaller code). One packed-codebook broadcast + one
-    corpus projection — zero shuffles."""
+    corpus projection — zero shuffles.
+
+    Two formulations, same output (the ``signlsh_bands`` precedent):
+    JVM higher-order functions for small code spaces, one Arrow/numpy
+    distance matrix per batch when ``m × k_sub × sub_dim >= 1024`` —
+    the nested HOF argmin is interpreted (not codegen'd) and its
+    per-row cost dominates past ~1k centroid floats (measured ~50 ms/
+    row at 4×16×16 where the numpy path is ~50 µs/row). Parity is
+    test-pinned; numpy ``argmin`` returns the FIRST minimum, matching
+    the lexicographic (d2, code) tie-break."""
+    import numpy as np
+
+    cb_rows = codebooks.collect()  # m x k_sub rows — O(model), never data
+    k_sub = max(r["cent_id"] for r in cb_rows) + 1
+    sub = len(cb_rows[0]["cent_vec"])
+    if m * k_sub * sub >= _ARROW_ENCODE_MIN:
+        import pandas as pd
+
+        cb = np.zeros((m, k_sub, sub), dtype=np.float64)
+        for r in cb_rows:
+            cb[r["sub_id"], r["cent_id"]] = r["cent_vec"]
+        bcb = corpus.sparkSession.sparkContext.broadcast(cb)
+
+        def part(batches):
+            C = bcb.value
+            m_, _k, s_ = C.shape
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[c_vec]])
+                nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+                mat = mat / np.where(nrm == 0, 1, nrm)  # safe_denom twin
+                codes = np.empty((len(mat), m_), dtype=np.int32)
+                for j in range(m_):
+                    subv = mat[:, j * s_ : (j + 1) * s_]
+                    d2 = ((subv[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, j] = d2.argmin(axis=1)
+                yield pd.DataFrame(
+                    {c_id: pdf[c_id].to_numpy(), "codes": codes.tolist()}
+                )
+
+        return corpus.select(c_id, c_vec).mapInPandas(
+            part, f"{c_id} long, codes array<int>"
+        )
     packed = _packed_codebooks(codebooks)
     nv = _normalized(F.col(c_vec))
     dim_col = F.size(F.col(c_vec))
@@ -251,6 +300,128 @@ def pq_topk_rerank(
     rescored = (
         cand.join(corpus.select(F.col(c_id), F.col(c_vec)), c_id)
         .join(queries, q_id)
+        .select(
+            F.col(q_id),
+            F.col(c_id),
+            F.round(cosine_expr(F.col(q_vec), F.col(c_vec)), 4).alias("cosine"),
+        )
+    )
+    w = W.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = 4,
+    k_sub: int = 16,
+    shortlist: int = 50,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ (the PQ paper's IVFADC, FAISS's IndexIVFPQ — the
+    billion-scale production composition): coarse quantizer = the
+    persisted IVF index (``centroids`` + ``assignments`` from an
+    ``IVFIndex`` artifact), fine quantizer = the PQ codebooks/codes.
+    Per query only the ``nprobe`` nearest buckets' CODES are
+    ADC-scored (a join on ``cent_id``, never a corpus scan), the
+    shortlist is re-ranked with exact cosine against the full
+    vectors, and the top-k ships as ``(q_id, c_id, cosine, rank)``.
+
+    At 100 TB the scan side of a query touches nprobe/n_centroids of
+    the corpus, 4 bytes per vector (codes co-partitioned with the
+    assignment table by id; both persisted artifacts); full vectors
+    are fetched for shortlist·n_queries rows only. Recall vs
+    brute-force is pinned on planted clusters, and probing ALL
+    buckets with ``codebooks``/``codes`` fixed degenerates to exactly
+    ``pq_topk_rerank`` (both in tests/test_pq.py)."""
+    from ml_with_spark_streaming_spark.operators.similarity import cosine_expr
+
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, m=m, k_sub=k_sub, c_id=c_id, c_vec=c_vec)
+    codebooks = maybe_checkpoint(codebooks)
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, m=m, c_id=c_id, c_vec=c_vec)
+    packed = _packed_codebooks(codebooks)
+
+    # query -> nprobe nearest coarse centroids (ivf_topk's probe stage)
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            q_id, q_vec, "cent_id",
+            cosine_expr(F.col(q_vec), F.col("cent_vec")).alias("sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(q_id).orderBy(F.col("sim").desc(), "cent_id")
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select(q_id, "cent_id")
+    )
+
+    # per-query ADC lookup tables (one packed-codebook broadcast)
+    nq = _normalized(F.col(q_vec))
+    dim_col = F.size(F.col(q_vec))
+    sub_len = (dim_col / m).cast("int")
+
+    def lut_for(j: Column) -> Column:
+        subq = F.slice(nq, j * sub_len + 1, sub_len)
+        return F.transform(
+            F.element_at(F.col("cbs"), j + 1),
+            lambda cv: F.aggregate(
+                F.zip_with(subq, cv, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            ),
+        )
+
+    luts = queries.crossJoin(F.broadcast(packed)).select(
+        F.col(q_id),
+        F.transform(F.sequence(F.lit(0), F.lit(m - 1)), lut_for).alias("lut"),
+    )
+
+    # candidate codes: only the probed buckets' members
+    bucketed_codes = codes.join(assignments.select(c_id, "cent_id"), c_id)
+    cand = probes.join(bucketed_codes, "cent_id").select(q_id, c_id, "codes")
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("lut"), F.col("codes"), lambda l, c: F.element_at(l, c + 1)
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    scored = (
+        cand.join(F.broadcast(luts), q_id)
+        .filter(F.col(q_id) != F.col(c_id))
+        .select(
+            F.col(q_id),
+            F.col(c_id),
+            F.round(adc * 10000).cast("long").alias("adc_x1e4"),
+        )
+    )
+    ws = W.partitionBy(q_id).orderBy(F.col("adc_x1e4").desc(), F.col(c_id))
+    short = (
+        scored.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= shortlist)
+        .select(q_id, c_id)
+    )
+
+    # exact rerank of the shortlist only (q53's oracle-checked cosine)
+    rescored = (
+        short.join(corpus.select(F.col(c_id), F.col(c_vec)), c_id)
+        .join(queries.select(q_id, q_vec), q_id)
         .select(
             F.col(q_id),
             F.col(c_id),

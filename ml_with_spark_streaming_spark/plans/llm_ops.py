@@ -433,6 +433,85 @@ def q106_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+@query("q169_ivf_index_refresh")  # rows-only: KMeans fit isn't SQL-expressible
+def q169_ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance — the vector-index sibling of
+    q168's inverted-index refresh: the IVF index is FIT on the base
+    corpus (vec_id % 5 != 0), persisted (``IVFIndex``), and the delta
+    slice (vec_id % 5 == 0, 'today's drop') is APPENDED by assigning
+    only the delta against the frozen centroids — one narrow pass over
+    the new vectors, the base corpus is never rescanned and the
+    centroids are never refit (refit-on-drift is a new index, not an
+    append).
+
+    Because assignment is per-vector independent given fixed
+    centroids, the merged table is bit-identical to a full assignment
+    pass over base ∪ delta against the same centroids — the invariant
+    pinned by tests/test_ann_index.py::test_append_equals_full_assign.
+    Rows-only here: the centroids come from an MLlib KMeans fit, which
+    DuckDB cannot reproduce. Output: every vector's bucket plus an
+    is_delta marker, deterministic (seeded fit, content-keyed layout).
+    """
+    from ml_with_spark_streaming_spark.operators.ann_index import ivf_index_for
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0)
+    idx = ivf_index_for(base, f"{sf_dir}#base80", n_centroids=16, seed=42)
+    refreshed = idx.append(delta)
+    return (
+        refreshed.assignments.select(
+            "vec_id",
+            F.col("cent_id").cast("long").alias("cent_id"),
+            (F.col("vec_id") % 5 == 0).cast("long").alias("is_delta"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query("q170_ivfpq_ann")  # rows-only: approximate (IVF probe + PQ codes) by construction
+def q170_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (Jégou et al. 2011 IVFADC; FAISS IndexIVFPQ) — the
+    billion-scale production composition, assembled entirely from
+    PERSISTED artifacts: the ``IVFIndex`` coarse quantizer (q106's
+    centroids + assignment table) routes each query to its nprobe
+    nearest buckets, the ``PQIndex`` fine quantizer (q136's codebooks
+    + the 4-byte-per-vector codes) ADC-scores ONLY those buckets'
+    members, and the shortlist is re-ranked with exact cosine against
+    the full vectors. Per query the scan side touches
+    nprobe/n_centroids of the corpus at 4 bytes/vector; full vectors
+    are fetched for shortlist rows only.
+
+    Rows-only: which neighbors an approximate index returns is not
+    SQL-expressible; deterministic (seeded fits, id tie-breaks).
+    Recall vs brute force on planted clusters and all-buckets-probed
+    == pq_topk_rerank are pinned in tests/test_pq.py.
+    """
+    from ml_with_spark_streaming_spark.operators.ann_index import (
+        ivf_index_for,
+        pq_index_for,
+    )
+    from ml_with_spark_streaming_spark.operators.pq import ivfpq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ivf = ivf_index_for(e, sf_dir, n_centroids=16, c_vec="embedding", seed=42)
+    pq = pq_index_for(e, sf_dir, m=4, k_sub=16, c_vec="embedding", seed=42)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivfpq_topk(
+        queries,
+        e,
+        centroids=ivf.centroids,
+        assignments=ivf.assignments,
+        k=10,
+        nprobe=4,
+        shortlist=50,
+        codebooks=pq.codebooks,
+        codes=pq.codes,
+    ).orderBy("q_id", "rank")
+
+
 @query("q118_kcenter_diverse")  # no oracle: iterative greedy selection isn't SQL-expressible
 def q118_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Farthest-point (k-center) diversity sampling over the embeddings

@@ -28,7 +28,11 @@ lacks (``QUALIFY``, ``ASOF JOIN``, ``time_bucket``, aggregate
 can't express it, struct-literal ``{...}`` syntax, DuckDB ``list_``
 aggregation lambdas over doubles where Spark's fold types differ) —
 for those the DataFrame API is the front door, and the DuckDB twin
-exists only for the oracle harness.
+exists only for the oracle harness. Re-verified on Spark 4.1: the
+recursive-CTE twins (q90/q99/q133/q158 component loops) stay excluded
+because Spark's ``WITH RECURSIVE`` accepts only ``UNION ALL`` —
+[UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE] — and the min-label
+propagation needs UNION-distinct to terminate.
 
 Usage::
 

@@ -139,6 +139,30 @@ def test_derived_k_bounds_cluster_size(spark):
     assert max(sizes) <= 8 * n / k, f"max cluster {max(sizes)} vs bound {8 * n / k}"
 
 
+def test_append_equals_full_assign(spark, vectors):
+    """Refresh == recompute for the vector index: appending the delta
+    against FROZEN centroids must equal one full assignment pass over
+    base ∪ delta with the same centroids (assignment is per-vector
+    independent), and must never touch the base rows."""
+    from ml_with_spark_streaming_spark.operators.similarity import assign_to_centroids
+
+    base = vectors.filter(F.col("vec_id") % 5 != 0)
+    delta = vectors.filter(F.col("vec_id") % 5 == 0)
+    idx = IVFIndex.build(base, n_centroids=8, seed=42)
+    refreshed = idx.append(delta)
+    assert refreshed.n_vectors == 300
+    assert refreshed.n_centroids == 8
+    merged = {(r["vec_id"], r["cent_id"]) for r in refreshed.assignments.collect()}
+    full = {
+        (r["vec_id"], r["cent_id"])
+        for r in assign_to_centroids(vectors, idx.centroids).collect()
+    }
+    assert merged == full
+    # base rows unchanged by the append
+    old = {(r["vec_id"], r["cent_id"]) for r in idx.assignments.collect()}
+    assert old <= merged and len(merged) - len(old) == 60
+
+
 def test_ivf_index_for_memoizes_and_persists(spark, vectors, tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "cache"))
     a = ivf_index_for(vectors, str(tmp_path), n_centroids=8, seed=42)
@@ -152,3 +176,35 @@ def test_ivf_index_for_memoizes_and_persists(spark, vectors, tmp_path, monkeypat
     # a different knob set is a different artifact
     c = ivf_index_for(vectors, str(tmp_path), n_centroids=4, seed=42)
     assert c is not a and c.n_centroids == 4
+
+
+def test_pq_index_roundtrip_and_refusal(spark, vectors, tmp_path):
+    from ml_with_spark_streaming_spark.operators.ann_index import PQIndex
+
+    idx = PQIndex.build(vectors, m=4, k_sub=8, seed=42)
+    idx.save(str(tmp_path / "pq"))
+    loaded = PQIndex.load(spark, str(tmp_path / "pq"))
+    assert (loaded.m, loaded.k_sub, loaded.seed) == (4, 8, 42)
+    want = {(r["vec_id"], tuple(r["codes"])) for r in idx.codes.collect()}
+    got = {(r["vec_id"], tuple(r["codes"])) for r in loaded.codes.collect()}
+    assert got == want and len(got) == 300
+    wantc = {
+        (r["sub_id"], r["cent_id"], tuple(r["cent_vec"]))
+        for r in idx.codebooks.collect()
+    }
+    gotc = {
+        (r["sub_id"], r["cent_id"], tuple(r["cent_vec"]))
+        for r in loaded.codebooks.collect()
+    }
+    assert gotc == wantc
+    with pytest.raises(ValueError, match="m=4"):
+        PQIndex.load(spark, str(tmp_path / "pq"), m=8)
+
+
+def test_pq_index_for_memoizes(spark, vectors, tmp_path, monkeypatch):
+    from ml_with_spark_streaming_spark.operators.ann_index import pq_index_for
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "cache"))
+    a = pq_index_for(vectors, str(tmp_path), m=4, k_sub=8, seed=42)
+    b = pq_index_for(vectors, str(tmp_path), m=4, k_sub=8, seed=42)
+    assert a is b

@@ -533,3 +533,80 @@ def test_pq_recall_high_on_clustered_vectors(spark):
     for r in sorted(rr, key=lambda r: (r.q_id, r.rank)):
         by_q.setdefault(r.q_id, []).append(r.cosine)
     assert all(cs == sorted(cs, reverse=True) for cs in by_q.values())
+
+
+def test_ivfpq_recall_and_all_probed_equals_rerank(spark):
+    """IVF-PQ on planted clusters: with the coarse quantizer routing
+    queries to their own cluster's bucket, top-(size-1) neighbors are
+    same-cluster members; and probing ALL buckets with the same
+    codebooks/codes degenerates to exactly pq_topk_rerank (the IVF
+    stage only prunes, never re-scores)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ml_with_spark_streaming_spark.operators.ann_index import IVFIndex
+    from ml_with_spark_streaming_spark.operators.pq import (
+        ivfpq_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk_rerank,
+    )
+
+    rng = random.Random(5)
+    dim, n_clusters, per = 16, 4, 8
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    for c, ctr in enumerate(centers):
+        for i in range(per):
+            rows.append((c * 100 + i, [x + rng.uniform(-0.02, 0.02) for x in ctr]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    idx = IVFIndex.build(corpus, n_centroids=n_clusters, seed=42)
+    cb = pq_codebooks(corpus, m=4, k_sub=8)
+    codes = pq_encode(corpus, cb, m=4)
+    k = per - 1
+
+    got = ivfpq_topk(
+        queries, corpus, centroids=idx.centroids, assignments=idx.assignments,
+        k=k, nprobe=1, shortlist=2 * k, m=4, codebooks=cb, codes=codes,
+    ).collect()
+    assert len(got) == n_clusters * k
+    assert all(r.q_id // 100 == r.vec_id // 100 for r in got)  # own cluster
+
+    all_probed = {
+        (r.q_id, r.rank): (r.vec_id, r.cosine)
+        for r in ivfpq_topk(
+            queries, corpus, centroids=idx.centroids, assignments=idx.assignments,
+            k=k, nprobe=n_clusters, shortlist=2 * k, m=4, codebooks=cb, codes=codes,
+        ).collect()
+    }
+    rerank = {
+        (r.q_id, r.rank): (r.vec_id, r.cosine)
+        for r in pq_topk_rerank(
+            queries, corpus, k=k, shortlist=2 * k, m=4, codebooks=cb, codes=codes
+        ).collect()
+    }
+    assert all_probed == rerank
+
+
+def test_pq_encode_arrow_equals_hof(spark, monkeypatch):
+    """The Arrow/numpy encode formulation (code spaces >= 1024 floats)
+    must produce the same codes as the JVM HOF path — same fixture,
+    threshold forced each way."""
+    import random
+
+    import ml_with_spark_streaming_spark.operators.pq as pqmod
+    from ml_with_spark_streaming_spark.operators.pq import pq_codebooks, pq_encode
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(80)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_codebooks(corpus, m=4, k_sub=16)  # 4*16*16 = 1024 -> Arrow default
+    arrow = {r.vec_id: list(r.codes) for r in pq_encode(corpus, cb, m=4).collect()}
+    monkeypatch.setattr(pqmod, "_ARROW_ENCODE_MIN", 10**9)  # force HOF
+    hof = {r.vec_id: list(r.codes) for r in pq_encode(corpus, cb, m=4).collect()}
+    assert arrow == hof
+    assert all(len(c) == 4 and all(0 <= x < 16 for x in c) for c in arrow.values())

@@ -178,6 +178,15 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
     # q166_semdedup: no waiver since round 8 — the cluster assignment is
     # read from the persisted IVFIndex artifact (derived k = ceil(sqrt n)),
     # so the plan carries no crossJoin and no duplicate fact scan.
+    "q170_ivfpq_ann": (
+        frozenset({"DupFactScan"}),
+        "three of the four embeddings scans are the pruned vec_id<10 QUERY slice "
+        "in its probe/LUT/rerank roles (predicate- and column-pruned 10-row "
+        "scans); the fourth is the full-vector fetch for the shortlist rerank "
+        "only. The codes and the coarse assignment table are READ FROM the "
+        "persisted PQIndex/IVFIndex parquet artifacts — the corpus-sized scan "
+        "side of a query is the probed buckets' 4-byte codes, never the vectors.",
+    ),
     "q167_dedup_recall_audit": (
         frozenset({"DupFactScan"}),
         "sampled audit, everything confined to the doc_id<1000 slice by "
