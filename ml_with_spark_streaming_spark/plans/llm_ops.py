@@ -714,14 +714,16 @@ def q126_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_centroids/nprobe or decides an index rebuild.
 
     Plan: both sides restricted to the same query slice; exact side is
-    the broadcast fan-out + partial top-k, IVF side the centroid-probe
-    plumbing; recall is one inner join on (q_id, neighbor) + two
+    the broadcast fan-out + partial top-k, IVF side probes the
+    PERSISTED IVFIndex artifact (q106's — the gauge evaluates the
+    index a deployment actually serves, and pays no per-run refit);
+    recall is one inner join on (q_id, neighbor) + two
     grouped counts. Scores never cross the boundary — only integer
     hit counts and a 4-decimal exact rational recall."""
+    from ml_with_spark_streaming_spark.operators.ann_index import ivf_index_for
     from ml_with_spark_streaming_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
-        kmeans_centroids,
     )
     from ml_with_spark_streaming_spark.operators.textstats import exact_round_div
 
@@ -732,11 +734,12 @@ def q126_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = maybe_checkpoint(
         brute_force_topk(queries, e, k=10).select("q_id", "vec_id")
     )
-    cents = kmeans_centroids(e, n_centroids=16, c_vec="embedding", seed=42)
+    idx = ivf_index_for(e, sf_dir, n_centroids=16, c_vec="embedding", seed=42)
     approx = maybe_checkpoint(
-        ivf_topk(queries, e, k=10, n_centroids=16, nprobe=4, centroids=cents).select(
-            "q_id", "vec_id"
-        )
+        ivf_topk(
+            queries, e, k=10, nprobe=4,
+            centroids=idx.centroids, assignments=idx.assignments,
+        ).select("q_id", "vec_id")
     )
     hits = exact.join(approx, ["q_id", "vec_id"], "left_semi")
     per_q = (
@@ -768,14 +771,15 @@ def q129_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator reads to pick the recall/cost point (q126 measures the
     chosen config; this query is how it gets chosen).
 
-    The KMeans fit and the exact baseline are computed ONCE and
-    shared across the sweep (checkpointed); each sweep point re-probes
-    only. Recall is summed integer hits over summed exact neighbors —
-    exact rational, driver-narrow."""
+    The fit comes from the PERSISTED IVFIndex artifact (q106's) and
+    the exact baseline is computed ONCE and shared across the sweep
+    (checkpointed); each sweep point re-probes only. Recall is summed
+    integer hits over summed exact neighbors — exact rational,
+    driver-narrow."""
+    from ml_with_spark_streaming_spark.operators.ann_index import ivf_index_for
     from ml_with_spark_streaming_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
-        kmeans_centroids,
     )
     from ml_with_spark_streaming_spark.operators.textstats import exact_round_div
 
@@ -786,13 +790,12 @@ def q129_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = maybe_checkpoint(
         brute_force_topk(queries, e, k=10).select("q_id", "vec_id")
     )
-    cents = maybe_checkpoint(
-        kmeans_centroids(e, n_centroids=16, c_vec="embedding", seed=42)
-    )
+    idx = ivf_index_for(e, sf_dir, n_centroids=16, c_vec="embedding", seed=42)
     rows = []
     for nprobe in (1, 2, 4, 8):
         approx = ivf_topk(
-            queries, e, k=10, n_centroids=16, nprobe=nprobe, centroids=cents
+            queries, e, k=10, nprobe=nprobe,
+            centroids=idx.centroids, assignments=idx.assignments,
         ).select("q_id", "vec_id")
         stats = (
             exact.join(approx, ["q_id", "vec_id"], "left_semi")
@@ -879,18 +882,14 @@ def q136_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval (with exact re-rank on the shortlist) or the index
     needs more codebook bits.
 
-    Plan: codebook fit is m seeded layout-pinned KMeans runs (model
-    state driver-trivial); encode is a packed-codebook broadcast +
-    one corpus projection (zero shuffles); ADC is the q53 broadcast
-    fan-out over the CODES table; recall is a semi-join + two grouped
-    counts. Only integer hits and the exact-rational recall surface.
+    Plan: codebooks + codes come from the PERSISTED PQIndex artifact
+    (q170's — fit and encode happen once per corpus, not per gauge
+    run); ADC is the q53 broadcast fan-out over the CODES table;
+    recall is a semi-join + two grouped counts. Only integer hits and
+    the exact-rational recall surface.
     """
-    from ml_with_spark_streaming_spark.operators.pq import (
-        pq_codebooks,
-        pq_encode,
-        pq_topk,
-        pq_topk_rerank,
-    )
+    from ml_with_spark_streaming_spark.operators.ann_index import pq_index_for
+    from ml_with_spark_streaming_spark.operators.pq import pq_topk, pq_topk_rerank
     from ml_with_spark_streaming_spark.operators.similarity import brute_force_topk
     from ml_with_spark_streaming_spark.operators.textstats import exact_round_div
 
@@ -901,9 +900,9 @@ def q136_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = maybe_checkpoint(
         brute_force_topk(queries, e, k=10).select("q_id", "vec_id")
     )
-    # one shared fit + encode for both retrieval modes
-    cb = maybe_checkpoint(pq_codebooks(e, m=4, k_sub=16))
-    codes = maybe_checkpoint(pq_encode(e, cb, m=4))
+    # the shared persisted fit + encode for both retrieval modes
+    pqidx = pq_index_for(e, sf_dir, m=4, k_sub=16, c_vec="embedding", seed=42)
+    cb, codes = pqidx.codebooks, pqidx.codes
     modes = {
         "adc": pq_topk(queries, e, k=10, m=4, codebooks=cb, codes=codes),
         "adc_rerank50": pq_topk_rerank(

@@ -334,7 +334,8 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
     "q126_ann_recall": (
         frozenset({"DupFactScan", "CartesianProduct"}),
         "evaluation harness: exact side (q53's waived broadcast fan-out) and IVF side "
-        "(q106's waived centroid/probe roles) both read embeddings by design; the two "
+        "(q106's waived probe roles — centroids/assignments READ from the persisted "
+        "IVFIndex artifact, no refit) both read embeddings by design; the two "
         "top-10 tables are checkpoint-materialized before the recall join at runtime",
     ),
     "q128_winnowing_pairs": (
@@ -348,7 +349,8 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         frozenset({"DupFactScan", "CartesianProduct"}),
         "q126's waived evaluation shape swept over nprobe: the returned table is a "
         "4-row driver-built summary; the per-point plans reuse ONE checkpointed exact "
-        "baseline + centroid fit (the lint sees the final tiny DataFrame only)",
+        "baseline + the persisted IVFIndex artifact (the lint sees the final tiny "
+        "DataFrame only)",
     ),
     "q101_decontaminate": (
         frozenset({"DupFactScan"}),
@@ -408,12 +410,11 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
     ),
     "q136_pq_recall": (
         frozenset({"DupFactScan"}),
-        "q126's waived evaluation-harness shape for the PQ index: exact baseline (q53's "
-        "broadcast fan-out), m=4 layout-pinned KMeans codebook fits, the packed-codebook "
-        "encode, and both retrieval modes all read embeddings; at runtime the codebooks, "
-        "codes, and exact top-10 are maybe_checkpoint-materialized ONCE and shared — the "
-        "x14 exists only under SPARK_GRAFT_NO_CHECKPOINT lineage replay. At scale "
-        "codebooks/codes are persisted index artifacts.",
+        "q126's waived evaluation-harness shape for the PQ index: the exact baseline "
+        "(q53's broadcast fan-out) and both retrieval modes read embeddings; the "
+        "codebooks and codes are READ FROM the persisted PQIndex parquet artifact "
+        "(q170's — fit/encode once per corpus, never per gauge run); the exact top-10 "
+        "is maybe_checkpoint-materialized once and shared.",
     ),
     "q135_dsir_selection": (
         frozenset({"DupFactScan"}),
