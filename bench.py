@@ -463,8 +463,12 @@ def main() -> None:
     # entirely on whichever size runs first (~20 s skew, measured)
     try:
         _streaming_rate(spark, per_file=200, n_files=1)
+        # best of 2 per point: a single ~5-15 s observation swings
+        # 20-30% with co-tenant bursts (r8 saw 5933 then 4417 at the
+        # same code) — min-of-n is the bench's policy everywhere else
         rate_curve = {
-            str(size): _streaming_rate(spark, per_file=size) for size in (1000, 3000, 5000)
+            str(size): max(_streaming_rate(spark, per_file=size) for _ in range(2))
+            for size in (1000, 3000, 5000)
         }
         out["streaming_records_per_sec"] = rate_curve["5000"]
         out["streaming_rate_by_batch_size"] = rate_curve
