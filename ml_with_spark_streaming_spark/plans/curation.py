@@ -3059,11 +3059,11 @@ def q161_source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFram
 Q164_SQL = f"""
 WITH qc AS (
   SELECT doc_id,
-         length(text) AS n,
-         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS na,
-         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS np,
-         least(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END, 50) AS wcap,
+         CAST(length(text) AS BIGINT) AS n,
+         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS na,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS np,
+         CAST(least(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END, 50) AS BIGINT) AS wcap,
          md5(array_to_string(string_split({CLEAN_SQL}, ' ')[1:8], ' ')) AS fp
   FROM documents
 ),

@@ -636,12 +636,17 @@ WITH spend AS (
   SELECT c_custkey, c_mktsegment, SUM(o_totalprice) AS total
   FROM customer JOIN orders ON o_custkey = c_custkey
   GROUP BY c_custkey, c_mktsegment
+),
+ranked AS (
+  SELECT c_custkey, c_mktsegment, total,
+         AVG(total) OVER (PARTITION BY c_mktsegment) AS seg_avg
+  FROM spend
 )
 SELECT c_custkey, c_mktsegment,
        ROUND(total, 2) AS total_spend,
-       ROUND(total / AVG(total) OVER (PARTITION BY c_mktsegment), 4) AS vs_segment
-FROM spend
-QUALIFY total > 2 * AVG(total) OVER (PARTITION BY c_mktsegment)
+       ROUND(total / seg_avg, 4) AS vs_segment
+FROM ranked
+WHERE total > 2 * seg_avg
 ORDER BY c_custkey
 """
 

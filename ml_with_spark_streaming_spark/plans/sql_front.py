@@ -23,16 +23,19 @@ query is STILL pinned by the same rows+column-names-equal test as
 the verbatim tier — the rewrite layer earns no trust by itself.
 
 Queries stay EXCLUDED when their twin needs semantics Spark SQL
-lacks (``QUALIFY``, ``ASOF JOIN``, ``time_bucket``, aggregate
-``ORDER BY`` inside ``array_agg``/``string_agg`` where ``listagg``
-can't express it, struct-literal ``{...}`` syntax, DuckDB ``list_``
-aggregation lambdas over doubles where Spark's fold types differ) —
-for those the DataFrame API is the front door, and the DuckDB twin
-exists only for the oracle harness. Re-verified on Spark 4.1: the
-recursive-CTE twins (q90/q99/q133/q158 component loops) stay excluded
-because Spark's ``WITH RECURSIVE`` accepts only ``UNION ALL`` —
-[UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE] — and the min-label
-propagation needs UNION-distinct to terminate.
+lacks — after round 8 that is exactly two classes: ``ASOF JOIN``
+(q29) and struct-literal ``{...}`` syntax (q65), plus the
+recursive-CTE component loops (q90/q93/q99/q113/q114/q133/q134/q158).
+Re-verified on Spark 4.1: ``WITH RECURSIVE`` accepts only ``UNION
+ALL`` — [UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE] — and min-label
+propagation needs UNION-distinct to terminate, so those eight stay
+DataFrame-only. Former blockers closed mechanically in round 8:
+``list_reduce`` folds (head-seeded ``aggregate``), ``ord``→``ascii``,
+``array_to_string(list(x ORDER BY o), d)``→``listagg ... WITHIN
+GROUP``; and two oracles were made dialect-neutral without changing
+their values (q69's QUALIFY → CTE + WHERE; q164's integer widths made
+explicit — DuckDB's ``length()`` is BIGINT, Spark's is INT, so the
+unwidened arithmetic overflowed under ANSI mode).
 
 Usage::
 
@@ -89,6 +92,7 @@ SQL_RUNNABLE: tuple[str, ...] = (
     "q66_approx_count_distinct",
     "q67_regional_revenue_6way",
     "q68_or_predicate_revenue",
+    "q69_big_spenders_vs_segment",
     "q75_unpivot_event_stats",
     "q76_null_safe_join",
     "q78_dedup_replayed_events",
@@ -105,11 +109,13 @@ SQL_RUNNABLE: tuple[str, ...] = (
 # their DuckDB-only surface mechanically; each one is pinned by the
 # same rows+column-names test as the verbatim tier.
 SQL_REWRITTEN: tuple[str, ...] = (
+    "q101_decontaminate",
     "q104_corpus_mixing",
     "q105_incremental_dedup",
     "q107_mixture_realization",
     "q108_token_chunks",
     "q10_event_deltas",
+    "q110_exact_substr_spans",
     "q112_quality_classifier",
     "q115_exact_substr_apply",
     "q116_inverted_index",
@@ -119,6 +125,7 @@ SQL_REWRITTEN: tuple[str, ...] = (
     "q124_bm25_multi_query",
     "q125_packing_after_cuts",
     "q127_daily_anomalies",
+    "q128_winnowing_pairs",
     "q130_bm25_ln_topk",
     "q131_bigram_lm_nll",
     "q132_semantic_decontamination",
@@ -143,14 +150,17 @@ SQL_REWRITTEN: tuple[str, ...] = (
     "q156_segment_quality_rewrite",
     "q157_utf8_hygiene",
     "q159_scd2_asof",
+    "q160_benchmark_registry_decon",
     "q161_source_duplication_matrix",
     "q163_scd2_temporal_join",
+    "q164_dedup_bias_audit",
     "q167_dedup_recall_audit",
     "q168_incremental_index",
     "q24_date_functions",
     "q26_json_extract",
     "q34_range_frame_neighbors",
     "q35_brand_size_arrays",
+    "q36_order_quantity_arrays",
     "q37_part_name_tokens",
     "q38_segment_percentiles",
     "q40_clean_documents",
@@ -174,6 +184,7 @@ SQL_REWRITTEN: tuple[str, ...] = (
     "q62_session_windows",
     "q77_interval_join_attribution",
     "q81_cosine_topk_arrow",
+    "q83_winnowing_fingerprints",
     "q84_hash_sample",
     "q85_stratified_sample",
     "q86_variant_json",
@@ -209,6 +220,7 @@ _FN_RENAMES = [
     ("list_intersect", "array_intersect"),
     ("list", "array_agg"),
     ("epoch_us", "unix_micros"),
+    ("ord", "ascii"),  # both: codepoint of the first character
     ("epoch_ms", "unix_millis"),
     ("unnest", "explode"),
     ("epoch", "unix_seconds"),
@@ -333,6 +345,47 @@ def _special_calls(sql: str) -> str:
         lambda a: f"slice(sequence(({a[0]}), greatest(({a[1]}) - 1, ({a[0]}))), 1, "
         f"greatest(({a[1]}) - ({a[0]}), 0))" if len(a) == 2 else None,
     )
+    # list_reduce(L, F): DuckDB folds left with the FIRST element as
+    # the init value -> aggregate over the tail, seeded with head
+    # (single-element lists return the element unchanged in both)
+    sql = _rewrite_calls(
+        sql, "list_reduce",
+        lambda a: (
+            f"aggregate(slice(({a[0]}), 2, greatest(size({a[0]}) - 1, 0)), "
+            f"element_at(({a[0]}), 1), {a[1]})"
+        )
+        if len(a) == 2 else None,
+    )
+
+    # array_to_string(list(X ORDER BY O), D): Spark's array_agg takes
+    # no ORDER BY — but the composite is exactly listagg WITHIN GROUP
+    def _ats(a):
+        if len(a) != 2:
+            return None
+        inner = a[0].strip()
+        if not (inner.startswith("list(") and inner.endswith(")")):
+            return None
+        body = inner[5:-1]
+        # split at the top-level ORDER BY (paren/quote aware)
+        qmap = _in_quote_map(body)
+        d, cut = 0, -1
+        for i in range(len(body)):
+            if qmap[i]:
+                continue
+            if body[i] in "([":
+                d += 1
+            elif body[i] in ")]":
+                d -= 1
+            elif d == 0 and body[i:].upper().startswith(" ORDER BY "):
+                cut = i
+                break
+        if cut < 0:
+            return None
+        x, o = body[:cut].strip(), body[cut + len(" ORDER BY "):].strip()
+        return f"listagg({x}, {a[1]}) WITHIN GROUP (ORDER BY {o})"
+
+    sql = _rewrite_calls(sql, "array_to_string", _ats)
+
     # DuckDB regexp_extract_all/_extract default to group 0 (whole
     # match); Spark defaults to group 1
     for fn in ("regexp_extract_all", "regexp_extract"):

@@ -328,8 +328,9 @@ pos AS (
 h AS (
   SELECT doc_id, i,
          list_reduce(
-           list_transform(generate_series(1, 8), j -> ord(substr(wstr, CAST(j AS INT), 1))),
-           (acc, ch) -> (CAST(acc AS BIGINT) * 31 + ch) % 2147483647
+           list_transform(generate_series(1, 8),
+                          j -> CAST(ord(substr(wstr, CAST(j AS INT), 1)) AS BIGINT)),
+           (acc, ch) -> (acc * 31 + ch) % 2147483647
          ) AS hh
   FROM pos
 ),
@@ -688,8 +689,9 @@ pos AS (
 h AS (
   SELECT doc_id, i,
          list_reduce(
-           list_transform(generate_series(1, 8), j -> ord(substr(wstr, CAST(j AS INT), 1))),
-           (acc, ch) -> (CAST(acc AS BIGINT) * 31 + ch) % 2147483647
+           list_transform(generate_series(1, 8),
+                          j -> CAST(ord(substr(wstr, CAST(j AS INT), 1)) AS BIGINT)),
+           (acc, ch) -> (acc * 31 + ch) % 2147483647
          ) AS hh
   FROM pos
 ),
