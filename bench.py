@@ -507,15 +507,25 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SWEEP", "1") != "0":
         sweep_dir = os.environ.get("SPARK_GRAFT_SWEEP_SF_DIR", "/root/testdata/sf0.01")
         if os.path.isdir(sweep_dir) and os.path.abspath(sweep_dir) != os.path.abspath(SF_DIR):
-            # one untimed pass first: the ANN queries build their
-            # persisted index artifacts ONCE per (corpus, knobs) — a
-            # deployment's one-time cost, amortized exactly like the
-            # headline's min-of-5 and the streaming warm-up pass; the
-            # timed pass below measures the steady-state per-SF cost
-            # the sweep exists to track
-            for name in HEADLINE:
-                if name in errors:
-                    continue
+            # one untimed pre-pass restricted to the ANN index BUILDERS
+            # only: they fit + persist their artifact ONCE per (corpus,
+            # knobs) — a deployment's one-time cost the steady-state
+            # sweep should amortize out. Every other query runs COLD in
+            # the timed pass (warming them all would quietly switch the
+            # sweep to a warm-cache methodology and break the
+            # cross-round trend — the r8 lesson, flagged in the
+            # artifact via sweep.warmup)
+            ann_builders = [
+                n
+                for n in (
+                    "q165_hard_negatives_ivf",
+                    "q166_semdedup",
+                    "q169_ivf_index_refresh",
+                    "q170_ivfpq_ann",
+                )
+                if n in HEADLINE and n not in errors
+            ]
+            for name in ann_builders:
                 QUERIES[name](spark, sweep_dir).write.format("noop").mode("overwrite").save()
             t0 = time.monotonic()
             for name in HEADLINE:
@@ -527,6 +537,10 @@ def main() -> None:
                 "sf": float(sweep_base[2:]) if sweep_base.startswith("sf") else None,
                 "value": round(time.monotonic() - t0, 3),
                 "unit": "sec",
+                # methodology flag: r8 warmed ALL queries (warm-cache
+                # sweep); r9+ warms only the ANN artifact builders —
+                # cross-round sweep comparisons must account for this
+                "warmup": "ann-index-builders-only",
             }
             compact["sweep"] = out["sweep"]
 

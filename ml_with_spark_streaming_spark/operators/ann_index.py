@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import atexit
 import hashlib
+import json
 import os
 import shutil
 import tempfile
@@ -97,7 +98,12 @@ class IVFIndex:
             n_vectors=int(n),
         )
 
-    def append(self, delta: DataFrame) -> "IVFIndex":
+    def append(
+        self,
+        delta: DataFrame,
+        assigned: DataFrame | None = None,
+        n_delta: int | None = None,
+    ) -> "IVFIndex":
         """Incremental index maintenance: assign ONLY the delta against
         the FROZEN centroids and union the assignment rows — one narrow
         pass over the new slice, the corpus is never rescanned (q168's
@@ -108,11 +114,22 @@ class IVFIndex:
         (pinned by tests/test_ann_index.py). Centroids are deliberately
         NOT refit — at scale you refit on drift metrics, not per drop;
         a refit is a new index, not an append. Returns a new IVFIndex
-        (the artifact is immutable once saved)."""
-        new_rows = maybe_checkpoint(
-            assign_to_centroids(delta, self.centroids, self.c_id, self.c_vec)
+        (the artifact is immutable once saved).
+
+        ``assigned``/``n_delta``: callers that already ran the
+        delta's assignment pass (the streaming maintainer assigns once
+        and reuses the rows for its per-bucket counters) pass both and
+        skip the duplicate pass + count action here; ``assigned`` must
+        be exactly ``assign_to_centroids(delta, self.centroids, ...)``."""
+        new_rows = (
+            assigned
+            if assigned is not None
+            else maybe_checkpoint(
+                assign_to_centroids(delta, self.centroids, self.c_id, self.c_vec)
+            )
         )
         merged = maybe_checkpoint(self.assignments.unionByName(new_rows))
+        n_new = int(n_delta) if n_delta is not None else delta.count()
         return IVFIndex(
             centroids=self.centroids,
             assignments=merged,
@@ -120,7 +137,7 @@ class IVFIndex:
             seed=self.seed,
             c_id=self.c_id,
             c_vec=self.c_vec,
-            n_vectors=self.n_vectors + delta.count(),
+            n_vectors=self.n_vectors + n_new,
         )
 
     def save(self, path: str) -> None:
@@ -233,6 +250,69 @@ _PQ_MEMO: dict[tuple, PQIndex] = {}
 _PROC_ROOT: list[str] = []
 
 
+def _corpus_fingerprint(cache_key: str) -> str:
+    """Cheap identity of the corpus BEHIND a cache key: the sorted
+    (relpath, size, mtime_ns) listing of the files under the key's
+    filesystem path (any ``#variant`` suffix stripped), hashed. This is
+    what lets a persisted artifact detect that the data at the same
+    path was REGENERATED — without it, ``SPARK_GRAFT_INDEX_DIR`` would
+    silently serve a stale index fit on the old data (wrong neighbors,
+    and q165 deriving knobs from a stale ``n_vectors``). A listing walk
+    is O(#files) driver-side stat calls — never a data scan."""
+    base = cache_key.split("#", 1)[0]
+    parts: list[str] = []
+    # never fingerprint the index store itself: if SPARK_GRAFT_INDEX_DIR
+    # nests under the corpus path, writing the artifact would change the
+    # "corpus" fingerprint and self-invalidate on every call
+    skip = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+    skip_real = os.path.realpath(skip) if skip else None
+    if os.path.isdir(base):
+        for root, dirs, files in os.walk(base):
+            dirs.sort()
+            if skip_real is not None:
+                dirs[:] = [
+                    d
+                    for d in dirs
+                    if os.path.realpath(os.path.join(root, d)) != skip_real
+                ]
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue
+                parts.append(
+                    f"{os.path.relpath(p, base)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    elif os.path.isfile(base):
+        try:
+            st = os.stat(base)
+            parts.append(f"{os.path.basename(base)}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            pass
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()
+
+
+def _artifact_is_current(path: str, fingerprint: str) -> bool:
+    """True iff a saved artifact exists at ``path`` AND was built from
+    a corpus with this fingerprint; anything else (absent, pre-
+    fingerprint layout, regenerated data) means (re)build."""
+    if not os.path.exists(os.path.join(path, "params")):
+        return False
+    try:
+        with open(os.path.join(path, "fingerprint.json"), encoding="utf-8") as fh:
+            return json.load(fh).get("fingerprint") == fingerprint
+    except (OSError, ValueError):
+        return False
+
+
+def _write_fingerprint(path: str, fingerprint: str) -> None:
+    tmp = os.path.join(path, "fingerprint.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"fingerprint": fingerprint}, fh)
+    os.replace(tmp, os.path.join(path, "fingerprint.json"))
+
+
 def _index_root() -> str:
     root = os.environ.get("SPARK_GRAFT_INDEX_DIR")
     if root:
@@ -260,17 +340,21 @@ def ivf_index_for(
     persisted parquet — the plan a probe-many deployment runs); later
     calls in the same process return the memo, later processes with
     ``SPARK_GRAFT_INDEX_DIR`` set reload from disk."""
-    key = (os.path.realpath(cache_key), n_centroids, c_id, c_vec, seed)
+    fp = _corpus_fingerprint(cache_key)
+    key = (os.path.realpath(cache_key), n_centroids, c_id, c_vec, seed, fp)
     idx = _MEMO.get(key)
     if idx is not None:
         return idx
     spark = corpus.sparkSession
-    digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    digest = hashlib.md5(repr(key[:-1]).encode()).hexdigest()[:16]
     path = os.path.join(_index_root(), f"ivf_{digest}")
-    if not os.path.exists(os.path.join(path, "params")):
+    if not _artifact_is_current(path, fp):
+        # absent OR fit on since-regenerated data: rebuild, never serve stale
+        shutil.rmtree(path, ignore_errors=True)
         IVFIndex.build(
             corpus, n_centroids=n_centroids, c_id=c_id, c_vec=c_vec, seed=seed
         ).save(path)
+        _write_fingerprint(path, fp)
     idx = IVFIndex.load(spark, path, c_id=c_id, c_vec=c_vec, seed=seed)
     _MEMO[key] = idx
     return idx
@@ -289,17 +373,20 @@ def pq_index_for(
     fits (m seeded KMeans runs) + encodes + saves; later calls load
     the persisted codebooks/codes — the compressed corpus is encoded
     ONCE, not per query."""
-    key = ("pq", os.path.realpath(cache_key), m, k_sub, c_id, c_vec, seed)
+    fp = _corpus_fingerprint(cache_key)
+    key = ("pq", os.path.realpath(cache_key), m, k_sub, c_id, c_vec, seed, fp)
     idx = _PQ_MEMO.get(key)
     if idx is not None:
         return idx
     spark = corpus.sparkSession
-    digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    digest = hashlib.md5(repr(key[:-1]).encode()).hexdigest()[:16]
     path = os.path.join(_index_root(), f"pq_{digest}")
-    if not os.path.exists(os.path.join(path, "params")):
+    if not _artifact_is_current(path, fp):
+        shutil.rmtree(path, ignore_errors=True)
         PQIndex.build(
             corpus, m=m, k_sub=k_sub, c_id=c_id, c_vec=c_vec, seed=seed
         ).save(path)
+        _write_fingerprint(path, fp)
     idx = PQIndex.load(spark, path, c_id=c_id, c_vec=c_vec, seed=seed)
     _PQ_MEMO[key] = idx
     return idx

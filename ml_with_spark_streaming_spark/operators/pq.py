@@ -167,9 +167,17 @@ def pq_encode(
                     {c_id: pdf[c_id].to_numpy(), "codes": codes.tolist()}
                 )
 
-        return corpus.select(c_id, c_vec).mapInPandas(
-            part, f"{c_id} long, codes array<int>"
+        # schema mirrors the HOF path: the id column keeps the CORPUS
+        # id type (string/int/long alike), never a hardcoded long
+        from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+        out_schema = StructType(
+            [
+                StructField(c_id, corpus.schema[c_id].dataType),
+                StructField("codes", ArrayType(IntegerType())),
+            ]
         )
+        return corpus.select(c_id, c_vec).mapInPandas(part, out_schema)
     packed = _packed_codebooks(codebooks)
     nv = _normalized(F.col(c_vec))
     dim_col = F.size(F.col(c_vec))

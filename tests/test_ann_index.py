@@ -208,3 +208,30 @@ def test_pq_index_for_memoizes(spark, vectors, tmp_path, monkeypatch):
     a = pq_index_for(vectors, str(tmp_path), m=4, k_sub=8, seed=42)
     b = pq_index_for(vectors, str(tmp_path), m=4, k_sub=8, seed=42)
     assert a is b
+
+
+def test_regenerated_corpus_rebuilds_stale_artifact(
+    spark, vectors, tmp_path, monkeypatch
+):
+    """Same path, new data: the persisted artifact must NOT be served
+    stale — the corpus fingerprint (file listing + sizes/mtimes) in the
+    sidecar forces a rebuild when the data at the cache key changed."""
+    import os
+    import time
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "cache"))
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    (data_dir / "part-0.parquet").write_bytes(b"generation-one")
+
+    a = ivf_index_for(vectors, str(data_dir), n_centroids=8, seed=42)
+    assert a.n_vectors == 300
+
+    # "regenerate" the data at the same path (content + mtime change)
+    time.sleep(0.01)
+    (data_dir / "part-0.parquet").write_bytes(b"generation-two!!")
+    os.utime(data_dir / "part-0.parquet")
+    smaller = vectors.filter(F.col("vec_id") < 150)
+    b = ivf_index_for(smaller, str(data_dir), n_centroids=8, seed=42)
+    assert b is not a
+    assert b.n_vectors == 150  # rebuilt from the NEW corpus, not stale-served

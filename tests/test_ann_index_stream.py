@@ -56,8 +56,16 @@ def test_stream_maintained_equals_full_assign(spark, base_and_batches):
     # empty batch: explicit zero row, index untouched
     m.process_batch(spark.createDataFrame([], SCHEMA), 99)
     assert m.history[-1] == {
-        "batch_id": 99, "n_vecs": 0, "n_total": 120, "max_bucket": None
+        "batch_id": 99, "n_vecs": 0, "n_total": 120, "max_bucket": None,
+        "refit": False,
     }
+
+    # at-least-once replay of an applied batch: recorded no-op, the
+    # index is NOT double-appended
+    m.process_batch(spark.createDataFrame(batches[2], SCHEMA), 2)
+    assert m.history[-1]["skipped"] is True
+    assert m.index.n_vectors == 120
+    assert {(r["vec_id"], r["cent_id"]) for r in m.index.assignments.collect()} == want
 
 
 def test_save_resume_equals_uninterrupted(spark, base_and_batches, tmp_path):

@@ -610,3 +610,26 @@ def test_pq_encode_arrow_equals_hof(spark, monkeypatch):
     hof = {r.vec_id: list(r.codes) for r in pq_encode(corpus, cb, m=4).collect()}
     assert arrow == hof
     assert all(len(c) == 4 and all(0 <= x < 16 for x in c) for c in arrow.values())
+
+
+def test_pq_encode_arrow_preserves_id_type(spark, monkeypatch):
+    """The Arrow path's output schema must carry the CORPUS id type —
+    a string-keyed corpus crossing the 1024-float threshold keeps its
+    string ids (it used to hardcode `long` and fail), matching the
+    generic c_id contract the HOF path always honored."""
+    import random
+
+    import ml_with_spark_streaming_spark.operators.pq as pqmod
+    from ml_with_spark_streaming_spark.operators.pq import pq_codebooks, pq_encode
+
+    rng = random.Random(19)
+    rows = [(f"doc-{i:03d}", [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    cb = pq_codebooks(corpus, m=4, k_sub=16)  # 1024 floats -> Arrow path
+    out = pq_encode(corpus, cb, m=4)
+    assert dict(out.dtypes)["vec_id"] == "string"
+    arrow = {r.vec_id: list(r.codes) for r in out.collect()}
+    assert set(arrow) == {f"doc-{i:03d}" for i in range(60)}
+    monkeypatch.setattr(pqmod, "_ARROW_ENCODE_MIN", 10**9)  # force HOF
+    hof = {r.vec_id: list(r.codes) for r in pq_encode(corpus, cb, m=4).collect()}
+    assert arrow == hof
