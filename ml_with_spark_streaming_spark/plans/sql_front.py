@@ -22,14 +22,22 @@ them token-for-token (``string_split``→``split``, ``//``→``DIV``,
 query is STILL pinned by the same rows+column-names-equal test as
 the verbatim tier — the rewrite layer earns no trust by itself.
 
+A third tier, ``SQL_RECURSIVE``, executes the ``WITH RECURSIVE``
+twins whose recursion is UNION-distinct (q90/q93/q99/q113/q114/
+q133/q134/q158). Spark 4.1's native recursive CTE accepts only
+``UNION ALL`` ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]) and min-label
+propagation needs UNION-distinct to terminate, so these run through
+``run_recursive_sql``: a quote/paren-aware WITH-clause parser plus a
+fixpoint driver that materializes each CTE in order and iterates the
+self-referencing one (seed with the non-recursive members; loop
+``spark.sql`` over the recursive members; union-distinct; stop when
+the row set stops growing — bounded by the component diameter).
+
 Queries stay EXCLUDED when their twin needs semantics Spark SQL
-lacks — after round 8 that is exactly two classes: ``ASOF JOIN``
-(q29) and struct-literal ``{...}`` syntax (q65), plus the
-recursive-CTE component loops (q90/q93/q99/q113/q114/q133/q134/q158).
-Re-verified on Spark 4.1: ``WITH RECURSIVE`` accepts only ``UNION
-ALL`` — [UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE] — and min-label
-propagation needs UNION-distinct to terminate, so those eight stay
-DataFrame-only. Former blockers closed mechanically in round 8:
+lacks — after round 9 that is exactly two: ``ASOF JOIN`` (q29) and
+struct-literal ``{...}`` syntax (q65); 139 of the 141 oracled
+queries run from their SQL text. Former blockers closed
+mechanically in round 8:
 ``list_reduce`` folds (head-seeded ``aggregate``), ``ord``→``ascii``,
 ``array_to_string(list(x ORDER BY o), d)``→``listagg ... WITHIN
 GROUP``; and two oracles were made dialect-neutral without changing
@@ -195,6 +203,31 @@ SQL_REWRITTEN: tuple[str, ...] = (
     "q96_gapfill_resample",
     "q97_table_profile",
     "q98_sequence_packing",
+)
+
+
+# Tier 3: WITH RECURSIVE twins whose recursion uses UNION-distinct —
+# Spark 4.1's native recursive CTE accepts only UNION ALL
+# ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]), so these run through the
+# semi-naive fixpoint driver below: each CTE materializes in order,
+# the self-referencing one iterates (base; then union-distinct the
+# step until the row SET stops growing — bounded by the component
+# diameter, the same small-diameter argument q90's DataFrame CC loop
+# documents). Pinned by the same rows+column-names test as tiers 1-2.
+# NOTE: this tier exists for SQL-surface completeness; the PRODUCTION
+# path for these queries is the DataFrame API (operators/graph.py's
+# checkpointed min-label loop) — the oracle's naive walk materializes
+# every (node, reached-label) pair, which is the formulation DuckDB
+# runs, not the one you'd run at 100 TB.
+SQL_RECURSIVE: tuple[str, ...] = (
+    "q90_dedup_clusters",
+    "q93_curation_pipeline",
+    "q99_embedding_dedup_clusters",
+    "q113_curation_with_classifier",
+    "q114_training_mix_export",
+    "q133_leakage_safe_split",
+    "q134_canonical_selection",
+    "q158_hard_negatives",
 )
 
 
@@ -778,6 +811,164 @@ def spark_dialect(sql: str) -> str:
     return sql
 
 
+# --- WITH RECURSIVE fixpoint driver ---------------------------------
+
+
+def _match_paren(sql: str, open_idx: int, qmap: list[bool]) -> int:
+    """Index of the ``)`` matching ``sql[open_idx] == '('`` (quote-aware)."""
+    d = 0
+    for j in range(open_idx, len(sql)):
+        if qmap[j]:
+            continue
+        if sql[j] == "(":
+            d += 1
+        elif sql[j] == ")":
+            d -= 1
+            if d == 0:
+                return j
+    raise ValueError("unbalanced parentheses in SQL text")
+
+
+def _references(text: str, name: str) -> bool:
+    """Does ``text`` mention ``name`` as a word outside quotes/comments?"""
+    pat = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
+    return any(pat.search(seg) for kind, seg in _segments(text) if kind == "")
+
+
+def _parse_with_recursive(sql: str):
+    """Parse ``WITH RECURSIVE c1 [(cols)] AS (...), c2 AS (...) <final>``
+    into ``([(name, cols|None, body), ...], final_text)``. Returns
+    None when the statement is not a WITH RECURSIVE."""
+    m = re.match(r"\s*WITH\s+RECURSIVE\s+", sql, re.IGNORECASE)
+    if not m:
+        return None
+    qmap = _in_quote_map(sql)
+    i, n, ctes = m.end(), len(sql), []
+    while True:
+        while i < n and sql[i].isspace():
+            i += 1
+        mm = re.match(r"[A-Za-z_]\w*", sql[i:])
+        if not mm:
+            raise ValueError(f"expected CTE name at offset {i}")
+        name = mm.group(0)
+        i += mm.end()
+        while i < n and sql[i].isspace():
+            i += 1
+        cols = None
+        if i < n and sql[i] == "(":
+            j = _match_paren(sql, i, qmap)
+            cols = [c.strip() for c in sql[i + 1 : j].split(",")]
+            i = j + 1
+            while i < n and sql[i].isspace():
+                i += 1
+        if not re.match(r"AS\b", sql[i:], re.IGNORECASE):
+            raise ValueError(f"expected AS after CTE name {name!r}")
+        i += 2
+        while i < n and sql[i].isspace():
+            i += 1
+        if i >= n or sql[i] != "(":
+            raise ValueError(f"expected ( after AS for CTE {name!r}")
+        j = _match_paren(sql, i, qmap)
+        ctes.append((name, cols, sql[i + 1 : j]))
+        i = j + 1
+        while i < n and sql[i].isspace():
+            i += 1
+        if i < n and sql[i] == ",":
+            i += 1
+            continue
+        break
+    return ctes, sql[i:]
+
+
+def _split_union(body: str):
+    """Split ``body`` at top-level UNION [ALL] boundaries
+    (quote/paren-aware). Returns (parts, any_union_all)."""
+    qmap = _in_quote_map(body)
+    parts, d, last, i, n, saw_all = [], 0, 0, 0, len(body), False
+    while i < n:
+        if not qmap[i]:
+            c = body[i]
+            if c in "([":
+                d += 1
+            elif c in ")]":
+                d -= 1
+            elif (
+                d == 0
+                and (i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_"))
+            ):
+                mm = re.match(r"UNION(\s+ALL)?\b", body[i:], re.IGNORECASE)
+                if mm:
+                    parts.append(body[last:i])
+                    saw_all = saw_all or bool(mm.group(1))
+                    i += mm.end()
+                    last = i
+                    continue
+        i += 1
+    parts.append(body[last:])
+    return parts, saw_all
+
+
+def _fixpoint_cte(
+    spark: SparkSession, name: str, cols, body: str, max_rounds: int = 200
+) -> DataFrame:
+    """Execute a self-referencing UNION-distinct CTE by semi-naive
+    fixpoint iteration: seed with the non-recursive members, then
+    re-evaluate the recursive members against the accumulated set and
+    union-distinct until no new rows appear. Monotone (rows are only
+    added), so termination == the first round that adds nothing; each
+    round is one distinct + one count, and the round count is bounded
+    by the recursion depth of the data (component diameter for the
+    min-label walks this tier serves)."""
+    parts, saw_all = _split_union(body)
+    if saw_all:
+        raise ValueError(
+            f"recursive CTE {name!r} uses UNION ALL — run it natively via spark.sql"
+        )
+    base = [p for p in parts if not _references(p, name)]
+    step = [p for p in parts if _references(p, name)]
+    if not base or not step:
+        raise ValueError(f"CTE {name!r} is not a base-UNION-step recursion")
+
+    def _union_all(stmts):
+        df = None
+        for s in stmts:
+            d = spark.sql(s)
+            df = d if df is None else df.union(d)
+        return df.toDF(*cols) if cols else df
+
+    cur = _union_all(base).distinct().localCheckpoint(eager=True)
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        cur.createOrReplaceTempView(name)
+        nxt = cur.union(_union_all(step)).distinct().localCheckpoint(eager=True)
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:  # nxt ⊇ cur, so equal counts == equal sets
+            return nxt
+        cur, n_cur = nxt, n_nxt
+    raise RuntimeError(f"recursive CTE {name!r} did not converge in {max_rounds} rounds")
+
+
+def run_recursive_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Execute a WITH RECURSIVE statement whose recursion is
+    UNION-distinct: materialize each CTE in order as a temp view
+    (fixpoint-iterating the self-referencing ones), then run the final
+    query body. The returned DataFrame is built on eagerly-registered
+    views, so later view replacement does not retro-change it."""
+    parsed = _parse_with_recursive(sql)
+    if parsed is None:
+        raise ValueError("not a WITH RECURSIVE statement")
+    ctes, final = parsed
+    for name, cols, body in ctes:
+        if _references(body, name):
+            df = _fixpoint_cte(spark, name, cols, body)
+        else:
+            df = spark.sql(body)
+            if cols:
+                df = df.toDF(*cols)
+        df.createOrReplaceTempView(name)
+    return spark.sql(final)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every base table as a temp view (through
     ``load_table``, so the timestamp-encoding session confs apply to
@@ -798,6 +989,9 @@ def run_sql(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in SQL_REWRITTEN:
         register_views(spark, sf_dir)
         return spark.sql(spark_dialect(ORACLES[name]))
+    if name in SQL_RECURSIVE:
+        register_views(spark, sf_dir)
+        return run_recursive_sql(spark, spark_dialect(ORACLES[name]))
     raise ValueError(
         f"{name!r} has a SQL twin for the oracle harness, but it uses "
         "DuckDB-only surface the dialect layer doesn't map — use the "

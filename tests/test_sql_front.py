@@ -9,6 +9,7 @@ import pytest
 
 from ml_with_spark_streaming_spark.plans import QUERIES
 from ml_with_spark_streaming_spark.plans.sql_front import (
+    SQL_RECURSIVE,
     SQL_REWRITTEN,
     SQL_RUNNABLE,
     run_sql,
@@ -27,7 +28,7 @@ def _rows(df):
     )
 
 
-@pytest.mark.parametrize("name", SQL_RUNNABLE + SQL_REWRITTEN)
+@pytest.mark.parametrize("name", SQL_RUNNABLE + SQL_REWRITTEN + SQL_RECURSIVE)
 def test_sql_text_matches_dataframe_api(spark, name):
     sql_df = run_sql(spark, SF, name)
     api_df = QUERIES[name](spark, SF)
@@ -36,7 +37,10 @@ def test_sql_text_matches_dataframe_api(spark, name):
 
 
 def test_tiers_are_disjoint_and_rewrites_change_text(spark):
-    assert not set(SQL_RUNNABLE) & set(SQL_REWRITTEN)
+    tiers = [set(SQL_RUNNABLE), set(SQL_REWRITTEN), set(SQL_RECURSIVE)]
+    for i, a in enumerate(tiers):
+        for b in tiers[i + 1 :]:
+            assert not a & b
     # the dialect layer is only applied where it's needed — for tier-2
     # queries the rewritten text must differ from the DuckDB original
     from ml_with_spark_streaming_spark.plans.registry import ORACLES
@@ -49,7 +53,7 @@ def test_tiers_are_disjoint_and_rewrites_change_text(spark):
 
 def test_run_sql_rejects_non_portable_and_unknown(spark):
     with pytest.raises(ValueError):
-        run_sql(spark, SF, "q90_dedup_clusters")  # recursive-CTE UNION
+        run_sql(spark, SF, "q29_asof_purchase_view")  # ASOF JOIN: no Spark twin
     with pytest.raises(KeyError):
         run_sql(spark, SF, "q47_stemmed_tokens")  # no SQL twin at all
     with pytest.raises(KeyError):
