@@ -58,6 +58,49 @@ from ml_with_spark_streaming_spark.operators.similarity import (
 from ml_with_spark_streaming_spark.streaming.foreach import attach_foreach_batch
 
 
+def _make_verify_fn(ref_bcast, batch_bcast, id_col: str, threshold: float):
+    """mapInPandas verifier: for each batch row, exact float64 cosine
+    of its vector against its candidate refs' rows in the broadcast
+    reference matrix; emit the id iff any ref clears the threshold.
+    The input rows carry ONLY (id, candidate-ref ids) — the vectors
+    come from the two broadcasts, so the pair fan-out never serializes
+    a vector. safe_denom twin: zero norms divide as 1."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        pos, mat, norms = ref_bcast.value
+        bvecs = batch_bcast.value
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                refs = [pos[r] for r in pdf["_refs"][i] if r in pos]
+                if not refs:
+                    continue
+                v = np.asarray(bvecs[pdf[id_col][i]], dtype=np.float64)
+                nv = np.linalg.norm(v)
+                m = mat[refs]
+                nm = norms[refs]
+                cos = (m @ v) / (np.where(nm == 0, 1, nm) * (nv if nv else 1.0))
+                if (cos >= threshold).any():
+                    out.append(pdf[id_col][i])
+            yield pd.DataFrame({id_col: out})
+
+    return fn
+
+
+def _cosine_np(a, b) -> float:
+    """Driver-side float64 cosine, safe-denom twin of ``dot_expr /
+    (safe_denom(norm) * safe_denom(norm))``."""
+    import numpy as np
+
+    va = np.asarray(a, dtype=np.float64)
+    vb = np.asarray(b, dtype=np.float64)
+    na = np.linalg.norm(va) or 1.0
+    nb = np.linalg.norm(vb) or 1.0
+    return float(va @ vb / (na * nb))
+
+
 @dataclass
 class StreamingEmbeddingDedup:
     """Per-micro-batch vector near-dup gate against the corpus
@@ -80,7 +123,26 @@ class StreamingEmbeddingDedup:
     # every N accepted batches (the text gate's compaction contract:
     # without it a long-running gate's union chain grows per batch)
     compact_every: int | None = 16
+    # micro-batches are scheduling-bound, not compute-bound: a 500-row
+    # batch spread over local[32]'s 32 default partitions pays ~0.5 s
+    # of task scheduling PER ACTION (measured), so the batch is
+    # coalesced to this many partitions at gate entry. None disables
+    # (e.g. for genuinely large per-trigger volumes).
+    batch_partitions: int | None = 8
     _since_compact: int = field(default=0, init=False, repr=False)
+    # driver-side reference matrix for the verify stage: (id -> row,
+    # float64 matrix, precomputed norms), built ONCE from the corpus
+    # (O(corpus), amortized like the signature index build) and grown
+    # INCREMENTALLY by each accepted batch — per-batch cost O(batch).
+    # Broadcast to executors only when it changed. At 100 TB the
+    # verify is an id-bucket-co-located join instead; driver RAM here
+    # is vectors x dim x 8 bytes, the same budget the broadcast join
+    # it replaces would need.
+    _ref_pos: dict | None = field(default=None, init=False, repr=False)
+    _ref_mat: object = field(default=None, init=False, repr=False)
+    _ref_norms: object = field(default=None, init=False, repr=False)
+    _ref_bcast: object = field(default=None, init=False, repr=False)
+    _ref_dirty: bool = field(default=True, init=False, repr=False)
 
     @classmethod
     def from_corpus(cls, corpus: DataFrame, **kw) -> "StreamingEmbeddingDedup":
@@ -153,95 +215,183 @@ class StreamingEmbeddingDedup:
             safe_denom(norm_expr(v1)) * safe_denom(norm_expr(v2))
         )
 
+    def _ensure_ref_matrix(self) -> None:
+        import numpy as np
+
+        if self._ref_mat is None:
+            rows = self.corpus.select(self.id_col, self.vec_col).collect()
+            self._ref_pos = {r[0]: i for i, r in enumerate(rows)}
+            self._ref_mat = (
+                np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+                if rows
+                else np.zeros((0, self.dim or 1))
+            )
+            self._ref_norms = np.linalg.norm(self._ref_mat, axis=1)
+            self._ref_dirty = True
+
+    def _grow_ref_matrix(self, kept_rows) -> None:
+        import numpy as np
+
+        if not kept_rows:
+            return
+        add = np.stack([np.asarray(r[1], dtype=np.float64) for r in kept_rows])
+        base = len(self._ref_pos)
+        for i, r in enumerate(kept_rows):
+            self._ref_pos[r[0]] = base + i
+        self._ref_mat = np.vstack([self._ref_mat, add])
+        self._ref_norms = np.concatenate(
+            [self._ref_norms, np.linalg.norm(add, axis=1)]
+        )
+        self._ref_dirty = True
+
+    def _ref_broadcast(self, sc):
+        if self._ref_dirty or self._ref_bcast is None:
+            if self._ref_bcast is not None:
+                self._ref_bcast.unpersist()
+            self._ref_bcast = sc.broadcast(
+                (self._ref_pos, self._ref_mat, self._ref_norms)
+            )
+            self._ref_dirty = False
+        return self._ref_bcast
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df.select(self.id_col, self.vec_col).localCheckpoint(eager=True)
+        b = batch_df.select(self.id_col, self.vec_col)
+        if self.batch_partitions is not None:
+            b = b.coalesce(self.batch_partitions)
+        b = b.localCheckpoint(eager=True)
         n_in = b.count()
         if n_in == 0:
             self.history.append(
                 {"batch_id": batch_id, "n_vecs": 0, "n_exact": 0, "n_near": 0, "n_kept": 0}
             )
             return
+        if self.dim is None:
+            # resolve once — a per-batch None would cost signlsh_bands
+            # a first() action on EVERY batch
+            self.dim = len(b.select(self.vec_col).first()[0])
 
-        bb = maybe_checkpoint(
+        # ONE signature pass per batch: the bands=1 projection over the
+        # seeded planes yields the full n_planes-bit string; the banded
+        # index form is a JVM-side substring explode of it (band j ==
+        # planes [j*rows, (j+1)*rows) — identical bits to a direct
+        # banded call, pinned by test_embedding_dedup_stream).
+        rows_per_band = self.n_planes // self.bands
+        full_sig = maybe_checkpoint(
             signlsh_bands(
                 b,
                 n_planes=self.n_planes,
-                bands=self.bands,
+                bands=1,
                 c_id=self.id_col,
                 c_vec=self.vec_col,
                 seed=self.seed,
                 dim=self.dim,
+            ).select(self.id_col, F.col("band_bits").alias("_sig"))
+        )
+        bb = (
+            full_sig.select(
+                self.id_col,
+                "_sig",
+                F.explode(F.sequence(F.lit(0), F.lit(self.bands - 1))).alias(
+                    "band_idx"
+                ),
+            )
+            .select(
+                self.id_col,
+                F.col("band_idx").cast("int").alias("band_idx"),
+                F.expr(
+                    f"substring(_sig, band_idx * {rows_per_band} + 1, {rows_per_band})"
+                ).alias("band_bits"),
             )
         )
+
+        # the batch's vectors, once, as a python broadcast: the exact
+        # verify, the candidate verify, and the (formerly three
+        # separate) per-batch SQL broadcast builds all read from it
+        sc = b.sparkSession.sparkContext
+        bvecs = {r[0]: r[1] for r in b.collect()}
+        batch_bcast = sc.broadcast(bvecs)
 
         # intra-batch duplicates: identical full signatures nominate a
         # candidate pair (id, bucket-first), keep-first by id — but a
         # full signature is a 32-bit hash, NOT vector equality, so the
         # exact cosine verifies each pair before anything is dropped
         # (two distinct sub-threshold vectors collide on all bits with
-        # ~(1 - theta/pi)^n_planes probability)
-        full_sig = bb.groupBy(self.id_col).agg(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("band_idx", "band_bits"))),
-                    lambda s: s["band_bits"],
-                ),
-            ).alias("_sig")
-        )
-        first_per_sig = full_sig.groupBy("_sig").agg(
-            F.min(self.id_col).alias("_first")
-        )
-        sig_pairs = (
-            full_sig.join(first_per_sig, "_sig")
-            .filter(F.col(self.id_col) != F.col("_first"))
-            .select(self.id_col, "_first")
-        )
-        bv1 = b.select(self.id_col, F.col(self.vec_col).alias("_v1"))
-        bv2 = b.select(
-            F.col(self.id_col).alias("_first"), F.col(self.vec_col).alias("_v2")
-        )
-        exact_dups = (
-            sig_pairs.join(bv1, self.id_col)
-            .join(bv2, "_first")
-            .filter(
-                self._cosine(F.col("_v1"), F.col("_v2")) >= F.lit(self.threshold)
-            )
-            .select(self.id_col)
-        )
+        # ~(1 - theta/pi)^n_planes probability). Signatures are
+        # batch-count short strings, so the grouping+verify runs on the
+        # driver against the batch broadcast — zero extra jobs.
+        sig_rows = full_sig.collect()
+        by_sig: dict = {}
+        for r in sig_rows:
+            by_sig.setdefault(r["_sig"], []).append(r[0])
+        exact_drop_ids = set()
+        for ids in by_sig.values():
+            if len(ids) < 2:
+                continue
+            first = min(ids)
+            for i in ids:
+                if i != first and _cosine_np(bvecs[i], bvecs[first]) >= self.threshold:
+                    exact_drop_ids.add(i)
 
-        # candidates vs index: shared (band_idx, band_bits) bucket
+        # candidates vs index: shared (band_idx, band_bits) bucket.
+        # The BATCH side is the broadcast: a checkpointed batch has no
+        # size stats, so without the hint Catalyst sort-merge-joins and
+        # shuffles the whole corpus-sized index EVERY batch — the
+        # broadcast keeps the index scan shuffle-free (and at scale,
+        # bucket-pruned: the index is stored bucketed by
+        # (band_idx, band_bits), so only matching buckets are read)
         ref_id = f"_ref_{self.id_col}"
         cand = (
-            bb.join(
+            F.broadcast(bb)
+            .join(
                 self.band_index.withColumnRenamed(self.id_col, ref_id),
                 ["band_idx", "band_bits"],
             )
             .select(self.id_col, ref_id)
-            .distinct()
         )
-        # exact cosine verify over candidates only
-        bv = b.withColumnRenamed(self.vec_col, "_bv")
-        rv = self.corpus.select(
-            F.col(self.id_col).alias(ref_id), F.col(self.vec_col).alias("_rv")
+        # exact cosine verify over candidates only. The pair fan-out is
+        # batch x dozens (8-bit bands give ~corpus/256 refs per band per
+        # row), so attaching vectors per pair would push pair-count x
+        # dim doubles through the plan — instead the candidate ref
+        # LISTS are grouped per batch row (ints only) and one
+        # mapInPandas computes each row's cosines against the broadcast
+        # reference matrix (float64, safe-denom — bit-identical math).
+        # The near set is batch-bounded, so it collects to the driver
+        # (no materialization job, no count jobs).
+        self._ensure_ref_matrix()
+        cand_sets = cand.groupBy(self.id_col).agg(
+            F.collect_set(ref_id).alias("_refs")
         )
-        near_ids = (
-            cand.join(bv, self.id_col)
-            .join(rv, ref_id)
-            .filter(self._cosine(F.col("_bv"), F.col("_rv")) >= F.lit(self.threshold))
-            .select(self.id_col)
-            .distinct()
+        if self.batch_partitions is not None:
+            cand_sets = cand_sets.coalesce(self.batch_partitions)
+        verify = _make_verify_fn(
+            self._ref_broadcast(sc), batch_bcast, self.id_col, self.threshold
         )
-        near_ids = maybe_checkpoint(near_ids)
-        n_near = near_ids.count()
-        n_exact = exact_dups.count()
+        from pyspark.sql.types import StructField, StructType
 
-        kept = (
-            b.join(near_ids, self.id_col, "anti")
-            .join(exact_dups, self.id_col, "anti")
-            .localCheckpoint(eager=True)
-        )
-        n_kept = kept.count()
+        near_drop_ids = {
+            r[0]
+            for r in cand_sets.mapInPandas(
+                verify,
+                StructType([StructField(self.id_col, b.schema[self.id_col].dataType)]),
+            ).collect()
+        }
+        n_exact = len(exact_drop_ids)
+        n_near = len(near_drop_ids)
+
+        drop_ids = exact_drop_ids | near_drop_ids
+        kept_rows = [(i, v) for i, v in bvecs.items() if i not in drop_ids]
+        if drop_ids:
+            drops_df = b.sparkSession.createDataFrame(
+                [(i,) for i in sorted(drop_ids)],
+                StructType([StructField(self.id_col, b.schema[self.id_col].dataType)]),
+            )
+            kept = b.join(
+                F.broadcast(drops_df), self.id_col, "anti"
+            ).localCheckpoint(eager=True)
+        else:
+            kept = b
+        n_kept = n_in - len(drop_ids)
+        batch_bcast.unpersist()
         self.history.append(
             {
                 "batch_id": batch_id,
@@ -252,11 +402,16 @@ class StreamingEmbeddingDedup:
             }
         )
         if self.grow_index and n_kept:
-            kept_sig = maybe_checkpoint(bb.join(kept.select(self.id_col), self.id_col))
+            kept_sig = maybe_checkpoint(
+                bb.join(F.broadcast(kept.select(self.id_col)), self.id_col)
+            )
             self.band_index = self.band_index.unionByName(kept_sig)
             self.corpus = self.corpus.select(self.id_col, self.vec_col).unionByName(
                 kept.select(self.id_col, self.vec_col)
             )
+            # grow the driver-side reference matrix incrementally from
+            # the already-collected batch vectors (no extra job)
+            self._grow_ref_matrix(kept_rows)
             self._since_compact += 1
             if self.compact_every is not None and self._since_compact >= self.compact_every:
                 self.compact()
