@@ -120,10 +120,14 @@ ORDER BY id1, id2
 """
 
 
-Q167_SQL = f"""
+def _q167_sql(sample_sql: str) -> str:
+    """The recall-audit oracle, parameterized over the audit-slice
+    predicate — the id-prefix oracle slice and the production
+    content-hash sample share every other line."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, string_split({CLEAN_SQL}, ' ') AS t
-  FROM documents WHERE length({CLEAN_SQL}) > 0 AND doc_id < 1000
+  FROM documents WHERE length({CLEAN_SQL}) > 0 AND {sample_sql}
 ),
 sh AS (
   SELECT doc_id,
@@ -193,31 +197,19 @@ ORDER BY 1
 """
 
 
-@query("q167_dedup_recall_audit", Q167_SQL)
-def q167_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-auditing dedup quality: recall of the q50 MinHash+LSH
-    candidate gate against exact 3-token-SHINGLE Jaccard — the
-    similarity the MinHash signatures actually approximate (q51's
-    arithmetic over the gate's own shingle sets, not token sets) —
-    per threshold (0.3 / 0.5 / 0.7), on the capped ``doc_id < 1000``
-    sample — the sampled recall report a production pipeline runs
-    AFTER every dedup pass, because LSH recall is a function of the
-    corpus's actual similarity distribution, not just the S-curve
-    (q126's index-quality discipline, applied to the dedup gate).
+Q167_SQL = _q167_sql("doc_id < 1000")
+# the production slice: q84's deterministic content-hash sample
+# (fraction_threshold(0.35) == '59999999'), same md5-threshold predicate
+# the oracle runs
+Q171_SQL = _q167_sql(
+    "substr(md5(CAST(doc_id AS VARCHAR) || '#' || 'sample'), 1, 8) < '59999999'"
+)
 
-    Columns: ``(threshold_x10000, n_exact_pairs, n_recalled,
-    n_candidate_pairs, recall_x10000)`` — all BIGINT; recall of an
-    empty exact set is defined as 10000 (vacuously complete).
-    Hash-exact oracle: both the exact side and the candidate side are
-    the bit-exact salted-md5 formulations q50/q51 already pin.
 
-    Scale shape: the audit runs on a SAMPLE by construction — exact
-    all-pairs cost is confined to the capped slice; the LSH side
-    reuses the q50 banded-bucket path on the same slice. At 100 TB
-    the slice is a content-hash sample (q84's predicate) instead of
-    an id prefix; nothing else changes.
-    """
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+def _dedup_recall_audit(spark: SparkSession, sf_dir: str, sample_fn) -> DataFrame:
+    """Shared recall-audit body; ``sample_fn`` picks the audit slice
+    (see q167 for the semantics and scale shape)."""
+    d = sample_fn(load_table(spark, sf_dir, "documents"))
     exact = maybe_checkpoint(
         jaccard_pairs(d, "text", "doc_id", threshold=0.3, shingle_w=3).withColumn(
             "j_x10000",
@@ -256,6 +248,54 @@ def q167_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE n_recalled * 10000 DIV n_exact_pairs END AS BIGINT)"
         ),
     ).orderBy("threshold_x10000")
+
+
+@query("q167_dedup_recall_audit", Q167_SQL)
+def q167_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-auditing dedup quality: recall of the q50 MinHash+LSH
+    candidate gate against exact 3-token-SHINGLE Jaccard — the
+    similarity the MinHash signatures actually approximate (q51's
+    arithmetic over the gate's own shingle sets, not token sets) —
+    per threshold (0.3 / 0.5 / 0.7), on the capped ``doc_id < 1000``
+    sample — the sampled recall report a production pipeline runs
+    AFTER every dedup pass, because LSH recall is a function of the
+    corpus's actual similarity distribution, not just the S-curve
+    (q126's index-quality discipline, applied to the dedup gate).
+
+    Columns: ``(threshold_x10000, n_exact_pairs, n_recalled,
+    n_candidate_pairs, recall_x10000)`` — all BIGINT; recall of an
+    empty exact set is defined as 10000 (vacuously complete).
+    Hash-exact oracle: both the exact side and the candidate side are
+    the bit-exact salted-md5 formulations q50/q51 already pin.
+
+    Scale shape: the audit runs on a SAMPLE by construction — exact
+    all-pairs cost is confined to the capped slice; the LSH side
+    reuses the q50 banded-bucket path on the same slice. The
+    production slice is q171's content-hash sample (q84's predicate)
+    instead of this id prefix; the two share `_dedup_recall_audit`.
+    """
+    return _dedup_recall_audit(
+        spark, sf_dir, lambda d: d.filter(F.col("doc_id") < 1000)
+    )
+
+
+@query("q171_dedup_recall_audit_sampled", Q171_SQL)
+def q171_dedup_recall_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q167's recall audit on the PRODUCTION slice: a ~35%
+    deterministic content-hash sample (q84's md5-threshold predicate —
+    layout-, engine- and id-density-independent) instead of the
+    oracle's id-prefix cap. This is the form a 100 TB pipeline
+    actually runs after every dedup pass: the exact all-pairs side is
+    confined to the hash sample, the LSH side reuses q50's banded
+    buckets on the same slice, and the report is comparable across
+    runs because the sample is a pure function of the keys.
+    Hash-exact oracle: the sample predicate is SQL (same md5 salt/
+    threshold as q84), so both engines audit the identical slice."""
+    from ml_with_spark_streaming_spark.operators.sampling import hash_sample
+
+    return _dedup_recall_audit(
+        spark, sf_dir, lambda d: hash_sample(d, "doc_id", 0.35)
+    )
 
 
 @query("q51_jaccard_pairs", Q51_SQL)

@@ -164,6 +164,7 @@ SQL_REWRITTEN: tuple[str, ...] = (
     "q164_dedup_bias_audit",
     "q167_dedup_recall_audit",
     "q168_incremental_index",
+    "q171_dedup_recall_audit_sampled",
     "q24_date_functions",
     "q26_json_extract",
     "q34_range_frame_neighbors",
@@ -804,10 +805,23 @@ def spark_dialect(sql: str) -> str:
     sql = _rewrite_literal_arrays(sql)
     sql = _strip_regex_g_flag(sql)
     # DuckDB's unit-first day difference (timestamps here are all
-    # midnight-aligned, so complete-day and boundary counts agree)
-    sql = re.sub(r"\bdate_?diff\(\s*'day'\s*,", "timestampdiff(DAY,", sql)
+    # midnight-aligned, so complete-day and boundary counts agree).
+    # Via _rewrite_calls so a "date_diff('day'," substring INSIDE a
+    # string literal survives untouched.
+    for fn in ("date_diff", "datediff"):
+        sql = _rewrite_calls(
+            sql,
+            fn,
+            lambda a: f"timestampdiff(DAY, {a[1]}, {a[2]})"
+            if len(a) == 3 and a[0].strip().lower() == "'day'"
+            else None,
+        )
     # 128-bit accumulators -> Spark's widest exact integer type
-    sql = re.sub(r"\bAS\s+HUGEINT\b", "AS DECIMAL(38,0)", sql, flags=re.IGNORECASE)
+    # (code segments only — never inside quoted strings)
+    sql = _map_quoted(
+        sql,
+        lambda s: re.sub(r"\bAS\s+HUGEINT\b", "AS DECIMAL(38,0)", s, flags=re.IGNORECASE),
+    )
     return sql
 
 

@@ -87,6 +87,21 @@ def test_dialect_rewrites_are_quote_aware_and_scoped(spark):
         == "SELECT array_join(x, 'g') FROM t"
     )
 
+    # datediff/HUGEINT rewrites are call- and quote-scoped: the code
+    # forms rewrite, the same text inside a string literal survives
+    assert (
+        spark_dialect("SELECT date_diff('day', a, b) AS d FROM t")
+        == "SELECT timestampdiff(DAY, a, b) AS d FROM t"
+    )
+    assert (
+        spark_dialect("SELECT 'date_diff(x AS HUGEINT)' AS s FROM t")
+        == "SELECT 'date_diff(x AS HUGEINT)' AS s FROM t"
+    )
+    assert (
+        spark_dialect("SELECT CAST(n AS HUGEINT) AS h FROM t")
+        == "SELECT CAST(n AS DECIMAL(38,0)) AS h FROM t"
+    )
+
     # generate_series: inclusive AND empty when b < a, matching DuckDB
     import duckdb
 
@@ -96,3 +111,43 @@ def test_dialect_rewrites_are_quote_aware_and_scoped(spark):
             spark_dialect(f"SELECT generate_series({a}, {b}) AS s")
         ).collect()[0]["s"]
         assert list(got) == list(duck), f"range ({a},{b}): {got} != {duck}"
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+    # adversarial literal content: regex character classes, //, [1,2],
+    # DuckDB-looking call text, bracket slices — everything the rewrite
+    # layer maps OUTSIDE quotes must survive INSIDE them. Excluded by
+    # construction: single quotes (would terminate the literal), % (the
+    # strftime %-code conversion legitimately rewrites quoted formats),
+    # and backslash (legitimately doubled for Spark's escape handling).
+    _LIT = st.text(
+        alphabet="abgz 0123456789[],/#()*+?{}|:.-_<>=",
+        min_size=0,
+        max_size=40,
+    )
+
+    @given(lit=_LIT)
+    @settings(max_examples=300, deadline=None)
+    def test_dialect_property_quoted_literals_survive(lit):
+        """Every rewrite in spark_dialect must be quote-aware: a SQL
+        statement whose string literals contain arbitrary
+        rewrite-triggering text keeps those literals byte-identical,
+        while the surrounding code still rewrites."""
+        sql = (
+            f"SELECT '{lit}' AS a, len(x) // 2 AS h, list_min(v) AS m, "
+            f"CAST(n AS HUGEINT) AS w FROM t WHERE y <> '{lit}'"
+        )
+        out = spark_dialect(sql)
+        assert f"'{lit}'" in out, f"literal mangled: {out!r}"
+        assert out.count(f"'{lit}'") == 2
+        assert " DIV " in out and "size(x)" in out
+        assert "array_min(v)" in out and "DECIMAL(38,0)" in out
