@@ -34,10 +34,11 @@ self-referencing one (seed with the non-recursive members; loop
 the row set stops growing — bounded by the component diameter).
 
 Queries stay EXCLUDED when their twin needs semantics Spark SQL
-lacks — after round 9 that is exactly two: ``ASOF JOIN`` (q29) and
-struct-literal ``{...}`` syntax (q65); 139 of the 141 oracled
-queries run from their SQL text. Former blockers closed
-mechanically in round 8:
+lacks — after round 9 that is exactly one: ``ASOF JOIN`` (q29);
+141 of the 142 oracled queries run from their SQL text. Former
+blockers closed mechanically in round 9: struct literals
+``{'k': v}`` → ``named_struct`` (q65) and the WITH RECURSIVE tier;
+in round 8:
 ``list_reduce`` folds (head-seeded ``aggregate``), ``ord``→``ascii``,
 ``array_to_string(list(x ORDER BY o), d)``→``listagg ... WITHIN
 GROUP``; and two oracles were made dialect-neutral without changing
@@ -190,6 +191,7 @@ SQL_REWRITTEN: tuple[str, ...] = (
     "q58_fuzzy_dedup_pipeline",
     "q60_tumbling_counts",
     "q61_sliding_user_activity",
+    "q65_udtf_lateral_tokens",
     "q62_session_windows",
     "q77_interval_join_attribution",
     "q81_cosine_topk_arrow",
@@ -573,6 +575,73 @@ def _rewrite_brackets(sql: str) -> str:
             sql = f"{sql[:s]}element_at({expr}, {inner}){sql[j + 1:]}"
 
 
+def _rewrite_struct_literals(sql: str) -> str:
+    """DuckDB struct literal ``{'k1': v1, 'k2': v2}`` ->
+    ``named_struct('k1', v1, 'k2', v2)``. Fires only on brace groups
+    whose every top-level element is a quoted-key ``'k': v`` pair
+    (quote/paren/brace-aware) — anything else is left alone."""
+    while True:
+        qmap = _in_quote_map(sql)
+        hit = None
+        for i, ch in enumerate(sql):
+            if ch != "{" or qmap[i]:
+                continue
+            d, j = 0, i
+            while j < len(sql):
+                if not qmap[j]:
+                    if sql[j] == "{":
+                        d += 1
+                    elif sql[j] == "}":
+                        d -= 1
+                        if d == 0:
+                            break
+                j += 1
+            if j >= len(sql):
+                return sql
+            inner = sql[i + 1 : j]
+            # split at top-level commas, then each element at its first
+            # top-level ':' — keys must be quoted strings
+            iq = _in_quote_map(inner)
+            elems, depth, last = [], 0, 0
+            for k, c in enumerate(inner):
+                if iq[k]:
+                    continue
+                if c in "([{":
+                    depth += 1
+                elif c in ")]}":
+                    depth -= 1
+                elif c == "," and depth == 0:
+                    elems.append(inner[last:k])
+                    last = k + 1
+            elems.append(inner[last:])
+            parts, ok = [], True
+            for e in elems:
+                eq = _in_quote_map(e)
+                d2, cut = 0, -1
+                for k, c in enumerate(e):
+                    if eq[k]:
+                        continue
+                    if c in "([{":
+                        d2 += 1
+                    elif c in ")]}":
+                        d2 -= 1
+                    elif c == ":" and d2 == 0:
+                        cut = k
+                        break
+                key = e[:cut].strip() if cut > 0 else ""
+                if not (key.startswith("'") and key.endswith("'") and len(key) > 2):
+                    ok = False
+                    break
+                parts.append(f"{key}, {e[cut + 1:].strip()}")
+            if ok:
+                hit = (i, j, f"named_struct({', '.join(parts)})")
+                break
+        if hit is None:
+            return sql
+        i, j, new = hit
+        sql = sql[:i] + new + sql[j + 1 :]
+
+
 def _rewrite_literal_arrays(sql: str) -> str:
     """``['a', 'b']`` / ``[0, 1, 2]`` -> ``array(...)`` (literal
     element lists only — slices were rewritten away first).
@@ -796,6 +865,7 @@ def spark_dialect(sql: str) -> str:
     rows+names-equal test, the rewrite layer itself is never trusted."""
     sql = _map_quoted(sql, lambda s: s, inside=lambda q: q.replace("\\", "\\\\"))
     sql = _rewrite_brackets(sql)
+    sql = _rewrite_struct_literals(sql)
     sql = _rewrite_strftime(sql)
     sql = _special_calls(sql)
     sql = _map_quoted(sql, _outside_rewrites)

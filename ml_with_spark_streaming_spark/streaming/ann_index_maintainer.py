@@ -190,6 +190,19 @@ class StreamingANNIndexMaintainer:
             if _VDIR_RE.match(d) and d != vname:
                 shutil.rmtree(os.path.join(self.save_path, d), ignore_errors=True)
 
+    def save(self, path: str | None = None) -> None:
+        """One-shot versioned save (manifest + vacuum) of the current
+        index to ``path`` (or the configured ``save_path``) — what a
+        composed pipeline's ``save_state`` calls so the serving index
+        commits in the same unit as the gates."""
+        if path is not None:
+            self.save_path = path
+        if self.save_path is None:
+            raise ValueError("no save_path configured")
+        self._ensure_counts()
+        self._save_versioned(max(self._last_batch_id, 0))
+        self._since_save = 0
+
     # -- refit -------------------------------------------------------
     def _maybe_refit(self) -> bool:
         """Fire the refit when bucket skew crosses the bound: fresh

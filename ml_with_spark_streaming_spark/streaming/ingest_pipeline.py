@@ -21,7 +21,13 @@ overlap), ``StreamingQualityFilter`` (the frozen q112 weight table),
 an optional ``StreamingPerplexityFilter`` (the frozen q131 bigram
 LM), and an optional ``StreamingDSIRFilter`` (the frozen q135
 importance-resampling weight table — the distribution-match gate,
-last because it is the most selective). Each stage keeps its own
+last because it is the most selective), and an optional
+``StreamingANNIndexMaintainer`` AFTER acceptance (the serving-index
+stage: each batch's fully-accepted vectors — taken from the original
+batch, since the rewrite stages drop the vector column — are appended
+to the persisted IVF artifact, with drift-triggered refit when
+armed, so the ANN index a deployment probes always reflects exactly
+the accepted corpus). Each stage keeps its own
 per-batch history; the pipeline adds a combined ledger row per
 batch: (n_in, n_after_dedup, n_after_rewrite, n_after_decon,
 n_after_quality, n_accepted) — where n_accepted is whatever the LAST
@@ -33,8 +39,12 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ml_with_spark_streaming_spark.streaming.ann_index_maintainer import (
+    StreamingANNIndexMaintainer,
+)
 from ml_with_spark_streaming_spark.streaming.decon_filter import (
     StreamingDecontaminationFilter,
 )
@@ -74,6 +84,11 @@ class StreamingIngestPipeline:
     decon: StreamingDecontaminationFilter | None = None
     perplexity: StreamingPerplexityFilter | None = None
     dsir: StreamingDSIRFilter | None = None
+    # the serving-index stage AFTER acceptance: each batch's
+    # fully-accepted vectors are appended to the persisted IVF artifact
+    # (and refit on drift when the maintainer is armed) — the index a
+    # deployment probes always reflects exactly the accepted corpus
+    ann_maintainer: StreamingANNIndexMaintainer | None = None
     on_accepted: object = None
     ledger: list[dict] = field(default_factory=list)
 
@@ -105,6 +120,8 @@ class StreamingIngestPipeline:
         perplexity_threshold_x1e6: int | None = None,
         dsir_weights: list[tuple[int, int]] | None = None,
         dsir_n_buckets: int = 512,
+        ann_n_centroids: int | None = None,
+        ann_refit_skew_threshold: float | None = None,
         on_accepted: object = None,
         **dedup_kw,
     ) -> "StreamingIngestPipeline":
@@ -156,6 +173,25 @@ class StreamingIngestPipeline:
             if segment_quality_threshold_x100 is not None
             else None
         )
+        ann = None
+        if ann_n_centroids is not None:
+            if embedding_corpus is None:
+                raise ValueError("ann_n_centroids requires embedding_corpus")
+            from ml_with_spark_streaming_spark.operators.ann_index import IVFIndex
+
+            idc = col_kw.get("id_col", "doc_id")
+            ann = StreamingANNIndexMaintainer(
+                index=IVFIndex.build(
+                    embedding_corpus,
+                    n_centroids=ann_n_centroids,
+                    c_id=idc,
+                    c_vec=vec_col,
+                ),
+                id_col=idc,
+                vec_col=vec_col,
+                corpus=embedding_corpus,
+                refit_skew_threshold=ann_refit_skew_threshold,
+            )
         return cls(
             dedup=StreamingIngestDedup.from_corpus(corpus, **dedup_kw),
             quality=StreamingQualityFilter(weights=weights, **col_kw),
@@ -165,6 +201,7 @@ class StreamingIngestPipeline:
             decon=decon,
             perplexity=ppl,
             dsir=dsir,
+            ann_maintainer=ann,
             on_accepted=on_accepted,
         )
 
@@ -191,6 +228,8 @@ class StreamingIngestPipeline:
             self.decon.save_grams(os.path.join(path, "decon_grams"))
         if self.perplexity is not None:
             self.perplexity.save_model(os.path.join(path, "ppl_model"))
+        if self.ann_maintainer is not None:
+            self.ann_maintainer.save(os.path.join(path, "ann_index"))
         manifest = {
             "id_col": self.dedup.id_col,
             "text_col": self.dedup.text_col,
@@ -247,6 +286,14 @@ class StreamingIngestPipeline:
                     "n_buckets": self.dsir.n_buckets,
                 }
             ),
+            "ann_maintainer": (
+                None
+                if self.ann_maintainer is None
+                else {
+                    "vec_col": self.ann_maintainer.vec_col,
+                    "refit_skew_threshold": self.ann_maintainer.refit_skew_threshold,
+                }
+            ),
             "ledger": self.ledger,
         }
         tmp = os.path.join(path, "MANIFEST.json.tmp")
@@ -256,7 +303,12 @@ class StreamingIngestPipeline:
 
     @classmethod
     def from_state(
-        cls, spark, path: str, corpus: DataFrame, on_accepted: object = None
+        cls,
+        spark,
+        path: str,
+        corpus: DataFrame,
+        on_accepted: object = None,
+        ann_corpus: DataFrame | None = None,
     ) -> "StreamingIngestPipeline":
         """Resume the whole door from ``save_state`` artifacts — no
         corpus/eval/LM rescans; every gate loads its persisted index
@@ -339,6 +391,26 @@ class StreamingIngestPipeline:
                 n_buckets=m["dsir"]["n_buckets"],
                 **col_kw,
             )
+        ann = None
+        if m.get("ann_maintainer") is not None:
+            # the refit corpus resumes as (stored base corpus vectors =
+            # the saved index's own accepted set is already inside the
+            # artifact's `accepted` table; base vectors must be re-
+            # supplied like `corpus` is for the text gate) — callers
+            # pass them via ann_corpus when refit stays armed
+            ann = StreamingANNIndexMaintainer.from_index_path(
+                spark,
+                os.path.join(path, "ann_index"),
+                id_col=m["id_col"],
+                vec_col=m["ann_maintainer"]["vec_col"],
+                corpus=ann_corpus,
+                refit_skew_threshold=(
+                    m["ann_maintainer"]["refit_skew_threshold"]
+                    if ann_corpus is not None
+                    else None
+                ),
+                save_path=os.path.join(path, "ann_index"),
+            )
         pipe = cls(
             dedup=dedup,
             quality=quality,
@@ -348,6 +420,7 @@ class StreamingIngestPipeline:
             decon=decon,
             perplexity=ppl,
             dsir=dsir,
+            ann_maintainer=ann,
             on_accepted=on_accepted,
         )
         pipe.ledger.extend(m["ledger"])
@@ -484,6 +557,15 @@ class StreamingIngestPipeline:
         def _after_dsir(final_df: DataFrame, bid: int, ran_dsir: bool = True) -> None:
             if ran_dsir and self._dsir_hook is not None:
                 self._dsir_hook(final_df, bid)
+            if self.ann_maintainer is not None:
+                # serving-index stage: the ACCEPTED ids' vectors, taken
+                # from the ORIGINAL batch (the rewrite stages drop the
+                # vector column), appended to the IVF artifact
+                idc = self.ann_maintainer.id_col
+                vecs = batch_df.select(idc, self.ann_maintainer.vec_col).join(
+                    F.broadcast(final_df.select(idc)), idc, "semi"
+                )
+                self.ann_maintainer.process_batch(vecs, bid)
             if self.on_accepted is not None:
                 self.on_accepted(final_df, bid)
 
