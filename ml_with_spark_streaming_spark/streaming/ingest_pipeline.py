@@ -89,6 +89,11 @@ class StreamingIngestPipeline:
     # (and refit on drift when the maintainer is armed) — the index a
     # deployment probes always reflects exactly the accepted corpus
     ann_maintainer: StreamingANNIndexMaintainer | None = None
+    # one coalesce+checkpoint at the door: micro-batches are
+    # scheduling-bound on wide default partitionings (the embedding
+    # gate's measured lesson), and checkpointing here makes the source
+    # parse exactly once instead of per-stage. None disables.
+    batch_partitions: int | None = 8
     on_accepted: object = None
     ledger: list[dict] = field(default_factory=list)
 
@@ -438,6 +443,10 @@ class StreamingIngestPipeline:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if self.batch_partitions is not None:
+            batch_df = batch_df.coalesce(self.batch_partitions).localCheckpoint(
+                eager=True
+            )
 
         def _after_dedup(kept_df: DataFrame, bid: int) -> None:
             if self._dedup_hook is not None:
