@@ -223,7 +223,8 @@ def _streaming_rate(spark, per_file: int = 5000, n_files: int = 3) -> float:
 
 
 def _ingest_pipeline_rate(
-    spark, per_file: int, n_files: int = 3, embedding: bool = False
+    spark, per_file: int, n_files: int = 3, embedding: bool = False,
+    ann: bool = False,
 ) -> dict:
     """documents/s through the composed streaming ingest door —
     StreamingIngestPipeline with the declared production config:
@@ -285,6 +286,10 @@ def _ingest_pipeline_rate(
         embedding_threshold=0.95,
         segment_width=10,
         threshold=0.9,
+        # ann=True arms the post-acceptance serving-index stage: every
+        # accepted vector appended to the persisted IVF artifact — its
+        # marginal cost next to the gate-only vector point
+        ann_n_centroids=16 if (ann and embedding) else None,
     )
 
     base = [(r.doc_id, r.text) for r in corpus.collect()]
@@ -496,9 +501,15 @@ def main() -> None:
             str(size): _best_of(2, per_file=size) for size in (1000, 5000)
         }
         ingest["5000_emb"] = _best_of(2, per_file=5000, embedding=True)
+        ingest["5000_emb_ann"] = _best_of(
+            2, per_file=5000, embedding=True, ann=True
+        )
         out["ingest_pipeline"] = ingest
         compact["ingest_pipeline_docs_per_sec"] = ingest["5000"]["docs_per_sec"]
         compact["ingest_pipeline_emb_docs_per_sec"] = ingest["5000_emb"][
+            "docs_per_sec"
+        ]
+        compact["ingest_pipeline_emb_ann_docs_per_sec"] = ingest["5000_emb_ann"][
             "docs_per_sec"
         ]
     except Exception as e:  # noqa: BLE001 — keep the rest of the artifact

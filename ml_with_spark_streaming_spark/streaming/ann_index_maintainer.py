@@ -111,7 +111,15 @@ class StreamingANNIndexMaintainer:
     save_every: int | None = None
     corpus: DataFrame | None = None
     refit_skew_threshold: float | None = None
+    # True: each refit re-derives k = ceil(sqrt(n)) from the CURRENT
+    # corpus size (derive_semdedup_knobs — the q50 derived-knob
+    # discipline), so a stream that doubles the corpus doesn't keep a
+    # k sized for half of it. False keeps the index's own k.
+    refit_derive_k: bool = False
     dedup_ids: bool = False
+    # micro-batches are scheduling-bound on wide partitionings (the
+    # embedding gate's measured lesson): coalesce at entry; None disables
+    batch_partitions: int | None = 8
     on_appended: object = None
     on_refit: object = None
     history: list[dict] = field(default_factory=list)
@@ -225,7 +233,7 @@ class StreamingANNIndexMaintainer:
             full = full.unionByName(self._accepted)
         self.index = IVFIndex.build(
             full,
-            n_centroids=self.index.n_centroids,
+            n_centroids=None if self.refit_derive_k else self.index.n_centroids,
             c_id=ci,
             c_vec=cv,
             seed=self.index.seed,
@@ -256,7 +264,10 @@ class StreamingANNIndexMaintainer:
         ci, cv = self.index.c_id, self.index.c_vec
         b = batch_df.select(
             F.col(self.id_col).alias(ci), F.col(self.vec_col).alias(cv)
-        ).localCheckpoint(eager=True)
+        )
+        if self.batch_partitions is not None:
+            b = b.coalesce(self.batch_partitions)
+        b = b.localCheckpoint(eager=True)
         if self.dedup_ids:
             b = b.join(
                 self.index.assignments.select(ci), ci, "left_anti"

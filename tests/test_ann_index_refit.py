@@ -133,6 +133,32 @@ def test_drift_trips_refit_and_recall_recovers(spark, corpus_and_batches, tmp_pa
     assert os.path.exists(os.path.join(path, "MANIFEST.json"))
 
 
+def test_refit_derive_k_resizes_with_corpus(spark, corpus_and_batches, tmp_path):
+    """refit_derive_k=True: the refit re-derives k = ceil(sqrt(n)) from
+    the CURRENT corpus size instead of keeping the stale build-time k."""
+    from ml_with_spark_streaming_spark.operators.similarity import (
+        derive_semdedup_knobs,
+    )
+
+    base, batches = corpus_and_batches
+    idx = IVFIndex.build(base, n_centroids=8, seed=42)
+    m = StreamingANNIndexMaintainer(
+        index=idx,
+        corpus=base,
+        refit_skew_threshold=1.5,
+        refit_derive_k=True,
+    )
+    for bid, rows in enumerate(batches):
+        m.process_batch(spark.createDataFrame(rows, SCHEMA), bid)
+    assert m._n_refits >= 1
+    # the last refit happened at some corpus size n <= 144; k must equal
+    # the derived value for the size AT that refit — recompute it from
+    # the history row where the refit fired
+    last_refit = [h for h in m.history if h.get("refit")][-1]
+    assert m.index.n_centroids == derive_semdedup_knobs(last_refit["n_total"])
+    assert m.index.n_centroids != 8 or derive_semdedup_knobs(last_refit["n_total"]) == 8
+
+
 def test_save_resume_across_refit_swap(spark, corpus_and_batches, tmp_path):
     base, batches = corpus_and_batches
     idx = IVFIndex.build(base, n_centroids=8, seed=42)
