@@ -104,7 +104,8 @@ def brute_force_topk_arrow(
     import pandas as pd
 
     qrows = queries.select(q_id, q_vec).collect()
-    qids = np.array([r[q_id] for r in qrows], dtype=np.int64)
+    # ids keep their source type (string/int alike) — never forced int64
+    qids = np.array([r[q_id] for r in qrows])
     qm = np.stack([np.asarray(r[q_vec], dtype=np.float64) for r in qrows])
     qnorm = np.linalg.norm(qm, axis=1, keepdims=True)
     qm /= np.where(qnorm == 0, 1, qnorm)  # zero-norm guard, see safe_denom
@@ -133,7 +134,16 @@ def brute_force_topk_arrow(
             if out:
                 yield pd.concat(out)
 
-    partial = corpus.mapInPandas(part, f"{q_id} long, {c_id} long, _cos double")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(q_id, queries.schema[q_id].dataType),
+            StructField(c_id, corpus.schema[c_id].dataType),
+            StructField("_cos", DoubleType()),
+        ]
+    )
+    partial = corpus.mapInPandas(part, out_schema)
     scored = partial.select(q_id, c_id, F.round("_cos", 4).alias("cosine"))
     w = W.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -221,8 +231,17 @@ def signlsh_bands(
     if dim is None:
         first = corpus.select(c_vec).first()
         if first is None or first[0] is None:
+            from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
             return corpus.sparkSession.createDataFrame(
-                [], f"{c_id} long, band_idx int, band_bits string"
+                [],
+                StructType(
+                    [
+                        StructField(c_id, corpus.schema[c_id].dataType),
+                        StructField("band_idx", IntegerType()),
+                        StructField("band_bits", StringType()),
+                    ]
+                ),
             )
         dim = len(first[0])
     rnd = np.random.RandomState(seed)
@@ -253,9 +272,17 @@ def signlsh_bands(
                     {c_id: out_ids, "band_idx": out_band, "band_bits": out_bits}
                 )
 
-        return corpus.select(c_id, c_vec).mapInPandas(
-            part, f"{c_id} long, band_idx int, band_bits string"
+        # the id column keeps the CORPUS id type (string/int/long alike)
+        from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+        out_schema = StructType(
+            [
+                StructField(c_id, corpus.schema[c_id].dataType),
+                StructField("band_idx", IntegerType()),
+                StructField("band_bits", StringType()),
+            ]
         )
+        return corpus.select(c_id, c_vec).mapInPandas(part, out_schema)
     plane_cols = [
         F.aggregate(
             F.zip_with(

@@ -612,6 +612,41 @@ def test_pq_encode_arrow_equals_hof(spark, monkeypatch):
     assert all(len(c) == 4 and all(0 <= x < 16 for x in c) for c in arrow.values())
 
 
+def test_arrow_paths_preserve_string_ids(spark):
+    """signlsh_bands' Arrow path (n_planes x dim >= 2048) and
+    brute_force_topk_arrow must carry a STRING id through unchanged —
+    their output schemas derive from the input, never a hardcoded
+    long."""
+    import random
+
+    from ml_with_spark_streaming_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+        signlsh_bands,
+    )
+
+    rng = random.Random(29)
+    rows = [
+        (f"doc-{i:03d}", [rng.gauss(0, 1) for _ in range(64)]) for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    bands = signlsh_bands(corpus, n_planes=32, dim=64)  # 2048 -> Arrow path
+    assert dict(bands.dtypes)["vec_id"] == "string"
+    assert bands.count() == 40 * 4
+
+    queries = spark.createDataFrame(
+        [(f"doc-{i:03d}", rows[i][1]) for i in range(3)],
+        "q_id string, q_vec array<float>",
+    )
+    arrow = brute_force_topk_arrow(queries, corpus, k=5)
+    hof = brute_force_topk(queries, corpus, k=5)
+    assert dict(arrow.dtypes)["q_id"] == "string"
+    assert dict(arrow.dtypes)["vec_id"] == "string"
+    got = {(r.q_id, r.vec_id, r.rank) for r in arrow.collect()}
+    want = {(r.q_id, r.vec_id, r.rank) for r in hof.collect()}
+    assert got == want
+
+
 def test_pq_encode_arrow_preserves_id_type(spark, monkeypatch):
     """The Arrow path's output schema must carry the CORPUS id type —
     a string-keyed corpus crossing the 1024-float threshold keeps its
