@@ -213,6 +213,31 @@ class PQIndex:
             codebooks=cbs, codes=codes, m=m, k_sub=k_sub, seed=seed, c_id=c_id, c_vec=c_vec
         )
 
+    def append(self, delta: DataFrame) -> "PQIndex":
+        """Incremental PQ maintenance, the q169 discipline for the
+        COMPRESSED representation: encode ONLY the delta against the
+        FROZEN per-subspace codebooks and union the code rows — one
+        narrow pass over the new slice, bit-identical to re-encoding
+        base ∪ delta (encoding is per-vector independent given fixed
+        codebooks; pinned by tests/test_ann_index.py). Codebooks are
+        deliberately not refit — a codebook refit re-codes the whole
+        corpus and is a NEW index built on drift metrics, exactly like
+        the IVF centroid refit."""
+        from ml_with_spark_streaming_spark.operators.pq import pq_encode
+
+        new_codes = maybe_checkpoint(
+            pq_encode(delta, self.codebooks, m=self.m, c_id=self.c_id, c_vec=self.c_vec)
+        )
+        return PQIndex(
+            codebooks=self.codebooks,
+            codes=maybe_checkpoint(self.codes.unionByName(new_codes)),
+            m=self.m,
+            k_sub=self.k_sub,
+            seed=self.seed,
+            c_id=self.c_id,
+            c_vec=self.c_vec,
+        )
+
     def save(self, path: str) -> None:
         self.codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
         self.codes.write.mode("overwrite").parquet(f"{path}/codes")

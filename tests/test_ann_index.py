@@ -201,6 +201,28 @@ def test_pq_index_roundtrip_and_refusal(spark, vectors, tmp_path):
         PQIndex.load(spark, str(tmp_path / "pq"), m=8)
 
 
+def test_pq_append_equals_full_encode(spark, vectors):
+    """PQIndex.append(delta) must equal one full encode pass over
+    (base ∪ delta) against the same frozen codebooks — per-vector
+    independence makes the merge exact."""
+    from ml_with_spark_streaming_spark.operators.ann_index import PQIndex
+    from ml_with_spark_streaming_spark.operators.pq import pq_encode
+
+    base = vectors.filter(F.col("vec_id") % 5 != 0)
+    delta = vectors.filter(F.col("vec_id") % 5 == 0)
+    idx = PQIndex.build(base, m=4, k_sub=8, seed=42)
+    refreshed = idx.append(delta)
+    merged = {(r["vec_id"], tuple(r["codes"])) for r in refreshed.codes.collect()}
+    full = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(vectors, idx.codebooks, m=4).collect()
+    }
+    assert merged == full and len(merged) == 300
+    # base codes untouched by the append
+    old = {(r["vec_id"], tuple(r["codes"])) for r in idx.codes.collect()}
+    assert old <= merged and len(merged) - len(old) == 60
+
+
 def test_pq_index_for_memoizes(spark, vectors, tmp_path, monkeypatch):
     from ml_with_spark_streaming_spark.operators.ann_index import pq_index_for
 
