@@ -70,7 +70,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ml_with_spark_streaming_spark.lineage import maybe_checkpoint
-from ml_with_spark_streaming_spark.operators.ann_index import IVFIndex
+from ml_with_spark_streaming_spark.operators.ann_index import IVFIndex, PQIndex
 from ml_with_spark_streaming_spark.operators.similarity import assign_to_centroids
 from ml_with_spark_streaming_spark.streaming.foreach import attach_foreach_batch
 
@@ -105,6 +105,13 @@ class StreamingANNIndexMaintainer:
     id at most once."""
 
     index: IVFIndex
+    # optional: maintain the COMPRESSED representation alongside — each
+    # accepted batch's vectors are PQ-encoded against the frozen
+    # codebooks (PQIndex.append) so the q170 IVF-PQ probe always has
+    # codes for exactly the indexed set. Codes are independent of the
+    # IVF centroids, so an IVF refit leaves them valid as-is; a
+    # CODEBOOK refit is a new index on its own drift metrics.
+    pq: PQIndex | None = None
     id_col: str = "vec_id"
     vec_col: str = "embedding"
     save_path: str | None = None
@@ -144,7 +151,10 @@ class StreamingANNIndexMaintainer:
         except FileNotFoundError:
             return cls(index=IVFIndex.load(spark, path), **kw)
         vdir = os.path.join(path, manifest["version"])
-        m = cls(index=IVFIndex.load(spark, vdir), **kw)
+        pq = None
+        if manifest.get("has_pq") and os.path.isdir(os.path.join(vdir, "pq")):
+            pq = PQIndex.load(spark, os.path.join(vdir, "pq"))
+        m = cls(index=IVFIndex.load(spark, vdir), pq=pq, **kw)
         m._last_batch_id = int(manifest["last_batch_id"])
         m._n_refits = int(manifest.get("n_refits", 0))
         bc = manifest.get("bucket_counts")
@@ -179,6 +189,8 @@ class StreamingANNIndexMaintainer:
         vname = f"v{batch_id:08d}"
         vdir = os.path.join(self.save_path, vname)
         self.index.save(vdir)
+        if self.pq is not None:
+            self.pq.save(os.path.join(vdir, "pq"))
         if self._accepted is not None:
             self._accepted.write.mode("overwrite").parquet(
                 os.path.join(vdir, "accepted")
@@ -187,13 +199,17 @@ class StreamingANNIndexMaintainer:
             "version": vname,
             "last_batch_id": batch_id,
             "n_refits": self._n_refits,
+            "has_pq": self.pq is not None,
             "bucket_counts": {str(k): v for k, v in (self._bucket_counts or {}).items()},
         }
         tmp = os.path.join(self.save_path, "MANIFEST.json.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, os.path.join(self.save_path, "MANIFEST.json"))
-        self.index = IVFIndex.load(self.index.centroids.sparkSession, vdir)
+        spark = self.index.centroids.sparkSession
+        self.index = IVFIndex.load(spark, vdir)
+        if self.pq is not None:
+            self.pq = PQIndex.load(spark, os.path.join(vdir, "pq"))
         for d in os.listdir(self.save_path):
             if _VDIR_RE.match(d) and d != vname:
                 shutil.rmtree(os.path.join(self.save_path, d), ignore_errors=True)
@@ -295,6 +311,8 @@ class StreamingANNIndexMaintainer:
             k = int(r["cent_id"])
             self._bucket_counts[k] = self._bucket_counts.get(k, 0) + int(r["count"])
         self.index = self.index.append(b, assigned=new_rows, n_delta=n_in)
+        if self.pq is not None:
+            self.pq = self.pq.append(b)
         if self.corpus is not None:
             self._accepted = (
                 b

@@ -68,6 +68,42 @@ def test_stream_maintained_equals_full_assign(spark, base_and_batches):
     assert {(r["vec_id"], r["cent_id"]) for r in m.index.assignments.collect()} == want
 
 
+def test_pq_codes_maintained_alongside(spark, base_and_batches, tmp_path):
+    """With a PQIndex attached, every accepted batch's vectors are
+    encoded against the frozen codebooks: the maintained code table
+    equals one full encode over (base ∪ all batches), and save/resume
+    restores it with the IVF artifact."""
+    from ml_with_spark_streaming_spark.operators.ann_index import PQIndex
+    from ml_with_spark_streaming_spark.operators.pq import pq_encode
+
+    base, batches = base_and_batches
+    idx = IVFIndex.build(base, n_centroids=8, seed=42)
+    pq = PQIndex.build(base, m=4, k_sub=8, seed=42)
+
+    path = str(tmp_path / "ann_pq")
+    a = StreamingANNIndexMaintainer(index=idx, pq=pq, save_path=path, save_every=1)
+    for bid in (0, 1):
+        a.process_batch(spark.createDataFrame(batches[bid], SCHEMA), bid)
+    b = StreamingANNIndexMaintainer.from_index_path(spark, path)
+    assert b.pq is not None
+    for bid in (2, 3):
+        b.process_batch(spark.createDataFrame(batches[bid], SCHEMA), bid)
+
+    union = base
+    for rows in batches:
+        union = union.unionByName(spark.createDataFrame(rows, SCHEMA))
+    want = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(union, pq.codebooks, m=4).collect()
+    }
+    got = {(r["vec_id"], tuple(r["codes"])) for r in b.pq.codes.collect()}
+    assert got == want
+    # codes cover exactly the indexed set
+    assert {r["vec_id"] for r in b.pq.codes.collect()} == {
+        r["vec_id"] for r in b.index.assignments.collect()
+    }
+
+
 def test_save_resume_equals_uninterrupted(spark, base_and_batches, tmp_path):
     base, batches = base_and_batches
     idx = IVFIndex.build(base, n_centroids=8, seed=42)
