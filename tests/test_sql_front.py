@@ -113,6 +113,42 @@ def test_dialect_rewrites_are_quote_aware_and_scoped(spark):
         assert list(got) == list(duck), f"range ({a},{b}): {got} != {duck}"
 
 
+def test_recursive_driver_edge_cases(spark):
+    """The WITH RECURSIVE fixpoint driver: parses multi-CTE clauses,
+    refuses non-recursive statements and UNION ALL recursion (native
+    Spark handles that), and computes a textbook transitive closure."""
+    import pytest as _pytest
+
+    from ml_with_spark_streaming_spark.plans.sql_front import run_recursive_sql
+
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src int, dst int"
+    ).createOrReplaceTempView("edges_t")
+    out = run_recursive_sql(
+        spark,
+        """WITH RECURSIVE reach(a, b) AS (
+             SELECT src, dst FROM edges_t
+             UNION
+             SELECT r.a, e.dst FROM reach r JOIN edges_t e ON e.src = r.b
+           )
+           SELECT a, b FROM reach ORDER BY a, b""",
+    )
+    got = {(r.a, r.b) for r in out.collect()}
+    assert got == {
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (10, 11),
+    }
+
+    with _pytest.raises(ValueError, match="not a WITH RECURSIVE"):
+        run_recursive_sql(spark, "SELECT 1 AS x")
+    with _pytest.raises(ValueError, match="UNION ALL"):
+        run_recursive_sql(
+            spark,
+            """WITH RECURSIVE r(n) AS (
+                 SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 3
+               ) SELECT * FROM r""",
+        )
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st

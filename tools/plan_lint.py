@@ -195,6 +195,15 @@ WAIVERS: dict[str, tuple[frozenset[str], str]] = {
         "signature pass, plus the pruned sample spine; at scale the slice is "
         "a content-hash sample and the corpus is never scanned whole.",
     ),
+    "q171_dedup_recall_audit_sampled": (
+        frozenset({"DupFactScan"}),
+        "q167's audit on the production content-hash sample (same shared "
+        "`_dedup_recall_audit` body, same waived shape): exact-side a/b "
+        "posting roles read the checkpointed shingle table, the LSH side is "
+        "q50's waived signature pass, plus the pruned sample spine; every "
+        "scan carries the md5-threshold sample predicate, so the corpus is "
+        "never scanned whole.",
+    ),
     "q168_incremental_index": (
         frozenset({"DupFactScan"}),
         "base and delta are DISJOINT doc_id%5 slices — two partition-pruned "
