@@ -121,6 +121,17 @@ def test_ann_stage_indexes_exactly_the_accepted_set(spark):
     assert got == want
 
 
+def test_ann_requires_embedding_corpus(spark):
+    import pytest
+
+    corpus = _docs(spark)
+    frozen = freeze_weights(
+        classifier_weights(feature_presence(corpus), heuristic_labels(corpus))
+    )
+    with pytest.raises(ValueError, match="embedding_corpus"):
+        StreamingIngestPipeline.build(corpus, frozen, ann_n_centroids=4)
+
+
 def test_ann_stage_save_resume_with_pipeline(spark, tmp_path):
     corpus = _docs(spark)
     corpus_ids = [r.doc_id for r in corpus.select("doc_id").collect()]
