@@ -213,7 +213,7 @@ class PQIndex:
             codebooks=cbs, codes=codes, m=m, k_sub=k_sub, seed=seed, c_id=c_id, c_vec=c_vec
         )
 
-    def append(self, delta: DataFrame) -> "PQIndex":
+    def append(self, delta: DataFrame, codes: DataFrame | None = None) -> "PQIndex":
         """Incremental PQ maintenance, the q169 discipline for the
         COMPRESSED representation: encode ONLY the delta against the
         FROZEN per-subspace codebooks and union the code rows — one
@@ -222,11 +222,24 @@ class PQIndex:
         codebooks; pinned by tests/test_ann_index.py). Codebooks are
         deliberately not refit — a codebook refit re-codes the whole
         corpus and is a NEW index built on drift metrics, exactly like
-        the IVF centroid refit."""
+        the IVF centroid refit (the streaming maintainer retrains them
+        AT the IVF refit when armed — ``refit_pq_codebooks``).
+
+        ``codes``: callers that already encoded the delta (the
+        streaming maintainer reuses the batch's codes for its
+        quantization-error gauge and its append slices) pass them and
+        skip the duplicate encode; must be exactly
+        ``pq_encode(delta, self.codebooks, ...)``."""
         from ml_with_spark_streaming_spark.operators.pq import pq_encode
 
-        new_codes = maybe_checkpoint(
-            pq_encode(delta, self.codebooks, m=self.m, c_id=self.c_id, c_vec=self.c_vec)
+        new_codes = (
+            codes
+            if codes is not None
+            else maybe_checkpoint(
+                pq_encode(
+                    delta, self.codebooks, m=self.m, c_id=self.c_id, c_vec=self.c_vec
+                )
+            )
         )
         return PQIndex(
             codebooks=self.codebooks,

@@ -205,6 +205,54 @@ def pq_encode(
     )
 
 
+def pq_quantization_error(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame | None = None,
+    m: int = 4,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> float:
+    """Mean squared L2 reconstruction error of ``codes`` against the
+    NORMALIZED vectors — the ADC-quality gauge (Jégou §IV calls this
+    the quantization distortion): decode each vector's codes back to
+    the concatenated codewords and average ``||nv - decode(codes)||²``.
+    A drifting stream encoded against frozen codebooks shows this
+    rising monotonically; a codebook retrain drops it back.
+
+    One broadcast (packed codebooks) + one join on ``c_id`` + one avg —
+    intended for BATCH-SIZED slices (the streaming maintainer's
+    per-batch gauge) or sampled corpus audits, and returns a driver
+    scalar. Empty input returns 0.0."""
+    if codes is None:
+        codes = pq_encode(vectors, codebooks, m=m, c_id=c_id, c_vec=c_vec)
+    packed = _packed_codebooks(codebooks)
+    nv = _normalized(F.col(c_vec))
+    # decode = concat of the m looked-up codewords, in subspace order
+    recon = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.element_at(
+                F.element_at(F.col("cbs"), j + 1),
+                F.element_at(F.col("codes"), j + 1) + 1,
+            ),
+        )
+    )
+    err = F.aggregate(
+        F.zip_with(nv, recon, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    row = (
+        vectors.select(c_id, c_vec)
+        .join(codes, c_id)
+        .crossJoin(F.broadcast(packed))
+        .agg(F.avg(err).alias("qerr"))
+        .collect()[0]
+    )
+    return float(row["qerr"]) if row["qerr"] is not None else 0.0
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
