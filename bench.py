@@ -224,7 +224,7 @@ def _streaming_rate(spark, per_file: int = 5000, n_files: int = 3) -> float:
 
 def _ingest_pipeline_rate(
     spark, per_file: int, n_files: int = 3, embedding: bool = False,
-    ann: bool = False,
+    ann: bool = False, verify_mode: str = "broadcast",
 ) -> dict:
     """documents/s through the composed streaming ingest door —
     StreamingIngestPipeline with the declared production config:
@@ -284,6 +284,9 @@ def _ingest_pipeline_rate(
         eval_corpus=eval_corpus,
         embedding_corpus=emb_corpus,
         embedding_threshold=0.95,
+        # "broadcast" = driver-chunk fast path; "join" = the corpus-side
+        # join that scales past driver RAM — both measured below
+        embedding_verify_mode=verify_mode,
         segment_width=10,
         threshold=0.9,
         # ann=True arms the post-acceptance serving-index stage: every
@@ -501,12 +504,18 @@ def main() -> None:
             str(size): _best_of(2, per_file=size) for size in (1000, 5000)
         }
         ingest["5000_emb"] = _best_of(2, per_file=5000, embedding=True)
+        ingest["5000_emb_join"] = _best_of(
+            2, per_file=5000, embedding=True, verify_mode="join"
+        )
         ingest["5000_emb_ann"] = _best_of(
             2, per_file=5000, embedding=True, ann=True
         )
         out["ingest_pipeline"] = ingest
         compact["ingest_pipeline_docs_per_sec"] = ingest["5000"]["docs_per_sec"]
         compact["ingest_pipeline_emb_docs_per_sec"] = ingest["5000_emb"][
+            "docs_per_sec"
+        ]
+        compact["ingest_pipeline_emb_join_docs_per_sec"] = ingest["5000_emb_join"][
             "docs_per_sec"
         ]
         compact["ingest_pipeline_emb_ann_docs_per_sec"] = ingest["5000_emb_ann"][

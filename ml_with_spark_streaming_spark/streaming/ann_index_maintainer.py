@@ -259,7 +259,7 @@ class StreamingANNIndexMaintainer:
         if self._bucket_counts is None:
             self._bucket_counts = {
                 int(r["cent_id"]): int(r["count"])
-                for r in self.index.assignments.groupBy("cent_id").count().collect()
+                for r in self.index.assignments.groupBy("cent_id").count().collect()  # bounded-collect: k rows (one per centroid)
             }
 
     def _max_bucket(self):
@@ -518,7 +518,7 @@ class StreamingANNIndexMaintainer:
         )
         # batch-sized groupBy -> k-bounded driver update: the counters
         # never re-scan the corpus
-        for r in new_rows.groupBy("cent_id").count().collect():
+        for r in new_rows.groupBy("cent_id").count().collect():  # bounded-collect: k rows, one per touched centroid
             k = int(r["cent_id"])
             self._bucket_counts[k] = self._bucket_counts.get(k, 0) + int(r["count"])
         self.index = self.index.append(b, assigned=new_rows, n_delta=n_in)

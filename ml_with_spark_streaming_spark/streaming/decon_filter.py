@@ -96,7 +96,7 @@ class StreamingDecontaminationFilter:
         """Resume a gate from ``save_grams`` artifacts — no eval-corpus
         rescan. n comes from the sidecar; a conflicting override
         raises."""
-        p = spark.read.parquet(f"{path}/params").collect()[0]
+        p = spark.read.parquet(f"{path}/params").collect()[0]  # bounded-collect: single-row params sidecar
         if "n" in kw and kw["n"] != int(p["n"]):
             raise ValueError(
                 f"grams at {path} were built with n={int(p['n'])}; "
@@ -136,7 +136,7 @@ class StreamingDecontaminationFilter:
                 F.count("*").alias("n"),
                 F.sum((F.col("keep") == 0).cast("long")).alias("dirty"),
                 *extra_aggs,
-            ).collect()[0]
+            ).collect()[0]  # bounded-collect: single aggregate row
             row = {
                 "batch_id": batch_id,
                 "n_docs": int(agg["n"]),

@@ -36,7 +36,7 @@ def freeze_weights(weights_df: DataFrame) -> list[tuple[int, int]]:
     """Collect the trained dense (bucket, w6) table into the frozen
     artifact the gate ships with — exactly ``n_buckets`` integer rows,
     the ONLY thing that crosses the driver."""
-    return [(int(r["bucket"]), int(r["w6"])) for r in weights_df.collect()]
+    return [(int(r["bucket"]), int(r["w6"])) for r in weights_df.collect()]  # bounded-collect: n_buckets rows
 
 
 def weights_state(frozen: list[tuple[int, int]]) -> dict:
@@ -105,7 +105,7 @@ class StreamingDSIRFilter:
             agg = flagged.agg(
                 F.count("*").alias("n"),
                 F.sum(F.col("_keep").cast("long")).alias("kept"),
-            ).collect()[0]
+            ).collect()[0]  # bounded-collect: single aggregate row
             self.history.append(
                 {
                     "batch_id": batch_id,

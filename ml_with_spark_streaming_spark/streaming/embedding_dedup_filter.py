@@ -19,6 +19,29 @@ is that apply side:
   pairs, and exact cosine over just those candidates gives the
   verdict — the batch never sees the corpus beyond its candidates.
 
+Two selectable CANDIDATE-VERIFY implementations, verdict-identical
+(mode parity is pinned by ``tests/test_embedding_dedup_stream.py``):
+
+* ``verify_mode="broadcast"`` (default — the small/medium-corpus fast
+  path): the reference vectors live in a driver-side CHUNK LIST of
+  numpy matrices, each chunk shipped to executors as its own
+  broadcast; one Arrow ``mapInPandas`` computes every batch row's
+  cosines against its candidates' rows. An accepted batch broadcasts
+  ONLY its own delta chunk — O(batch) driver copy and network, never
+  a regrowing-matrix rebroadcast; ``compact()`` merges the chunks
+  into one broadcast every ``compact_every`` accepted batches, so the
+  O(corpus) reship is amortized exactly like the signature-index
+  compaction it rides on. Driver RAM is corpus × dim × 8 B — the
+  budget cap that makes this the SMALL-corpus mode.
+* ``verify_mode="join"`` (the 100 TB path): candidates are joined to
+  the corpus VECTOR TABLE — the batch side broadcasts (batch-bounded)
+  and the corpus side streams through the join; nothing corpus-sized
+  is ever collected to the driver or broadcast. At scale the vector
+  table is persisted bucketed by id, so the candidate join is
+  co-located and touches only matching buckets; accepted batches
+  extend it with appended slices, the same segment discipline as the
+  band index.
+
 Scopes, mirroring the text gate's contract:
 
 * vs the CORPUS index (and, with ``grow_index=True``, vs every
@@ -57,30 +80,41 @@ from ml_with_spark_streaming_spark.operators.similarity import (
 )
 from ml_with_spark_streaming_spark.streaming.foreach import attach_foreach_batch
 
+_VERIFY_MODES = ("broadcast", "join")
 
-def _make_verify_fn(ref_bcast, batch_bcast, id_col: str, threshold: float):
-    """mapInPandas verifier: for each batch row, exact float64 cosine
-    of its vector against its candidate refs' rows in the broadcast
-    reference matrix; emit the id iff any ref clears the threshold.
-    The input rows carry ONLY (id, candidate-ref ids) — the vectors
-    come from the two broadcasts, so the pair fan-out never serializes
-    a vector. safe_denom twin: zero norms divide as 1."""
+
+def _make_verify_fn(chunk_bcasts, batch_bcast, id_col: str, threshold: float):
+    """mapInPandas verifier for broadcast mode: for each batch row,
+    exact float64 cosine of its vector against its candidate refs'
+    rows in the broadcast reference CHUNKS; emit the id iff any ref
+    clears the threshold. The input rows carry ONLY (id, candidate-ref
+    ids) — the vectors come from the broadcasts, so the pair fan-out
+    never serializes a vector. Each ref id is looked up across the
+    chunk list (bounded by compact_every + 1 chunks between
+    compactions). safe_denom twin: zero norms divide as 1."""
     import numpy as np
     import pandas as pd
 
     def fn(batches):
-        pos, mat, norms = ref_bcast.value
+        chunks = [bc.value for bc in chunk_bcasts]  # [(pos, mat, norms)]
         bvecs = batch_bcast.value
         for pdf in batches:
             out = []
             for i in range(len(pdf)):
-                refs = [pos[r] for r in pdf["_refs"][i] if r in pos]
-                if not refs:
+                vecs, nrms = [], []
+                for r in pdf["_refs"][i]:
+                    for pos, mat, norms in chunks:
+                        j = pos.get(r)
+                        if j is not None:
+                            vecs.append(mat[j])
+                            nrms.append(norms[j])
+                            break
+                if not vecs:
                     continue
                 v = np.asarray(bvecs[pdf[id_col][i]], dtype=np.float64)
                 nv = np.linalg.norm(v)
-                m = mat[refs]
-                nm = norms[refs]
+                m = np.stack(vecs)
+                nm = np.asarray(nrms)
                 cos = (m @ v) / (np.where(nm == 0, 1, nm) * (nv if nv else 1.0))
                 if (cos >= threshold).any():
                     out.append(pdf[id_col][i])
@@ -117,11 +151,19 @@ class StreamingEmbeddingDedup:
     seed: int = 42
     dim: int | None = None
     grow_index: bool = True
+    # candidate-verify implementation: "broadcast" (driver chunk list +
+    # Arrow verify — the fast path while corpus × dim × 8 B fits a
+    # driver RAM budget) or "join" (corpus vector table joined to the
+    # broadcast batch side — the 100 TB path, nothing corpus-sized on
+    # the driver). Verdict-identical, pinned by test.
+    verify_mode: str = "broadcast"
     on_kept: object = None
     history: list[dict] = field(default_factory=list)
     # merge accepted-batch slices back into one materialized table
     # every N accepted batches (the text gate's compaction contract:
-    # without it a long-running gate's union chain grows per batch)
+    # without it a long-running gate's union chain grows per batch).
+    # In broadcast mode this also merges the reference chunks into one
+    # broadcast — the only time the full matrix ships.
     compact_every: int | None = 16
     # micro-batches are scheduling-bound, not compute-bound: a 500-row
     # batch spread over local[32]'s 32 default partitions pays ~0.5 s
@@ -130,19 +172,20 @@ class StreamingEmbeddingDedup:
     # (e.g. for genuinely large per-trigger volumes).
     batch_partitions: int | None = 8
     _since_compact: int = field(default=0, init=False, repr=False)
-    # driver-side reference matrix for the verify stage: (id -> row,
-    # float64 matrix, precomputed norms), built ONCE from the corpus
-    # (O(corpus), amortized like the signature index build) and grown
-    # INCREMENTALLY by each accepted batch — per-batch cost O(batch).
-    # Broadcast to executors only when it changed. At 100 TB the
-    # verify is an id-bucket-co-located join instead; driver RAM here
-    # is vectors x dim x 8 bytes, the same budget the broadcast join
-    # it replaces would need.
-    _ref_pos: dict | None = field(default=None, init=False, repr=False)
-    _ref_mat: object = field(default=None, init=False, repr=False)
-    _ref_norms: object = field(default=None, init=False, repr=False)
-    _ref_bcast: object = field(default=None, init=False, repr=False)
-    _ref_dirty: bool = field(default=True, init=False, repr=False)
+    # broadcast-mode state: a LIST of reference chunks, each one
+    # broadcast handle whose value is (id->row dict, float64 matrix,
+    # precomputed norms). Chunk 0 is the corpus (built once, O(corpus)
+    # — the documented driver-RAM budget of this mode); every accepted
+    # batch appends its own O(batch) delta chunk; compact() merges.
+    # Always None in join mode (pinned by test).
+    _ref_chunks: list | None = field(default=None, init=False, repr=False)
+
+    def __post_init__(self) -> None:
+        if self.verify_mode not in _VERIFY_MODES:
+            raise ValueError(
+                f"verify_mode must be one of {_VERIFY_MODES}, got "
+                f"{self.verify_mode!r}"
+            )
 
     @classmethod
     def from_corpus(cls, corpus: DataFrame, **kw) -> "StreamingEmbeddingDedup":
@@ -162,10 +205,30 @@ class StreamingEmbeddingDedup:
         """Re-materialize the grown index union into single
         checkpointed tables (the text gate's compaction: plan depth
         and pinned slice RDDs return to O(1); verdict-neutral — the
-        union's CONTENT is unchanged, pinned by test). At scale this
-        is the segment-merge every vector store runs."""
+        union's CONTENT is unchanged, pinned by test). In broadcast
+        mode, also merge the reference chunks into ONE broadcast — the
+        amortization point for the full-matrix reship (ADVICE: never
+        per accepted batch). At scale this is the segment-merge every
+        vector store runs."""
         self.band_index = maybe_checkpoint(self.band_index)
         self.corpus = maybe_checkpoint(self.corpus.select(self.id_col, self.vec_col))
+        if self._ref_chunks is not None and len(self._ref_chunks) > 1:
+            import numpy as np
+
+            sc = self.corpus.sparkSession.sparkContext
+            vals = [bc.value for bc in self._ref_chunks]
+            mat = np.concatenate([m for _p, m, _n in vals])
+            norms = np.concatenate([n for _p, _m, n in vals])
+            pos: dict = {}
+            off = 0
+            for p, m, _n in vals:
+                for k, j in p.items():
+                    pos[k] = off + j
+                off += len(m)
+            merged = sc.broadcast((pos, mat, norms))
+            for bc in self._ref_chunks:
+                bc.unpersist()
+            self._ref_chunks = [merged]
         self._since_compact = 0
 
     def save_index(self, path: str) -> None:
@@ -190,6 +253,7 @@ class StreamingEmbeddingDedup:
         rescan. Knobs come from the params sidecar; conflicting
         overrides raise (mismatched planes/bands/seed make every
         stored signature unmatchable — a silently broken gate)."""
+        # bounded-collect: params sidecar is a single-row table
         p = spark.read.parquet(f"{path}/params").collect()[0]
         saved = {
             "n_planes": int(p["n_planes"]),
@@ -215,44 +279,94 @@ class StreamingEmbeddingDedup:
             safe_denom(norm_expr(v1)) * safe_denom(norm_expr(v2))
         )
 
-    def _ensure_ref_matrix(self) -> None:
+    # -- broadcast-mode reference chunks ------------------------------
+    @staticmethod
+    def _make_chunk(rows, dim):
         import numpy as np
 
-        if self._ref_mat is None:
+        pos = {r[0]: i for i, r in enumerate(rows)}
+        mat = (
+            np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+            if rows
+            else np.zeros((0, dim or 1))
+        )
+        return pos, mat, np.linalg.norm(mat, axis=1)
+
+    def _ensure_ref_chunks(self, sc) -> None:
+        if self._ref_chunks is None:
+            # bounded-collect: broadcast verify_mode is BY CONTRACT the
+            # small-corpus path (driver RAM budget corpus x dim x 8 B,
+            # module doc) and this init runs ONCE per gate life; the
+            # scale path is verify_mode="join", which never collects
             rows = self.corpus.select(self.id_col, self.vec_col).collect()
-            self._ref_pos = {r[0]: i for i, r in enumerate(rows)}
-            self._ref_mat = (
-                np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-                if rows
-                else np.zeros((0, self.dim or 1))
-            )
-            self._ref_norms = np.linalg.norm(self._ref_mat, axis=1)
-            self._ref_dirty = True
+            self._ref_chunks = [sc.broadcast(self._make_chunk(rows, self.dim))]
 
-    def _grow_ref_matrix(self, kept_rows) -> None:
-        import numpy as np
-
+    def _grow_ref_chunks(self, sc, kept_rows) -> None:
+        """Ship ONLY the accepted batch's delta as a new chunk —
+        O(batch) driver copy + network; the existing chunks are
+        untouched (no vstack of history, no full rebroadcast).
+        compact() merges chunks back to one."""
         if not kept_rows:
             return
-        add = np.stack([np.asarray(r[1], dtype=np.float64) for r in kept_rows])
-        base = len(self._ref_pos)
-        for i, r in enumerate(kept_rows):
-            self._ref_pos[r[0]] = base + i
-        self._ref_mat = np.vstack([self._ref_mat, add])
-        self._ref_norms = np.concatenate(
-            [self._ref_norms, np.linalg.norm(add, axis=1)]
-        )
-        self._ref_dirty = True
+        self._ref_chunks = self._ref_chunks + [
+            sc.broadcast(self._make_chunk(kept_rows, self.dim))
+        ]
 
-    def _ref_broadcast(self, sc):
-        if self._ref_dirty or self._ref_bcast is None:
-            if self._ref_bcast is not None:
-                self._ref_bcast.unpersist()
-            self._ref_bcast = sc.broadcast(
-                (self._ref_pos, self._ref_mat, self._ref_norms)
-            )
-            self._ref_dirty = False
-        return self._ref_bcast
+    # -- candidate verify, per mode ------------------------------------
+    def _near_ids_broadcast(self, cand, b, bvecs, sc) -> set:
+        """Exact cosine verify over candidates, broadcast mode. The
+        pair fan-out is batch x dozens (8-bit bands give ~corpus/256
+        refs per band per row), so attaching vectors per pair would
+        push pair-count x dim doubles through the plan — instead the
+        candidate ref LISTS are grouped per batch row (ints only) and
+        one mapInPandas computes each row's cosines against the
+        broadcast reference chunks (float64, safe-denom —
+        bit-identical math)."""
+        from pyspark.sql.types import StructField, StructType
+
+        self._ensure_ref_chunks(sc)
+        batch_bcast = sc.broadcast(bvecs)
+        cand_sets = cand.groupBy(self.id_col).agg(
+            F.collect_set(f"_ref_{self.id_col}").alias("_refs")
+        )
+        if self.batch_partitions is not None:
+            cand_sets = cand_sets.coalesce(self.batch_partitions)
+        verify = _make_verify_fn(
+            list(self._ref_chunks), batch_bcast, self.id_col, self.threshold
+        )
+        # bounded-collect: near-duplicate ids are a subset of the batch
+        near = {
+            r[0]
+            for r in cand_sets.mapInPandas(
+                verify,
+                StructType([StructField(self.id_col, b.schema[self.id_col].dataType)]),
+            ).collect()  # bounded-collect: subset of the batch
+        }
+        batch_bcast.unpersist()
+        return near
+
+    def _near_ids_join(self, cand, b) -> set:
+        """Exact cosine verify over candidates, join mode: candidates
+        (with the batch vector attached from the broadcast batch side)
+        join the corpus VECTOR TABLE on the ref id — the corpus-sized
+        side streams through a hash join against the batch-bounded
+        broadcast side; nothing corpus-sized reaches the driver. At
+        100 TB the vector table is persisted bucketed by id so this
+        join is co-located and reads only matching buckets."""
+        ref_id = f"_ref_{self.id_col}"
+        bv = b.withColumnRenamed(self.vec_col, "_bv")
+        rv = self.corpus.select(
+            F.col(self.id_col).alias(ref_id), F.col(self.vec_col).alias("_rv")
+        )
+        pairs = F.broadcast(cand.join(bv, self.id_col))
+        near = (
+            pairs.join(rv, ref_id)
+            .filter(self._cosine(F.col("_bv"), F.col("_rv")) >= F.lit(self.threshold))
+            .select(self.id_col)
+            .distinct()
+        )
+        # bounded-collect: near-duplicate ids are a subset of the batch
+        return {r[0] for r in near.collect()}
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.select(self.id_col, self.vec_col)
@@ -304,12 +418,14 @@ class StreamingEmbeddingDedup:
             )
         )
 
-        # the batch's vectors, once, as a python broadcast: the exact
-        # verify, the candidate verify, and the (formerly three
-        # separate) per-batch SQL broadcast builds all read from it
+        # the batch's vectors, once, on the driver: the intra-batch
+        # exact verify reads them in place, broadcast mode re-ships
+        # them as the verify's batch side, and accepted rows become the
+        # delta chunk — all without re-collecting.
+        # bounded-collect: one micro-batch of vectors, O(batch) by
+        # definition of the trigger
         sc = b.sparkSession.sparkContext
         bvecs = {r[0]: r[1] for r in b.collect()}
-        batch_bcast = sc.broadcast(bvecs)
 
         # intra-batch duplicates: identical full signatures nominate a
         # candidate pair (id, bucket-first), keep-first by id — but a
@@ -318,7 +434,8 @@ class StreamingEmbeddingDedup:
         # (two distinct sub-threshold vectors collide on all bits with
         # ~(1 - theta/pi)^n_planes probability). Signatures are
         # batch-count short strings, so the grouping+verify runs on the
-        # driver against the batch broadcast — zero extra jobs.
+        # driver against the collected batch — zero extra jobs.
+        # bounded-collect: one signature row per batch row
         sig_rows = full_sig.collect()
         by_sig: dict = {}
         for r in sig_rows:
@@ -348,39 +465,18 @@ class StreamingEmbeddingDedup:
             )
             .select(self.id_col, ref_id)
         )
-        # exact cosine verify over candidates only. The pair fan-out is
-        # batch x dozens (8-bit bands give ~corpus/256 refs per band per
-        # row), so attaching vectors per pair would push pair-count x
-        # dim doubles through the plan — instead the candidate ref
-        # LISTS are grouped per batch row (ints only) and one
-        # mapInPandas computes each row's cosines against the broadcast
-        # reference matrix (float64, safe-denom — bit-identical math).
-        # The near set is batch-bounded, so it collects to the driver
-        # (no materialization job, no count jobs).
-        self._ensure_ref_matrix()
-        cand_sets = cand.groupBy(self.id_col).agg(
-            F.collect_set(ref_id).alias("_refs")
-        )
-        if self.batch_partitions is not None:
-            cand_sets = cand_sets.coalesce(self.batch_partitions)
-        verify = _make_verify_fn(
-            self._ref_broadcast(sc), batch_bcast, self.id_col, self.threshold
-        )
-        from pyspark.sql.types import StructField, StructType
-
-        near_drop_ids = {
-            r[0]
-            for r in cand_sets.mapInPandas(
-                verify,
-                StructType([StructField(self.id_col, b.schema[self.id_col].dataType)]),
-            ).collect()
-        }
+        if self.verify_mode == "join":
+            near_drop_ids = self._near_ids_join(cand, b)
+        else:
+            near_drop_ids = self._near_ids_broadcast(cand, b, bvecs, sc)
         n_exact = len(exact_drop_ids)
         n_near = len(near_drop_ids)
 
         drop_ids = exact_drop_ids | near_drop_ids
         kept_rows = [(i, v) for i, v in bvecs.items() if i not in drop_ids]
         if drop_ids:
+            from pyspark.sql.types import StructField, StructType
+
             drops_df = b.sparkSession.createDataFrame(
                 [(i,) for i in sorted(drop_ids)],
                 StructType([StructField(self.id_col, b.schema[self.id_col].dataType)]),
@@ -391,7 +487,6 @@ class StreamingEmbeddingDedup:
         else:
             kept = b
         n_kept = n_in - len(drop_ids)
-        batch_bcast.unpersist()
         self.history.append(
             {
                 "batch_id": batch_id,
@@ -409,9 +504,10 @@ class StreamingEmbeddingDedup:
             self.corpus = self.corpus.select(self.id_col, self.vec_col).unionByName(
                 kept.select(self.id_col, self.vec_col)
             )
-            # grow the driver-side reference matrix incrementally from
-            # the already-collected batch vectors (no extra job)
-            self._grow_ref_matrix(kept_rows)
+            if self._ref_chunks is not None:
+                # broadcast mode only: ship the delta chunk from the
+                # already-collected batch vectors (no extra job)
+                self._grow_ref_chunks(sc, kept_rows)
             self._since_compact += 1
             if self.compact_every is not None and self._since_compact >= self.compact_every:
                 self.compact()

@@ -60,7 +60,7 @@ class StreamingEntropyFilter:
                 F.count("*").alias("n"),
                 F.sum(F.col("_keep").cast("long")).alias("kept"),
                 F.sum(F.col("entropy_x1e6").isNull().cast("long")).alias("unscored"),
-            ).collect()[0]
+            ).collect()[0]  # bounded-collect: single aggregate row
             self.history.append(
                 {
                     "batch_id": batch_id,

@@ -68,7 +68,7 @@ class StreamingHeavyHitters:
                 grams.join(F.broadcast(cands), "gram")
                 .groupBy("gram")
                 .agg(F.count("*").cast("long").alias("cnt"))
-                .collect()
+                .collect()  # bounded-collect: joined to the sketch's candidate set (k-bounded)
             )
         finally:
             grams.unpersist()

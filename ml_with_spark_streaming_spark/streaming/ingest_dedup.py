@@ -198,7 +198,7 @@ class StreamingIngestDedup:
         saved params sidecar; passing conflicting values raises (a
         mismatched k or bands would make every stored band hash
         unmatchable — a silently broken gate)."""
-        p = spark.read.parquet(f"{path}/params").collect()[0]
+        p = spark.read.parquet(f"{path}/params").collect()[0]  # bounded-collect: single-row params sidecar
         saved = {"k": int(p["k"]), "bands": int(p["bands"]), "threshold": float(p["threshold"])}
         for name, val in saved.items():
             if name in kw and kw[name] != val:
@@ -304,7 +304,7 @@ class StreamingIngestDedup:
                     F.sum(F.coalesce("_exact", F.lit(0))).alias("ex"),
                     F.sum(F.coalesce("_near", F.lit(0))).alias("nr"),
                     F.sum(F.col("_keep").cast("long")).alias("kept"),
-                ).collect()[0]
+                ).collect()[0]  # bounded-collect: single aggregate row
                 self.history.append(
                     {
                         "batch_id": batch_id,

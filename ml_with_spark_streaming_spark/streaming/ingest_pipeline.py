@@ -119,6 +119,7 @@ class StreamingIngestPipeline:
         eval_corpus: DataFrame | None = None,
         embedding_corpus: DataFrame | None = None,
         embedding_threshold: float = 0.95,
+        embedding_verify_mode: str = "broadcast",
         vec_col: str = "embedding",
         segment_width: int | None = None,
         segment_quality_threshold_x100: int | None = None,
@@ -160,6 +161,7 @@ class StreamingIngestPipeline:
                 id_col=col_kw.get("id_col", "doc_id"),
                 vec_col=vec_col,
                 threshold=embedding_threshold,
+                verify_mode=embedding_verify_mode,
             )
             if embedding_corpus is not None
             else None
@@ -252,6 +254,7 @@ class StreamingIngestPipeline:
                     "grow_index": self.embdedup.grow_index,
                     "compact_every": self.embdedup.compact_every,
                     "dim": self.embdedup.dim,
+                    "verify_mode": self.embdedup.verify_mode,
                 }
             ),
             "segdedup": (
@@ -355,6 +358,7 @@ class StreamingIngestPipeline:
                 grow_index=m["embdedup"]["grow_index"],
                 compact_every=m["embdedup"]["compact_every"],
                 dim=m["embdedup"]["dim"],
+                verify_mode=m["embdedup"].get("verify_mode", "broadcast"),
             )
         segdedup = None
         if m["segdedup"] is not None:

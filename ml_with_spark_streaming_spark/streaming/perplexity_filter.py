@@ -122,7 +122,7 @@ class StreamingPerplexityFilter:
                 F.count("*").alias("n"),
                 F.sum(F.col("_keep").cast("long")).alias("kept"),
                 F.sum((F.col("n_bigrams") == 0).cast("long")).alias("unscored"),
-            ).collect()[0]
+            ).collect()[0]  # bounded-collect: single aggregate row
             self.history.append(
                 {
                     "batch_id": batch_id,

@@ -38,7 +38,7 @@ def freeze_weights(weights_df: DataFrame) -> list[tuple[str, int]]:
     """Collect the trained (fb, w) table into the frozen artifact the
     filter ships with — ≤4096 rows (bounded by the bucket space), the
     ONLY thing that crosses the driver."""
-    return [(r["fb"], int(r["w"])) for r in weights_df.collect()]
+    return [(r["fb"], int(r["w"])) for r in weights_df.collect()]  # bounded-collect: <=4096-row weight table
 
 
 def weights_state(frozen: list[tuple[str, int]]) -> dict:
@@ -102,7 +102,7 @@ class StreamingQualityFilter:
         try:
             agg = flagged.agg(
                 F.count("*").alias("n"), F.sum(F.col("_keep").cast("long")).alias("kept")
-            ).collect()[0]
+            ).collect()[0]  # bounded-collect: single aggregate row
             self.history.append(
                 {"batch_id": batch_id, "n_docs": int(agg["n"]), "n_kept": int(agg["kept"] or 0)}
             )

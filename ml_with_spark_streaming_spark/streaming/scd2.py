@@ -222,7 +222,7 @@ class StreamingScd2:
 
         affected_buckets = sorted(
             r[0]
-            for r in chg.select(self._bucket_expr().alias("b")).distinct().collect()
+            for r in chg.select(self._bucket_expr().alias("b")).distinct().collect()  # bounded-collect: distinct buckets of one batch (<= n_buckets)
         )
         state = self._read_state(
             spark, manifest, bucket_ids=set(affected_buckets)

@@ -118,7 +118,7 @@ class StreamingSegmentDedup:
         """Resume a gate from a persisted index (``save_index``) — no
         corpus rescan. Width comes from the params sidecar; passing a
         conflicting width raises."""
-        p = spark.read.parquet(f"{path}/params").collect()[0]
+        p = spark.read.parquet(f"{path}/params").collect()[0]  # bounded-collect: single-row params sidecar
         if "width" in kw and kw["width"] != int(p["width"]):
             raise ValueError(
                 f"index at {path} was built with width={int(p['width'])}; "
@@ -171,7 +171,7 @@ class StreamingSegmentDedup:
                 F.sum("n_segs").alias("ns"),
                 F.sum(F.col("n_segs") - F.col("n_kept")).alias("nc"),
                 F.sum((F.col("n_kept") > 0).cast("long")).alias("nk"),
-            ).collect()[0]
+            ).collect()[0]  # bounded-collect: single aggregate row
             n_in = batch_df.count()
             self.history.append(
                 {

@@ -61,7 +61,7 @@ class StreamingSegmentQuality:
             F.coalesce(
                 F.sum((F.col("n_kept") > 0).cast("long")), F.lit(0)
             ).alias("n_docs_kept"),
-        ).collect()[0]
+        ).collect()[0]  # bounded-collect: single aggregate row
         self.history.append(
             {
                 "batch_id": batch_id,

@@ -193,7 +193,7 @@ class StreamingTrainer:
             groups = (
                 pred.groupBy("target", "prediction", "_holdout", "_q")
                 .agg(F.count("*").alias("n"))
-                .collect()
+                .collect()  # bounded-collect: confusion-matrix cells (classes^2 x 2 x quality)
             )
             if not groups:  # reference crashes then swallows; we guard
                 return

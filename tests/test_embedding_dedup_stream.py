@@ -228,3 +228,97 @@ def test_signature_collision_without_near_cosine_is_kept(spark):
     gate2.process_batch(spark.createDataFrame([(0, v), (1, v)], _SCHEMA), 0)
     assert gate2.history[-1]["n_exact"] == 1
     assert gate2.history[-1]["n_kept"] == 1
+
+
+def test_verify_mode_parity_and_scale_behavior(spark):
+    """verify_mode="join" and "broadcast" must be verdict-identical on
+    the same stream, join mode must never materialize the driver-side
+    reference chunks (the 100 TB contract: nothing corpus-sized is
+    collected or broadcast), and broadcast mode must ship ONLY the
+    per-batch delta as a new chunk (no full-matrix rebroadcast until
+    compact())."""
+    rnd = random.Random(13)
+    corpus_rows = _mk_corpus(rnd)
+    novel1 = [rnd.gauss(0, 1) for _ in range(_DIM)]
+    dup_vec = [rnd.gauss(0, 1) for _ in range(_DIM)]
+    batches = [
+        [
+            (100, _jitter(rnd, corpus_rows[0][1])),  # near-dup of corpus 0
+            (101, novel1),                           # novel -> accepted
+            (102, dup_vec),                          # intra-batch pair:
+            (103, dup_vec),                          # keep-first (102)
+        ],
+        [
+            (200, _jitter(rnd, novel1)),             # near-dup of ACCEPTED 101
+            (201, [rnd.gauss(0, 1) for _ in range(_DIM)]),  # novel
+            (202, _jitter(rnd, corpus_rows[5][1])),  # near-dup of corpus 5
+        ],
+        [
+            (300, _jitter(rnd, dup_vec)),            # near-dup of accepted 102
+            (301, [rnd.gauss(0, 1) for _ in range(_DIM)]),  # novel
+        ],
+    ]
+
+    gates, kept = {}, {}
+    for mode in ("broadcast", "join"):
+        corpus = spark.createDataFrame(corpus_rows, _SCHEMA)
+        g = StreamingEmbeddingDedup.from_corpus(
+            corpus, threshold=0.95, dim=_DIM, verify_mode=mode,
+            compact_every=100,  # keep chunks un-merged for the delta check
+        )
+        ks: set[int] = set()
+        g.on_kept = lambda df, bid, s=ks: s.update(r.vec_id for r in df.collect())
+        for bid, rows in enumerate(batches):
+            g.process_batch(spark.createDataFrame(rows, _SCHEMA), bid)
+        gates[mode], kept[mode] = g, ks
+
+    # verdict parity, batch by batch
+    strip = lambda h: [
+        {k: r[k] for k in ("batch_id", "n_vecs", "n_exact", "n_near", "n_kept")}
+        for r in h
+    ]
+    assert strip(gates["join"].history) == strip(gates["broadcast"].history)
+    assert kept["join"] == kept["broadcast"] == {101, 102, 201, 301}
+
+    # join mode: the driver-side reference chunks were NEVER built
+    assert gates["join"]._ref_chunks is None
+
+    # broadcast mode: chunk 0 = corpus, then exactly one O(batch) delta
+    # chunk per accepted batch — the existing chunks are not re-shipped
+    chunks = gates["broadcast"]._ref_chunks
+    assert [len(c.value[1]) for c in chunks] == [12, 2, 1, 1]
+
+    # compact() merges to one chunk and stays verdict-identical
+    g = gates["broadcast"]
+    g.compact()
+    assert len(g._ref_chunks) == 1 and len(g._ref_chunks[0].value[1]) == 16
+    g.process_batch(
+        spark.createDataFrame([(400, _jitter(rnd, novel1))], _SCHEMA), 3
+    )
+    gj = gates["join"]
+    gj.process_batch(
+        spark.createDataFrame([(400, _jitter(rnd, novel1))], _SCHEMA), 3
+    )
+    assert strip(g.history[-1:]) == strip(gj.history[-1:])
+    assert g.history[-1]["n_near"] == 1 and g.history[-1]["n_kept"] == 0
+
+
+def test_verify_mode_validation_and_state_roundtrip(spark, tmp_path):
+    import pytest
+
+    rnd = random.Random(17)
+    corpus = spark.createDataFrame(_mk_corpus(rnd), _SCHEMA)
+    with pytest.raises(ValueError, match="verify_mode"):
+        StreamingEmbeddingDedup.from_corpus(corpus, dim=_DIM, verify_mode="nope")
+
+    g = StreamingEmbeddingDedup.from_corpus(
+        corpus, threshold=0.95, dim=_DIM, verify_mode="join"
+    )
+    idx = str(tmp_path / "emb_idx_join")
+    g.save_index(idx)
+    r = StreamingEmbeddingDedup.from_index_path(
+        spark, idx, dim=_DIM, verify_mode="join"
+    )
+    assert r.verify_mode == "join"
+    r.process_batch(spark.createDataFrame([(1, [1.0] * _DIM)], _SCHEMA), 0)
+    assert r._ref_chunks is None
