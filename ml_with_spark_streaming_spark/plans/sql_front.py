@@ -33,10 +33,12 @@ self-referencing one (seed with the non-recursive members; loop
 ``spark.sql`` over the recursive members; union-distinct; stop when
 the row set stops growing — bounded by the component diameter).
 
-Queries stay EXCLUDED when their twin needs semantics Spark SQL
-lacks — after round 9 that is exactly one: ``ASOF JOIN`` (q29);
-141 of the 142 oracled queries run from their SQL text. Former
-blockers closed mechanically in round 9: struct literals
+A fourth tier, ``SQL_ASOF``, lowers DuckDB's ``ASOF JOIN`` — syntax
+Spark SQL does not have — to the union + running ``last() ignore
+nulls`` window form the q29 DataFrame path uses
+(``rewrite_asof_join``). With it, ALL 142 oracled queries run from
+their SQL text; the exclusion list is empty. Former blockers closed
+mechanically in round 9: struct literals
 ``{'k': v}`` → ``named_struct`` (q65) and the WITH RECURSIVE tier;
 in round 8:
 ``list_reduce`` folds (head-seeded ``aggregate``), ``ord``→``ascii``,
@@ -232,6 +234,14 @@ SQL_RECURSIVE: tuple[str, ...] = (
     "q134_canonical_selection",
     "q158_hard_negatives",
 )
+
+# A fourth tier: twins using DuckDB's ASOF JOIN — syntax Spark SQL does
+# not have at all. ``rewrite_asof_join`` lowers the supported shape to
+# the union + running last() window formulation the q29 DataFrame path
+# already uses (one shuffle on the key, linear scan per partition —
+# never a per-row range explosion); parity with the DataFrame path is
+# pinned like every other promoted query.
+SQL_ASOF: tuple[str, ...] = ("q29_asof_purchase_view",)
 
 
 # --- the mechanical DuckDB -> Spark SQL dialect layer ---------------
@@ -1050,7 +1060,129 @@ def run_recursive_sql(spark: SparkSession, sql: str) -> DataFrame:
             if cols:
                 df = df.toDF(*cols)
         df.createOrReplaceTempView(name)
-    return spark.sql(final)
+    out = spark.sql(final)
+    # the final plan is ANALYZED above (view plans are captured at
+    # spark.sql time), so the scaffolding views can be dropped — left
+    # registered, a CTE named like a base table (or another query's
+    # CTE) would shadow it for every later run_sql in this session
+    for name, _cols, _body in ctes:
+        spark.catalog.dropTempView(name)
+    return out
+
+
+_ASOF_RE = re.compile(r"\bASOF\s+JOIN\b", re.IGNORECASE)
+_ASOF_ON_RE = re.compile(
+    r"(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s+AND\s+(\w+)\.(\w+)\s*>=\s*(\w+)\.(\w+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def rewrite_asof_join(sql: str) -> str:
+    """Lower ``FROM (<l>) la ASOF JOIN (<r>) ra ON la.k = ra.k AND
+    la.t >= ra.t`` to plain Spark SQL: tag-union both sides, take the
+    running ``last(t) ignore nulls`` of the RIGHT rows over a window
+    partitioned by the key and ordered by (t, tag) — right rows sort
+    first at equal t, giving the INCLUSIVE ``>=`` match — then keep
+    left rows with a match. Exactly the q29 DataFrame formulation:
+    one shuffle on the key, a linear scan per partition, no range
+    explosion, no per-row subquery.
+
+    Supported shape (everything else raises, loudly): parenthesized
+    SAME-SCHEMA sides (the union is positional), one equality key, an
+    inclusive ``>=`` time predicate, and right-side references in the
+    SELECT list / tail limited to ``ra.t`` (the matched as-of
+    timestamp). That is the surface the registered twins use; widening
+    it means widening the parity-pin set first."""
+    m = _ASOF_RE.search(sql)
+    qmap = _in_quote_map(sql)
+    if m is None or qmap[m.start()]:
+        return sql
+    # left side: the last top-level "FROM (" before ASOF JOIN
+    from_m = None
+    for fm in re.finditer(r"\bFROM\s*\(", sql[: m.start()], re.IGNORECASE):
+        if not qmap[fm.start()]:
+            from_m = fm
+    if from_m is None:
+        raise ValueError("ASOF JOIN: left side must be a parenthesized subquery")
+    lopen = from_m.end() - 1
+    lclose = _match_paren(sql, lopen, qmap)
+    lsub = sql[lopen + 1 : lclose]
+    lal = re.match(r"\s*(?:AS\s+)?(\w+)\s*$", sql[lclose + 1 : m.start()], re.IGNORECASE)
+    if lal is None:
+        raise ValueError("ASOF JOIN: left subquery must carry an alias")
+    lalias = lal.group(1)
+    # right side: "( <sub> ) alias ON"
+    rm = re.compile(r"\s*\(").match(sql, m.end())
+    if rm is None:
+        raise ValueError("ASOF JOIN: right side must be a parenthesized subquery")
+    ropen = rm.end() - 1
+    rclose = _match_paren(sql, ropen, qmap)
+    rsub = sql[ropen + 1 : rclose]
+    ral = re.compile(r"\s*(?:AS\s+)?(\w+)\s+ON\s+", re.IGNORECASE).match(
+        sql, rclose + 1
+    )
+    if ral is None:
+        raise ValueError("ASOF JOIN: right subquery must carry an alias, then ON")
+    ralias = ral.group(1)
+    # ON body runs to the next top-level clause keyword (or the end)
+    tail_m = re.compile(
+        r"\b(ORDER\s+BY|GROUP\s+BY|WHERE|LIMIT|HAVING)\b", re.IGNORECASE
+    ).search(sql, ral.end())
+    while tail_m is not None and qmap[tail_m.start()]:
+        tail_m = tail_m.re.search(sql, tail_m.end())
+    on_end = tail_m.start() if tail_m else len(sql)
+    on_body = sql[ral.end() : on_end].strip()
+    tail = sql[on_end:]
+    onm = _ASOF_ON_RE.match(on_body)
+    if onm is None:
+        raise ValueError(
+            f"ASOF JOIN: unsupported ON shape {on_body!r} — need "
+            "`la.k = ra.k AND la.t >= ra.t`"
+        )
+    a1, k1, a2, k2, a3, t1, a4, t2 = onm.groups()
+    key = {a1: k1, a2: k2}
+    tcols = {a3: t1, a4: t2}
+    if set(key) != {lalias, ralias} or set(tcols) != {lalias, ralias}:
+        raise ValueError("ASOF JOIN: ON must relate the two join aliases")
+    if key[lalias] != key[ralias]:
+        raise ValueError("ASOF JOIN: equality key must be the same column name")
+    if a3 != lalias:
+        raise ValueError("ASOF JOIN: time predicate must be `left.t >= right.t`")
+    kcol, tcol = key[lalias], tcols[lalias]
+    if tcols[ralias] != tcol:
+        raise ValueError("ASOF JOIN: time column must be the same name on both sides")
+    # SELECT list: between the statement's leading SELECT and the FROM
+    sel_m = re.compile(r"^\s*SELECT\b", re.IGNORECASE).match(sql)
+    if sel_m is None:
+        raise ValueError("ASOF JOIN rewrite expects a top-level SELECT")
+    select_list = sql[sel_m.end() : from_m.start()]
+    # the matched right-side timestamp is the window's running last
+    select_list = re.sub(rf"\b{ralias}\.{tcol}\b", "_asof_rt", select_list)
+    for txt, where in ((select_list, "SELECT list"), (tail, "trailing clauses")):
+        if re.search(rf"\b{ralias}\.", txt):
+            raise ValueError(
+                f"ASOF JOIN: {where} may reference the right side only "
+                f"through {ralias}.{tcol} (the matched as-of timestamp)"
+            )
+    return (
+        f"WITH _asof_l AS ({lsub}),\n"
+        f"_asof_r AS ({rsub}),\n"
+        "_asof_all AS (\n"
+        "  SELECT *, 1 AS _is_l FROM _asof_l\n"
+        "  UNION ALL\n"
+        "  SELECT *, 0 AS _is_l FROM _asof_r\n"
+        "),\n"
+        "_asof_m AS (\n"
+        f"  SELECT *, LAST(CASE WHEN _is_l = 0 THEN {tcol} END, TRUE) OVER (\n"
+        f"    PARTITION BY {kcol} ORDER BY {tcol}, _is_l\n"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _asof_rt\n"
+        "  FROM _asof_all\n"
+        ")\n"
+        f"SELECT {select_list.strip()}\n"
+        f"FROM _asof_m {lalias}\n"
+        "WHERE _is_l = 1 AND _asof_rt IS NOT NULL\n"
+        f"{tail}"
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -1076,6 +1208,9 @@ def run_sql(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in SQL_RECURSIVE:
         register_views(spark, sf_dir)
         return run_recursive_sql(spark, spark_dialect(ORACLES[name]))
+    if name in SQL_ASOF:
+        register_views(spark, sf_dir)
+        return spark.sql(rewrite_asof_join(spark_dialect(ORACLES[name])))
     raise ValueError(
         f"{name!r} has a SQL twin for the oracle harness, but it uses "
         "DuckDB-only surface the dialect layer doesn't map — use the "

@@ -9,9 +9,11 @@ import pytest
 
 from ml_with_spark_streaming_spark.plans import QUERIES
 from ml_with_spark_streaming_spark.plans.sql_front import (
+    SQL_ASOF,
     SQL_RECURSIVE,
     SQL_REWRITTEN,
     SQL_RUNNABLE,
+    rewrite_asof_join,
     run_sql,
     spark_dialect,
 )
@@ -28,7 +30,7 @@ def _rows(df):
     )
 
 
-@pytest.mark.parametrize("name", SQL_RUNNABLE + SQL_REWRITTEN + SQL_RECURSIVE)
+@pytest.mark.parametrize("name", SQL_RUNNABLE + SQL_REWRITTEN + SQL_RECURSIVE + SQL_ASOF)
 def test_sql_text_matches_dataframe_api(spark, name):
     sql_df = run_sql(spark, SF, name)
     api_df = QUERIES[name](spark, SF)
@@ -37,7 +39,7 @@ def test_sql_text_matches_dataframe_api(spark, name):
 
 
 def test_tiers_are_disjoint_and_rewrites_change_text(spark):
-    tiers = [set(SQL_RUNNABLE), set(SQL_REWRITTEN), set(SQL_RECURSIVE)]
+    tiers = [set(SQL_RUNNABLE), set(SQL_REWRITTEN), set(SQL_RECURSIVE), set(SQL_ASOF)]
     for i, a in enumerate(tiers):
         for b in tiers[i + 1 :]:
             assert not a & b
@@ -52,12 +54,39 @@ def test_tiers_are_disjoint_and_rewrites_change_text(spark):
 
 
 def test_run_sql_rejects_non_portable_and_unknown(spark):
-    with pytest.raises(ValueError):
-        run_sql(spark, SF, "q29_asof_purchase_view")  # ASOF JOIN: no Spark twin
     with pytest.raises(KeyError):
         run_sql(spark, SF, "q47_stemmed_tokens")  # no SQL twin at all
     with pytest.raises(KeyError):
         run_sql(spark, SF, "nope")
+
+
+def test_every_oracled_query_runs_from_sql_text(spark):
+    """The front door is CLOSED at 142/142: every registered query with
+    a SQL twin belongs to exactly one runnable tier — the exclusion
+    list is empty."""
+    from ml_with_spark_streaming_spark.plans.registry import ORACLES
+
+    oracled = {n for n, sql in ORACLES.items() if sql is not None}
+    tiered = set(SQL_RUNNABLE) | set(SQL_REWRITTEN) | set(SQL_RECURSIVE) | set(SQL_ASOF)
+    assert tiered <= oracled
+    assert oracled - tiered == set(), "oracled queries missing a SQL-front tier"
+
+
+def test_asof_rewriter_guards(spark):
+    """rewrite_asof_join: pass-through without ASOF, loud failures on
+    unsupported shapes (exclusive predicate; right-side column other
+    than the as-of timestamp)."""
+    assert rewrite_asof_join("SELECT 1") == "SELECT 1"
+    # quoted mention is not a join
+    assert rewrite_asof_join("SELECT 'ASOF JOIN' AS s") == "SELECT 'ASOF JOIN' AS s"
+    base = (
+        "SELECT p.a, {sel} FROM (SELECT * FROM t) p "
+        "ASOF JOIN (SELECT * FROM t) v ON p.k = v.k AND {pred}"
+    )
+    with pytest.raises(ValueError, match="ON shape"):
+        rewrite_asof_join(base.format(sel="v.ts", pred="p.ts > v.ts"))
+    with pytest.raises(ValueError, match="matched as-of timestamp"):
+        rewrite_asof_join(base.format(sel="v.other", pred="p.ts >= v.ts"))
 
 
 def test_dialect_rewrites_are_quote_aware_and_scoped(spark):
