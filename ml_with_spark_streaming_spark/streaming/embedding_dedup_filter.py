@@ -35,11 +35,13 @@ Two selectable CANDIDATE-VERIFY implementations, verdict-identical
   budget cap that makes this the SMALL-corpus mode.
 * ``verify_mode="join"`` (the 100 TB path): candidates are joined to
   the corpus VECTOR TABLE — the batch side broadcasts (batch-bounded)
-  and the corpus side streams through the join; nothing corpus-sized
-  is ever collected to the driver or broadcast. At scale the vector
-  table is persisted bucketed by id, so the candidate join is
-  co-located and touches only matching buckets; accepted batches
-  extend it with appended slices, the same segment discipline as the
+  and the corpus side streams through the hash join with no shuffle;
+  nothing corpus-sized is ever collected to the driver or broadcast.
+  To also avoid SCANNING the whole vector table per micro-batch at
+  real scale, persist it partitioned by an id-hash bucket column and
+  put that column in the join key — dynamic partition pruning then
+  reads only the candidates' buckets; accepted batches extend the
+  table with appended slices, the same segment discipline as the
   band index.
 
 Scopes, mirroring the text gate's contract:
@@ -350,9 +352,11 @@ class StreamingEmbeddingDedup:
         (with the batch vector attached from the broadcast batch side)
         join the corpus VECTOR TABLE on the ref id — the corpus-sized
         side streams through a hash join against the batch-bounded
-        broadcast side; nothing corpus-sized reaches the driver. At
-        100 TB the vector table is persisted bucketed by id so this
-        join is co-located and reads only matching buckets."""
+        broadcast side; nothing corpus-sized reaches the driver, and
+        the corpus is never shuffled. At 100 TB, persist the vector
+        table partitioned by an id-hash bucket column and include it
+        in the join key so dynamic partition pruning confines the scan
+        to the candidates' buckets (module doc)."""
         ref_id = f"_ref_{self.id_col}"
         bv = b.withColumnRenamed(self.vec_col, "_bv")
         rv = self.corpus.select(
