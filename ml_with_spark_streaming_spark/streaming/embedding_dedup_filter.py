@@ -37,10 +37,12 @@ Two selectable CANDIDATE-VERIFY implementations, verdict-identical
   the corpus VECTOR TABLE — the batch side broadcasts (batch-bounded)
   and the corpus side streams through the hash join with no shuffle;
   nothing corpus-sized is ever collected to the driver or broadcast.
-  To also avoid SCANNING the whole vector table per micro-batch at
-  real scale, persist it partitioned by an id-hash bucket column and
-  put that column in the join key — dynamic partition pruning then
-  reads only the candidates' buckets; accepted batches extend the
+  With ``bucket_partitions=N`` the table carries (and ``save_index``
+  persists, partitioned by) an id-hash bucket column ``_vb``, and the
+  verify first filters to the batch's candidate buckets — a STATIC
+  partition predicate, so the parquet scan reads only those
+  directories instead of the whole corpus per micro-batch
+  (partition-pruned plan pinned by test); accepted batches extend the
   table with appended slices, the same segment discipline as the
   band index.
 
@@ -159,6 +161,14 @@ class StreamingEmbeddingDedup:
     # broadcast batch side — the 100 TB path, nothing corpus-sized on
     # the driver). Verdict-identical, pinned by test.
     verify_mode: str = "broadcast"
+    # join-mode scan pruning: with N set, the vector table carries a
+    # ``_vb = pmod(xxhash64(id), N)`` column, ``save_index`` persists
+    # it PARTITIONED by _vb, and the verify filters the table to the
+    # batch's candidate buckets before the join — the parquet scan
+    # reads only those partitions (partition-pruned, pinned by test)
+    # instead of the whole corpus per micro-batch. The candidate
+    # bucket set is batch-bounded by construction.
+    bucket_partitions: int | None = None
     on_kept: object = None
     history: list[dict] = field(default_factory=list)
     # merge accepted-batch slices back into one materialized table
@@ -182,12 +192,36 @@ class StreamingEmbeddingDedup:
     # Always None in join mode (pinned by test).
     _ref_chunks: list | None = field(default=None, init=False, repr=False)
 
+    # observability for the pruning pin: the bucket values the last
+    # join-mode verify confined its corpus scan to (None = unpruned)
+    _last_join_buckets: list | None = field(default=None, init=False, repr=False)
+
     def __post_init__(self) -> None:
         if self.verify_mode not in _VERIFY_MODES:
             raise ValueError(
                 f"verify_mode must be one of {_VERIFY_MODES}, got "
                 f"{self.verify_mode!r}"
             )
+        if self.bucket_partitions is not None:
+            if self.verify_mode != "join":
+                raise ValueError(
+                    "bucket_partitions prunes the join-mode corpus scan; "
+                    "broadcast mode never scans the corpus per batch — "
+                    "set verify_mode='join' or drop bucket_partitions"
+                )
+            if "_vb" not in self.corpus.columns:
+                self.corpus = self.corpus.withColumn(
+                    "_vb", self._vb_expr(F.col(self.id_col))
+                )
+
+    def _vb_expr(self, col: F.Column) -> F.Column:
+        return F.pmod(F.xxhash64(col), F.lit(self.bucket_partitions)).cast("int")
+
+    def _corpus_cols(self) -> list:
+        cols = [self.id_col, self.vec_col]
+        if self.bucket_partitions is not None:
+            cols.append("_vb")
+        return cols
 
     @classmethod
     def from_corpus(cls, corpus: DataFrame, **kw) -> "StreamingEmbeddingDedup":
@@ -213,7 +247,7 @@ class StreamingEmbeddingDedup:
         per accepted batch). At scale this is the segment-merge every
         vector store runs."""
         self.band_index = maybe_checkpoint(self.band_index)
-        self.corpus = maybe_checkpoint(self.corpus.select(self.id_col, self.vec_col))
+        self.corpus = maybe_checkpoint(self.corpus.select(*self._corpus_cols()))
         if self._ref_chunks is not None and len(self._ref_chunks) > 1:
             import numpy as np
 
@@ -240,13 +274,26 @@ class StreamingEmbeddingDedup:
         so resuming with different knobs would silently never match."""
         self.compact()
         self.band_index.write.mode("overwrite").parquet(f"{path}/band_index")
-        self.corpus.select(self.id_col, self.vec_col).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/vectors")
+        w = self.corpus.select(*self._corpus_cols()).write.mode("overwrite")
+        if self.bucket_partitions is not None:
+            # the layout the join-mode pruning reads: one directory per
+            # id-hash bucket, so the per-batch verify scan is confined
+            # to the candidates' partitions
+            w = w.partitionBy("_vb")
+        w.parquet(f"{path}/vectors")
         spark = self.corpus.sparkSession
         spark.createDataFrame(
-            [(self.n_planes, self.bands, self.seed, float(self.threshold))],
-            "n_planes int, bands int, seed int, threshold double",
+            [
+                (
+                    self.n_planes,
+                    self.bands,
+                    self.seed,
+                    float(self.threshold),
+                    self.bucket_partitions,
+                )
+            ],
+            "n_planes int, bands int, seed int, threshold double, "
+            "bucket_partitions int",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
     @classmethod
@@ -263,6 +310,8 @@ class StreamingEmbeddingDedup:
             "seed": int(p["seed"]),
             "threshold": float(p["threshold"]),
         }
+        if "bucket_partitions" in p.__fields__ and p["bucket_partitions"] is not None:
+            saved["bucket_partitions"] = int(p["bucket_partitions"])
         for name, val in saved.items():
             if name in kw and kw[name] != val:
                 raise ValueError(
@@ -353,13 +402,26 @@ class StreamingEmbeddingDedup:
         join the corpus VECTOR TABLE on the ref id — the corpus-sized
         side streams through a hash join against the batch-bounded
         broadcast side; nothing corpus-sized reaches the driver, and
-        the corpus is never shuffled. At 100 TB, persist the vector
-        table partitioned by an id-hash bucket column and include it
-        in the join key so dynamic partition pruning confines the scan
-        to the candidates' buckets (module doc)."""
+        the corpus is never shuffled. With ``bucket_partitions`` the
+        scan is additionally confined to the candidates' id-hash
+        partitions via a static isin predicate (module doc)."""
         ref_id = f"_ref_{self.id_col}"
         bv = b.withColumnRenamed(self.vec_col, "_bv")
-        rv = self.corpus.select(
+        rv = self.corpus
+        if self.bucket_partitions is not None:
+            # confine the corpus scan to the candidates' id-hash
+            # buckets: the isin filter is a static partition predicate,
+            # so a partitioned vector table reads ONLY those dirs.
+            # bounded-collect: distinct candidate buckets, batch-bounded
+            vals = sorted(
+                r[0]
+                for r in cand.select(
+                    self._vb_expr(F.col(ref_id)).alias("_vb")
+                ).distinct().collect()
+            )
+            self._last_join_buckets = vals
+            rv = rv.filter(F.col("_vb").isin(vals))
+        rv = rv.select(
             F.col(self.id_col).alias(ref_id), F.col(self.vec_col).alias("_rv")
         )
         pairs = F.broadcast(cand.join(bv, self.id_col))
@@ -505,8 +567,13 @@ class StreamingEmbeddingDedup:
                 bb.join(F.broadcast(kept.select(self.id_col)), self.id_col)
             )
             self.band_index = self.band_index.unionByName(kept_sig)
-            self.corpus = self.corpus.select(self.id_col, self.vec_col).unionByName(
-                kept.select(self.id_col, self.vec_col)
+            kept_slice = kept.select(self.id_col, self.vec_col)
+            if self.bucket_partitions is not None:
+                kept_slice = kept_slice.withColumn(
+                    "_vb", self._vb_expr(F.col(self.id_col))
+                )
+            self.corpus = self.corpus.select(*self._corpus_cols()).unionByName(
+                kept_slice
             )
             if self._ref_chunks is not None:
                 # broadcast mode only: ship the delta chunk from the

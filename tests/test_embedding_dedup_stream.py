@@ -322,3 +322,69 @@ def test_verify_mode_validation_and_state_roundtrip(spark, tmp_path):
     assert r.verify_mode == "join"
     r.process_batch(spark.createDataFrame([(1, [1.0] * _DIM)], _SCHEMA), 0)
     assert r._ref_chunks is None
+
+
+def test_bucket_partitioned_join_verify_prunes_and_agrees(spark, tmp_path):
+    """bucket_partitions=N in join mode: save_index persists the vector
+    table PARTITIONED by the id-hash bucket, the verify's corpus scan
+    carries the candidates' buckets as a static partition predicate
+    (PartitionFilters in the physical scan — only those directories are
+    read), and verdicts are identical to the unbucketed join gate."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(21)
+    corpus_rows = _mk_corpus(rnd, n=24)
+    novel = [rnd.gauss(0, 1) for _ in range(_DIM)]
+    batches = [
+        [(600, _jitter(rnd, corpus_rows[2][1])), (601, novel)],
+        [(700, _jitter(rnd, novel)), (701, [rnd.gauss(0, 1) for _ in range(_DIM)])],
+    ]
+
+    with pytest.raises(ValueError, match="bucket_partitions"):
+        StreamingEmbeddingDedup.from_corpus(
+            spark.createDataFrame(corpus_rows, _SCHEMA),
+            dim=_DIM, bucket_partitions=8,  # broadcast mode: refused
+        )
+
+    plain = StreamingEmbeddingDedup.from_corpus(
+        spark.createDataFrame(corpus_rows, _SCHEMA),
+        threshold=0.95, dim=_DIM, verify_mode="join",
+    )
+    bucketed = StreamingEmbeddingDedup.from_corpus(
+        spark.createDataFrame(corpus_rows, _SCHEMA),
+        threshold=0.95, dim=_DIM, verify_mode="join", bucket_partitions=8,
+    )
+    idx = str(tmp_path / "emb_idx_bucketed")
+    bucketed.save_index(idx)
+    # the persisted layout IS partitioned by bucket
+    vdirs = [d for d in os.listdir(f"{idx}/vectors") if d.startswith("_vb=")]
+    assert len(vdirs) > 1
+    resumed = StreamingEmbeddingDedup.from_index_path(
+        spark, idx, dim=_DIM, verify_mode="join"
+    )
+    assert resumed.bucket_partitions == 8  # knob restored from the sidecar
+
+    strip = lambda h: [
+        {k: r[k] for k in ("n_vecs", "n_exact", "n_near", "n_kept")} for r in h
+    ]
+    for bid, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, _SCHEMA)
+        plain.process_batch(b, bid)
+        resumed.process_batch(b, bid)
+    assert strip(resumed.history) == strip(plain.history)
+    assert resumed.history[0]["n_near"] == 1  # 600 vs corpus
+    assert resumed.history[1]["n_near"] == 1  # 700 vs accepted 601
+
+    # the verify confined its scan to the candidates' buckets...
+    assert resumed._last_join_buckets is not None
+    assert 0 < len(resumed._last_join_buckets) <= 8
+    # ...and the pruned read of the PERSISTED table shows the partition
+    # predicate in the scan (only matching _vb= directories are listed)
+    pruned = spark.read.parquet(f"{idx}/vectors").filter(
+        F.col("_vb").isin(resumed._last_join_buckets)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_vb" in plan
