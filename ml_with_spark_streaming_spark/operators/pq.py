@@ -247,10 +247,22 @@ def pq_quantization_error(
         vectors.select(c_id, c_vec)
         .join(codes, c_id)
         .crossJoin(F.broadcast(packed))
-        .agg(F.avg(err).alias("qerr"))
+        .agg(F.count("*").alias("n"), F.avg(err).alias("qerr"))
         .collect()[0]
     )
-    return float(row["qerr"]) if row["qerr"] is not None else 0.0
+    if int(row["n"]) == 0:
+        return 0.0  # genuinely empty input: nothing to reconstruct
+    if row["qerr"] is None:
+        # rows joined but no error computed: codes/codebooks are
+        # inconsistent with the vectors (stale codes, wrong m, short
+        # code arrays). Returning 0.0 here would read as PERFECT
+        # reconstruction and silence the drift gauge — fail instead.
+        raise ValueError(
+            "pq_quantization_error: reconstruction is NULL over "
+            f"{int(row['n'])} joined rows — codes/codebooks do not "
+            "match the vectors (stale codes or wrong m?)"
+        )
+    return float(row["qerr"])
 
 
 def pq_topk(

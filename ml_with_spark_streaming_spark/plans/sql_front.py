@@ -1087,12 +1087,15 @@ def rewrite_asof_join(sql: str) -> str:
     one shuffle on the key, a linear scan per partition, no range
     explosion, no per-row subquery.
 
-    Supported shape (everything else raises, loudly): parenthesized
-    SAME-SCHEMA sides (the union is positional), one equality key, an
+    Supported shape (everything else raises, loudly): both sides are
+    parenthesized ``SELECT * FROM <same table> ...`` subqueries (the
+    union is positional — enforced, not assumed), one equality key, an
     inclusive ``>=`` time predicate, and right-side references in the
-    SELECT list / tail limited to ``ra.t`` (the matched as-of
-    timestamp). That is the surface the registered twins use; widening
-    it means widening the parity-pin set first."""
+    SELECT list / trailing clauses limited to ``ra.t`` (the matched
+    as-of timestamp — substituted quote-aware, so string literals
+    mentioning the alias are untouched). An outer ``WHERE`` is merged
+    into the rewrite's own WHERE. That is the surface the registered
+    twins use; widening it means widening the parity-pin set first."""
     m = _ASOF_RE.search(sql)
     qmap = _in_quote_map(sql)
     if m is None or qmap[m.start()]:
@@ -1151,15 +1154,58 @@ def rewrite_asof_join(sql: str) -> str:
     kcol, tcol = key[lalias], tcols[lalias]
     if tcols[ralias] != tcol:
         raise ValueError("ASOF JOIN: time column must be the same name on both sides")
+    # the union below is POSITIONAL — guarantee column alignment by
+    # requiring both sides to be `SELECT * FROM <same table> ...`
+    # (exactly the promoted twins' shape); two differently-ordered
+    # projections would silently scramble columns otherwise
+    side_re = re.compile(r"^\s*SELECT\s+\*\s+FROM\s+(\w+)\b", re.IGNORECASE)
+    lt, rt = side_re.match(lsub), side_re.match(rsub)
+    if lt is None or rt is None or lt.group(1).lower() != rt.group(1).lower():
+        raise ValueError(
+            "ASOF JOIN: both sides must be `SELECT * FROM <same table> ...` "
+            "— the rewrite unions them positionally, so differing "
+            "projections would misalign columns"
+        )
     # SELECT list: between the statement's leading SELECT and the FROM
     sel_m = re.compile(r"^\s*SELECT\b", re.IGNORECASE).match(sql)
     if sel_m is None:
         raise ValueError("ASOF JOIN rewrite expects a top-level SELECT")
     select_list = sql[sel_m.end() : from_m.start()]
-    # the matched right-side timestamp is the window's running last
-    select_list = re.sub(rf"\b{ralias}\.{tcol}\b", "_asof_rt", select_list)
-    for txt, where in ((select_list, "SELECT list"), (tail, "trailing clauses")):
-        if re.search(rf"\b{ralias}\.", txt):
+    # a leading WHERE in the tail must merge into the rewrite's own
+    # WHERE (two WHERE clauses would be a parse error downstream)
+    where_extra = ""
+    wm = re.compile(r"^\s*WHERE\s+", re.IGNORECASE).match(tail)
+    if wm is not None:
+        tqmap = _in_quote_map(tail)
+        nxt = re.compile(
+            r"\b(ORDER\s+BY|GROUP\s+BY|LIMIT|HAVING)\b", re.IGNORECASE
+        ).search(tail, wm.end())
+        while nxt is not None and tqmap[nxt.start()]:
+            nxt = nxt.re.search(tail, nxt.end())
+        cut = nxt.start() if nxt else len(tail)
+        where_extra = f" AND ({tail[wm.end():cut].strip()})"
+        tail = tail[cut:]
+
+    # right-side references become the window's running last — applied
+    # OUTSIDE quoted strings only (the dialect layer's contract), and
+    # to the trailing clauses too (ORDER BY v.ts is legal)
+    def _sub_rt(seg: str) -> str:
+        return re.sub(rf"\b{ralias}\.{tcol}\b", "_asof_rt", seg)
+
+    select_list = _map_quoted(select_list, _sub_rt)
+    tail = _map_quoted(tail, _sub_rt)
+    where_extra = _map_quoted(where_extra, _sub_rt)
+    for txt, where in (
+        (select_list, "SELECT list"),
+        (tail, "trailing clauses"),
+        (where_extra, "WHERE clause"),
+    ):
+        # quote-aware: a string literal mentioning `v.` is not a reference
+        if any(
+            re.search(rf"\b{ralias}\.", seg)
+            for kind, seg in _segments(txt)
+            if kind == ""
+        ):
             raise ValueError(
                 f"ASOF JOIN: {where} may reference the right side only "
                 f"through {ralias}.{tcol} (the matched as-of timestamp)"
@@ -1180,7 +1226,7 @@ def rewrite_asof_join(sql: str) -> str:
         ")\n"
         f"SELECT {select_list.strip()}\n"
         f"FROM _asof_m {lalias}\n"
-        "WHERE _is_l = 1 AND _asof_rt IS NOT NULL\n"
+        f"WHERE _is_l = 1 AND _asof_rt IS NOT NULL{where_extra}\n"
         f"{tail}"
     )
 

@@ -266,10 +266,15 @@ class StreamingANNIndexMaintainer:
         return max(self._bucket_counts.values()) if self._bucket_counts else None
 
     # -- persistence -------------------------------------------------
-    def _write_manifest(self, vname: str, batch_id: int) -> None:
+    def _write_manifest(self, vname: str) -> None:
+        # the replay high-water mark is ALWAYS the true last applied
+        # batch id (-1 when nothing was processed yet) — never the
+        # version-dir name's clamped number: recording 0 for a
+        # batch-less save would make a resumed maintainer swallow the
+        # stream's real batch 0 as a replay
         manifest = {
             "version": vname,
-            "last_batch_id": batch_id,
+            "last_batch_id": self._last_batch_id,
             "n_refits": self._n_refits,
             "has_pq": self.pq is not None,
             "bucket_counts": {str(k): v for k, v in (self._bucket_counts or {}).items()},
@@ -336,7 +341,7 @@ class StreamingANNIndexMaintainer:
                 os.path.join(vdir, "accepted")
             )
         self._slices = []
-        self._write_manifest(vname, batch_id)
+        self._write_manifest(vname)
         self._clear_pending()
         self._refit_dirty = False
         spark = self.index.centroids.sparkSession
@@ -366,7 +371,7 @@ class StreamingANNIndexMaintainer:
                 os.path.join(sdir, "codes")
             )
         self._slices = self._slices + [{"name": sname, "n": self._pending_n}]
-        self._write_manifest(self._live_version, batch_id)
+        self._write_manifest(self._live_version)
         self._clear_pending()
 
     def save(self, path: str | None = None) -> None:

@@ -95,7 +95,11 @@ def _make_verify_fn(chunk_bcasts, batch_bcast, id_col: str, threshold: float):
     ids) — the vectors come from the broadcasts, so the pair fan-out
     never serializes a vector. Each ref id is looked up across the
     chunk list (bounded by compact_every + 1 chunks between
-    compactions). safe_denom twin: zero norms divide as 1."""
+    compactions); an id that appears in SEVERAL chunks (or several
+    rows of one chunk — the corpus table keeps every row of a re-sent
+    id) contributes ALL its vectors, exactly like the join-mode verify
+    against the corpus table. safe_denom twin: zero norms divide as
+    1."""
     import numpy as np
     import pandas as pd
 
@@ -108,11 +112,9 @@ def _make_verify_fn(chunk_bcasts, batch_bcast, id_col: str, threshold: float):
                 vecs, nrms = [], []
                 for r in pdf["_refs"][i]:
                     for pos, mat, norms in chunks:
-                        j = pos.get(r)
-                        if j is not None:
+                        for j in pos.get(r, ()):
                             vecs.append(mat[j])
                             nrms.append(norms[j])
-                            break
                 if not vecs:
                     continue
                 v = np.asarray(bvecs[pdf[id_col][i]], dtype=np.float64)
@@ -255,11 +257,13 @@ class StreamingEmbeddingDedup:
             vals = [bc.value for bc in self._ref_chunks]
             mat = np.concatenate([m for _p, m, _n in vals])
             norms = np.concatenate([n for _p, _m, n in vals])
+            # merge the row-LIST maps: a duplicated id keeps every row
+            # across chunks (compaction stays verdict-neutral)
             pos: dict = {}
             off = 0
             for p, m, _n in vals:
-                for k, j in p.items():
-                    pos[k] = off + j
+                for k, rows_ in p.items():
+                    pos.setdefault(k, []).extend(off + j for j in rows_)
                 off += len(m)
             merged = sc.broadcast((pos, mat, norms))
             for bc in self._ref_chunks:
@@ -311,7 +315,29 @@ class StreamingEmbeddingDedup:
             "threshold": float(p["threshold"]),
         }
         if "bucket_partitions" in p.__fields__ and p["bucket_partitions"] is not None:
-            saved["bucket_partitions"] = int(p["bucket_partitions"])
+            bp = int(p["bucket_partitions"])
+            mode = kw.get("verify_mode")
+            if mode == "broadcast":
+                # explicit opt-out: resume UNBUCKETED — broadcast mode
+                # never scans the corpus per batch, the knob is moot
+                # (and __post_init__ would refuse the combination)
+                kw.pop("bucket_partitions", None)
+            else:
+                if mode is None:
+                    # a bucketed artifact is a join-mode artifact: the
+                    # knob exists only to prune the join-mode scan
+                    kw["verify_mode"] = "join"
+                if (
+                    "bucket_partitions" in kw
+                    and kw["bucket_partitions"] != bp
+                ):
+                    raise ValueError(
+                        f"index at {path} was built with bucket_partitions={bp}; "
+                        f"got bucket_partitions={kw['bucket_partitions']} — the _vb "
+                        "partition values are a function of it; rebuild the index "
+                        "or drop the override"
+                    )
+                kw["bucket_partitions"] = bp
         for name, val in saved.items():
             if name in kw and kw[name] != val:
                 raise ValueError(
@@ -333,9 +359,15 @@ class StreamingEmbeddingDedup:
     # -- broadcast-mode reference chunks ------------------------------
     @staticmethod
     def _make_chunk(rows, dim):
+        """(id -> ROW LIST, matrix, norms): the pos map carries every
+        row of an id, so a re-sent id's old AND new vectors both
+        verify — the same any-row semantics the join mode gets from
+        the corpus table keeping both rows."""
         import numpy as np
 
-        pos = {r[0]: i for i, r in enumerate(rows)}
+        pos: dict = {}
+        for i, r in enumerate(rows):
+            pos.setdefault(r[0], []).append(i)
         mat = (
             np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
             if rows

@@ -212,3 +212,23 @@ def test_assignments_match_after_slice_resume_against_full_pass(
     assert {
         (x["vec_id"], x["cent_id"]) for x in r.index.assignments.collect()
     } == want
+
+
+def test_save_before_any_batch_does_not_swallow_batch_zero(
+    spark, base_and_batches, tmp_path
+):
+    """Review pin: a save() with no processed batches must record
+    last_batch_id=-1 (not a clamped 0) — a resumed maintainer must
+    still APPLY the stream's real batch 0."""
+    base, batches = base_and_batches
+    idx = IVFIndex.build(base, n_centroids=8, seed=42)
+    path = str(tmp_path / "pre_batch_save")
+    m = StreamingANNIndexMaintainer(index=idx)
+    m.save(path)
+    with open(os.path.join(path, "MANIFEST.json"), encoding="utf-8") as fh:
+        assert json.load(fh)["last_batch_id"] == -1
+    r = StreamingANNIndexMaintainer.from_index_path(spark, path)
+    assert r._last_batch_id == -1
+    r.process_batch(spark.createDataFrame(batches[0], SCHEMA), 0)
+    assert "skipped" not in r.history[-1]
+    assert r.index.n_vectors == 105

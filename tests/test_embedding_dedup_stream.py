@@ -388,3 +388,73 @@ def test_bucket_partitioned_join_verify_prunes_and_agrees(spark, tmp_path):
     )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "_vb" in plan
+
+
+def test_bucketed_index_resumes_with_default_kwargs(spark, tmp_path):
+    """Review pin: from_index_path on a bucketed artifact with NO
+    overrides must restore join mode from the sidecar (the default
+    broadcast mode used to trip the bucket_partitions guard); an
+    explicit broadcast override resumes unbucketed; a conflicting
+    bucket_partitions override raises."""
+    import pytest
+
+    rnd = random.Random(33)
+    corpus = spark.createDataFrame(_mk_corpus(rnd), _SCHEMA)
+    g = StreamingEmbeddingDedup.from_corpus(
+        corpus, threshold=0.95, dim=_DIM, verify_mode="join", bucket_partitions=4
+    )
+    idx = str(tmp_path / "emb_bucket_default")
+    g.save_index(idx)
+
+    r = StreamingEmbeddingDedup.from_index_path(spark, idx, dim=_DIM)
+    assert r.verify_mode == "join" and r.bucket_partitions == 4
+    r.process_batch(spark.createDataFrame([(1, [1.0] * _DIM)], _SCHEMA), 0)
+    assert r.history[-1]["n_kept"] == 1
+
+    rb = StreamingEmbeddingDedup.from_index_path(
+        spark, idx, dim=_DIM, verify_mode="broadcast"
+    )
+    assert rb.bucket_partitions is None  # explicit opt-out: unbucketed
+    rb.process_batch(spark.createDataFrame([(2, [1.0] * _DIM)], _SCHEMA), 0)
+
+    with pytest.raises(ValueError, match="bucket_partitions=4"):
+        StreamingEmbeddingDedup.from_index_path(
+            spark, idx, dim=_DIM, verify_mode="join", bucket_partitions=8
+        )
+
+
+def test_resent_id_with_new_vector_verifies_against_all_rows(spark):
+    """Review pin: a re-sent id whose NEW (non-near) vector is accepted
+    leaves TWO rows for that id in the reference set; a later
+    candidate near the NEW vector must be dropped in BOTH modes, and
+    compact() must not collapse the id to one row (oldest- or
+    newest-wins would diverge between modes)."""
+    rnd = random.Random(41)
+    u = [rnd.gauss(0, 1) for _ in range(_DIM)]
+    w = [rnd.gauss(0, 1) for _ in range(_DIM)]  # not near u (random gaussians)
+    corpus_rows = [(0, u)]
+
+    for mode in ("broadcast", "join"):
+        g = StreamingEmbeddingDedup.from_corpus(
+            spark.createDataFrame(corpus_rows, _SCHEMA),
+            threshold=0.95, dim=_DIM, verify_mode=mode, compact_every=100,
+        )
+        # id 0 re-sent with w: accepted (vector-novel), id collides
+        g.process_batch(spark.createDataFrame([(0, w)], _SCHEMA), 0)
+        assert g.history[-1]["n_kept"] == 1
+        # near-dup of the NEW vector w -> must be caught
+        g.process_batch(
+            spark.createDataFrame([(5, _jitter(rnd, w))], _SCHEMA), 1
+        )
+        assert g.history[-1]["n_near"] == 1, f"{mode}: new row of re-sent id lost"
+        # near-dup of the OLD vector u -> still caught
+        g.process_batch(
+            spark.createDataFrame([(6, _jitter(rnd, u))], _SCHEMA), 2
+        )
+        assert g.history[-1]["n_near"] == 1, f"{mode}: old row of re-sent id lost"
+        # compaction keeps both rows (verdict-neutral)
+        g.compact()
+        g.process_batch(
+            spark.createDataFrame([(7, _jitter(rnd, w)), (8, _jitter(rnd, u))], _SCHEMA), 3
+        )
+        assert g.history[-1]["n_near"] == 2, f"{mode}: compact collapsed the id"

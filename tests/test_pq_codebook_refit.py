@@ -149,3 +149,24 @@ def test_retrained_codes_cover_exactly_the_indexed_set(spark, arms):
     code_ids = {r["vec_id"] for r in retrained.pq.codes.collect()}
     idx_ids = {r["vec_id"] for r in retrained.index.assignments.collect()}
     assert code_ids == idx_ids
+
+
+def test_qerr_rejects_inconsistent_codes_and_handles_empty(spark):
+    """Review pin: NULL reconstruction over joined rows is a WIRING
+    error (stale codes / wrong m), not perfect quality — raise, never
+    report 0.0; genuinely empty input is 0.0."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(_base_rows(), SCHEMA)
+    pq = PQIndex.build(base, m=4, k_sub=8, seed=42)
+    # NULL code entries (a mis-wired/stale code table) -> NULL recon.
+    # (Out-of-range codes already throw loudly under ANSI element_at —
+    # the silent case is the NULL-propagating one.)
+    bad_codes = pq.codes.select(
+        "vec_id", F.expr("array(cast(null as int), 0, 0, 0)").alias("codes")
+    )
+    with pytest.raises(ValueError, match="stale codes or wrong m"):
+        pq_quantization_error(base, pq.codebooks, bad_codes, m=4)
+    empty = spark.createDataFrame([], SCHEMA)
+    assert pq_quantization_error(empty, pq.codebooks, pq.codes, m=4) == 0.0

@@ -216,3 +216,40 @@ if _HAVE_HYPOTHESIS:
         assert out.count(f"'{lit}'") == 2
         assert " DIV " in out and "size(x)" in out
         assert "array_min(v)" in out and "DECIMAL(38,0)" in out
+
+
+def test_asof_rewriter_review_regressions(spark):
+    """Round-10 review pins: quote-aware substitution, tail ra.t
+    allowed, outer WHERE merged (not doubled), positional-union shape
+    guard."""
+    base = (
+        "SELECT p.a, v.ts{extra} FROM (SELECT * FROM t) p "
+        "ASOF JOIN (SELECT * FROM t) v ON p.k = v.k AND p.ts >= v.ts{tail}"
+    )
+    # string literal mentioning the right alias is untouched and legal
+    out = rewrite_asof_join(
+        base.format(extra=", 'v.ts drives the asof' AS note", tail="")
+    )
+    assert "'v.ts drives the asof'" in out
+    assert "_asof_rt" in out
+    # ORDER BY v.ts in the tail is substituted, not rejected
+    out = rewrite_asof_join(base.format(extra="", tail=" ORDER BY v.ts"))
+    assert out.rstrip().endswith("ORDER BY _asof_rt")
+    # an outer WHERE merges into the generated WHERE: exactly one WHERE
+    out = rewrite_asof_join(
+        base.format(extra="", tail=" WHERE p.a > 0 ORDER BY p.a")
+    )
+    assert out.upper().count("WHERE") == 1
+    assert "AND (p.a > 0)" in out
+    assert out.rstrip().endswith("ORDER BY p.a")
+    # positional-union shape guard: differing projections raise
+    with pytest.raises(ValueError, match="positionally"):
+        rewrite_asof_join(
+            "SELECT p.a FROM (SELECT a, ts FROM t) p "
+            "ASOF JOIN (SELECT ts, a FROM t) v ON p.k = v.k AND p.ts >= v.ts"
+        )
+    with pytest.raises(ValueError, match="positionally"):
+        rewrite_asof_join(
+            "SELECT p.a FROM (SELECT * FROM t) p "
+            "ASOF JOIN (SELECT * FROM u) v ON p.k = v.k AND p.ts >= v.ts"
+        )
