@@ -120,6 +120,7 @@ class StreamingIngestPipeline:
         embedding_corpus: DataFrame | None = None,
         embedding_threshold: float = 0.95,
         embedding_verify_mode: str = "broadcast",
+        embedding_bucket_partitions: int | None = None,
         vec_col: str = "embedding",
         segment_width: int | None = None,
         segment_quality_threshold_x100: int | None = None,
@@ -162,6 +163,7 @@ class StreamingIngestPipeline:
                 vec_col=vec_col,
                 threshold=embedding_threshold,
                 verify_mode=embedding_verify_mode,
+                bucket_partitions=embedding_bucket_partitions,
             )
             if embedding_corpus is not None
             else None
@@ -255,6 +257,8 @@ class StreamingIngestPipeline:
                     "compact_every": self.embdedup.compact_every,
                     "dim": self.embdedup.dim,
                     "verify_mode": self.embdedup.verify_mode,
+                    # bucket_partitions rides in the gate's own params
+                    # sidecar (save_index) and is restored from it
                 }
             ),
             "segdedup": (
