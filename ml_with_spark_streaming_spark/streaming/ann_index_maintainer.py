@@ -46,9 +46,12 @@ manifest swapped atomically::
   writes ONLY the since-last-save delta as a slice dir inside the live
   version and lists it in the manifest: O(batch) files per save, prior
   slices and the base artifact untouched (mtime-pinned by
-  ``tests/test_ann_index_stream.py``). A REFIT rewrites everything —
-  centroids changed, every assignment is new — as a fresh version dir
-  + manifest swap + vacuum of superseded versions.
+  ``tests/test_ann_index_stream.py``). A save that would push the
+  manifest past ``max_slices`` COMPACTS instead — a full rewrite into
+  a fresh version (the LSM segment merge), so a long quiet stream's
+  slice list and resume replay stay bounded. A REFIT always rewrites
+  everything — centroids changed, every assignment is new — as a
+  fresh version dir + manifest swap + vacuum of superseded versions.
 * **idempotent replay** — foreachBatch is at-least-once; a replayed
   ``batch_id <= last_batch_id`` (in memory, or from the manifest after
   a resume) is a recorded no-op, never a double append. The manifest's
@@ -161,6 +164,13 @@ class StreamingANNIndexMaintainer:
     # k sized for half of it. False keeps the index's own k.
     refit_derive_k: bool = False
     refit_pq_codebooks: bool = True
+    # slice-compaction bound: a periodic save that would push the
+    # manifest past this many append slices does a FULL rewrite
+    # instead (fresh version + vacuum) — the LSM discipline's segment
+    # merge. Without it a long quiet stream (no refits) accumulates
+    # slices without bound and every resume replays them all. None
+    # disables.
+    max_slices: int | None = 64
     dedup_ids: bool = False
     # micro-batches are scheduling-bound on wide partitionings (the
     # embedding gate's measured lesson): coalesce at entry; None disables
@@ -352,6 +362,21 @@ class StreamingANNIndexMaintainer:
             if _VDIR_RE.match(d) and d != vname:
                 shutil.rmtree(os.path.join(self.save_path, d), ignore_errors=True)
 
+    def _slice_or_full(self, batch_id: int) -> None:
+        """The periodic non-refit commit: an append slice, unless the
+        slice list would exceed ``max_slices`` — then a full rewrite
+        compacts them back into one base (bounded resume replay)."""
+        if (
+            self._live_version is not None
+            and self._live_path == self.save_path
+            and not (
+                self.max_slices is not None and len(self._slices) >= self.max_slices
+            )
+        ):
+            self._save_slice(batch_id)
+        else:
+            self._save_full(batch_id)
+
     def _save_slice(self, batch_id: int) -> None:
         """Append-only commit: write ONLY the since-last-save delta as
         one slice dir inside the LIVE version, then swap the manifest
@@ -395,7 +420,7 @@ class StreamingANNIndexMaintainer:
         if live_here and not self._refit_dirty and self._pending_n == 0:
             return
         if live_here and not self._refit_dirty:
-            self._save_slice(self._last_batch_id)
+            self._slice_or_full(self._last_batch_id)
         else:
             self._save_full(max(self._last_batch_id, 0))
         self._since_save = 0
@@ -598,13 +623,7 @@ class StreamingANNIndexMaintainer:
                 self._save_full(batch_id)
                 self._since_save = 0
             elif self.save_every is not None and self._since_save >= self.save_every:
-                if (
-                    self._live_version is not None
-                    and self._live_path == self.save_path
-                ):
-                    self._save_slice(batch_id)
-                else:
-                    self._save_full(batch_id)
+                self._slice_or_full(batch_id)
                 self._since_save = 0
         if self.on_appended is not None:
             self.on_appended(self.index, batch_id)

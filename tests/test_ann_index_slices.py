@@ -232,3 +232,32 @@ def test_save_before_any_batch_does_not_swallow_batch_zero(
     r.process_batch(spark.createDataFrame(batches[0], SCHEMA), 0)
     assert "skipped" not in r.history[-1]
     assert r.index.n_vectors == 105
+
+
+def test_max_slices_compacts_into_a_fresh_version(
+    spark, base_and_batches, tmp_path
+):
+    """A save that would exceed max_slices does a FULL rewrite (fresh
+    version, slice list reset, superseded dir vacuumed) — the slice
+    list and resume replay stay bounded on a long quiet stream."""
+    base, batches = base_and_batches
+    idx = IVFIndex.build(base, n_centroids=8, seed=42)
+    path = str(tmp_path / "compaction")
+    m = StreamingANNIndexMaintainer(
+        index=idx, save_path=path, save_every=1, max_slices=2
+    )
+    for bid in range(4):
+        m.process_batch(spark.createDataFrame(batches[bid], SCHEMA), bid)
+    # batch 0: full v0; batches 1,2: slices; batch 3: would be slice #3
+    # > max_slices=2 -> compaction into v3
+    with open(os.path.join(path, "MANIFEST.json"), encoding="utf-8") as fh:
+        man = json.load(fh)
+    assert man["version"] == "v00000003"
+    assert man["slices"] == []
+    assert man["last_batch_id"] == 3
+    vdirs = [d for d in os.listdir(path) if d.startswith("v")]
+    assert vdirs == ["v00000003"]  # superseded v0 vacuumed
+    r = StreamingANNIndexMaintainer.from_index_path(spark, path)
+    assert r.index.n_vectors == 120
+    want = {(x["vec_id"], x["cent_id"]) for x in m.index.assignments.collect()}
+    assert {(x["vec_id"], x["cent_id"]) for x in r.index.assignments.collect()} == want
