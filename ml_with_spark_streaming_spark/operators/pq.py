@@ -247,20 +247,30 @@ def pq_quantization_error(
         vectors.select(c_id, c_vec)
         .join(codes, c_id)
         .crossJoin(F.broadcast(packed))
-        .agg(F.count("*").alias("n"), F.avg(err).alias("qerr"))
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(err).alias("qerr"),
+            # per-row failure count: F.avg silently skips NULLs, so a
+            # PARTIAL mismatch (some stale/short code arrays) would
+            # otherwise average only the valid subset and understate
+            # the drift signal
+            F.sum(err.isNull().cast("int")).alias("n_null"),
+        )
         .collect()[0]
     )
     if int(row["n"]) == 0:
         return 0.0  # genuinely empty input: nothing to reconstruct
-    if row["qerr"] is None:
-        # rows joined but no error computed: codes/codebooks are
+    if int(row["n_null"] or 0) > 0:
+        # ANY row that fails to reconstruct means codes/codebooks are
         # inconsistent with the vectors (stale codes, wrong m, short
-        # code arrays). Returning 0.0 here would read as PERFECT
+        # code arrays). Returning the valid-subset average would
+        # understate — and an all-NULL join would read as PERFECT
         # reconstruction and silence the drift gauge — fail instead.
         raise ValueError(
-            "pq_quantization_error: reconstruction is NULL over "
-            f"{int(row['n'])} joined rows — codes/codebooks do not "
-            "match the vectors (stale codes or wrong m?)"
+            "pq_quantization_error: reconstruction is NULL for "
+            f"{int(row['n_null'])} of {int(row['n'])} joined rows — "
+            "codes/codebooks do not match the vectors (stale codes or "
+            "wrong m?)"
         )
     return float(row["qerr"])
 

@@ -201,6 +201,11 @@ class StreamingANNIndexMaintainer:
     _refit_dirty: bool = field(default=False, init=False, repr=False)
     # stream-checkpoint scoping for the replay guard (see module doc)
     _stream_checkpoint: str | None = field(default=None, init=False, repr=False)
+    # (last_batch_id, stream_checkpoint) as last COMMITTED to the live
+    # manifest — lets a zero-pending save() still persist replay-guard
+    # metadata that moved since the last data commit (cheap JSON-only
+    # rewrite instead of a silent return)
+    _manifest_meta: tuple = field(default=(-1, None), init=False, repr=False)
 
     # -- resume ------------------------------------------------------
     @classmethod
@@ -231,6 +236,7 @@ class StreamingANNIndexMaintainer:
         m._last_batch_id = int(manifest["last_batch_id"])
         m._n_refits = int(manifest.get("n_refits", 0))
         m._stream_checkpoint = manifest.get("stream_checkpoint")
+        m._manifest_meta = (m._last_batch_id, m._stream_checkpoint)
         bc = manifest.get("bucket_counts")
         if bc:
             m._bucket_counts = {int(k): int(v) for k, v in bc.items()}
@@ -297,6 +303,7 @@ class StreamingANNIndexMaintainer:
         os.replace(tmp, os.path.join(self.save_path, "MANIFEST.json"))
         self._live_path = self.save_path
         self._live_version = vname
+        self._manifest_meta = (self._last_batch_id, self._stream_checkpoint)
 
     def _clear_pending(self) -> None:
         self._pending_vecs = None
@@ -418,6 +425,15 @@ class StreamingANNIndexMaintainer:
             self._live_version is not None and self._live_path == self.save_path
         )
         if live_here and not self._refit_dirty and self._pending_n == 0:
+            # no data to commit — but the replay-guard metadata may have
+            # moved since the last data commit (attach() recorded a
+            # checkpoint, or empty/fully-deduped batches advanced the
+            # high-water mark). Losing either across a crash would
+            # un-scope the resumed guard or replay-swallow real batches,
+            # so rewrite the manifest (cheap JSON-only commit) when they
+            # differ from the committed values.
+            if (self._last_batch_id, self._stream_checkpoint) != self._manifest_meta:
+                self._write_manifest(self._live_version)
             return
         if live_here and not self._refit_dirty:
             self._slice_or_full(self._last_batch_id)
@@ -634,13 +650,25 @@ class StreamingANNIndexMaintainer:
         checkpoint: str | None = None,
         trigger_seconds: int = 5,
         available_now: bool = False,
+        reset_replay_guard: bool = False,
     ) -> StreamingQuery:
         """Attach to a vector stream. The checkpoint location is part
         of the replay guard's identity: batch ids restart at 0 under a
         NEW checkpoint, so attaching a resumed maintainer to a
         different checkpoint than the manifest records would silently
         swallow the first ``last_batch_id`` real batches as replays —
-        refused here instead."""
+        refused here instead. The same applies when batches WERE
+        applied but no checkpoint was recorded (a legacy/pre-attach
+        manifest, or batches fed through ``process_batch`` directly):
+        any checkpoint then restarts ids at 0 under a stale high-water
+        mark, so that shape is refused too rather than silently
+        accepted. ``reset_replay_guard=True`` is the explicit caller
+        assertion that ``vecs`` is a genuinely NEW stream whose data is
+        not already in the index: it clears the high-water mark so the
+        new checkpoint's batch 0 is processed."""
+        if reset_replay_guard:
+            self._last_batch_id = -1
+            self._stream_checkpoint = None
         if (
             self._stream_checkpoint is not None
             and checkpoint != self._stream_checkpoint
@@ -650,7 +678,20 @@ class StreamingANNIndexMaintainer:
                 f"{self._stream_checkpoint!r}; attaching with "
                 f"{checkpoint!r} would restart batch ids and the replay "
                 "guard would drop real batches — resume with the same "
-                "checkpoint location or rebuild the index"
+                "checkpoint location, pass reset_replay_guard=True for "
+                "a genuinely new stream, or rebuild the index"
+            )
+        if self._stream_checkpoint is None and self._last_batch_id >= 0:
+            raise ValueError(
+                f"this index has applied batches up to id "
+                f"{self._last_batch_id} but records no stream checkpoint "
+                "(legacy manifest, or batches applied via process_batch "
+                "outside attach); under checkpoint "
+                f"{checkpoint!r} batch ids restart at 0 and the replay "
+                f"guard would silently swallow the first "
+                f"{self._last_batch_id + 1} real batches — pass "
+                "reset_replay_guard=True if this stream's data is NOT "
+                "already in the index, or rebuild the index"
             )
         self._stream_checkpoint = checkpoint
         return attach_foreach_batch(

@@ -19,8 +19,16 @@ is that apply side:
   pairs, and exact cosine over just those candidates gives the
   verdict — the batch never sees the corpus beyond its candidates.
 
-Two selectable CANDIDATE-VERIFY implementations, verdict-identical
-(mode parity is pinned by ``tests/test_embedding_dedup_stream.py``):
+Two selectable CANDIDATE-VERIFY implementations with identical
+candidate generation and threshold semantics (mode parity is pinned
+batch-by-batch by ``tests/test_embedding_dedup_stream.py``). One
+caveat keeps that parity fixture-true rather than bitwise-structural:
+broadcast mode folds the cosine in numpy float64 BLAS while join mode
+folds it in Spark SQL expressions, so a different summation ORDER can
+round differently in the last ulp — a vector sitting EXACTLY at the
+threshold could in principle flip between modes. Real thresholds
+(e.g. 0.9) on real data sit far from any ulp boundary; the pinned
+fixtures include margin accordingly:
 
 * ``verify_mode="broadcast"`` (default — the small/medium-corpus fast
   path): the reference vectors live in a driver-side CHUNK LIST of
@@ -161,7 +169,9 @@ class StreamingEmbeddingDedup:
     # Arrow verify — the fast path while corpus × dim × 8 B fits a
     # driver RAM budget) or "join" (corpus vector table joined to the
     # broadcast batch side — the 100 TB path, nothing corpus-sized on
-    # the driver). Verdict-identical, pinned by test.
+    # the driver). Verdict-parity pinned by test (fixture-true; see
+    # the module doc's float-summation-order caveat for exact-at-
+    # threshold vectors).
     verify_mode: str = "broadcast"
     # join-mode scan pruning: with N set, the vector table carries a
     # ``_vb = pmod(xxhash64(id), N)`` column, ``save_index`` persists

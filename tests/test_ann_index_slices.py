@@ -261,3 +261,91 @@ def test_max_slices_compacts_into_a_fresh_version(
     assert r.index.n_vectors == 120
     want = {(x["vec_id"], x["cent_id"]) for x in m.index.assignments.collect()}
     assert {(x["vec_id"], x["cent_id"]) for x in r.index.assignments.collect()} == want
+
+
+def test_attach_refuses_unscoped_replay_guard_and_reset_clears_it(
+    spark, base_and_batches, tmp_path
+):
+    """ADVICE pin: a maintainer with applied batches but NO recorded
+    stream checkpoint (legacy manifest, or batches fed through
+    process_batch directly) must refuse attach() — any checkpoint
+    restarts batch ids at 0 under the stale high-water mark and the
+    guard would swallow the first N real batches. The explicit
+    ``reset_replay_guard=True`` escape hatch clears the mark so a
+    genuinely NEW stream's batch 0 is processed end-to-end."""
+    base, batches = base_and_batches
+    idx = IVFIndex.build(base, n_centroids=8, seed=42)
+    m = StreamingANNIndexMaintainer(index=idx)
+    m.process_batch(spark.createDataFrame(batches[0], SCHEMA), 0)
+    dummy = spark.createDataFrame(batches[1], SCHEMA)
+    with pytest.raises(ValueError, match="records no stream checkpoint"):
+        m.attach(dummy, checkpoint=str(tmp_path / "ckpt_new"))
+    with pytest.raises(ValueError, match="records no stream checkpoint"):
+        m.attach(dummy, checkpoint=None)
+
+    # the escape hatch, end-to-end on a real stream: batch 0 of the new
+    # checkpoint is PROCESSED (the old guard state would have skipped it)
+    src = tmp_path / "vec_stream"
+    src.mkdir()
+    spark.createDataFrame(batches[1], SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).json(str(src))
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = m.attach(
+        stream,
+        checkpoint=str(tmp_path / "ckpt_new"),
+        available_now=True,
+        reset_replay_guard=True,
+    )
+    q.awaitTermination(120)
+    assert m.index.n_vectors == 110
+    assert m._stream_checkpoint == str(tmp_path / "ckpt_new")
+    assert not m.history[-1].get("skipped", False)
+
+
+def test_zero_pending_save_persists_moved_replay_guard_meta(
+    spark, base_and_batches, tmp_path
+):
+    """ADVICE pin: save() with nothing pending still commits replay-
+    guard metadata that moved since the last data commit — a checkpoint
+    recorded by attach(), or a high-water mark advanced by an empty /
+    fully-deduped batch. Losing either across a crash un-scopes the
+    resumed guard or replays a real batch as a no-op. The rewrite is
+    JSON-only: no data file is touched."""
+    base, batches = base_and_batches
+    idx = IVFIndex.build(base, n_centroids=8, seed=42)
+    path = str(tmp_path / "meta_sync")
+    m = StreamingANNIndexMaintainer(
+        index=idx, save_path=path, save_every=1, dedup_ids=True
+    )
+    m.process_batch(spark.createDataFrame(batches[0], SCHEMA), 0)  # full v0
+    manifest = os.path.join(path, "MANIFEST.json")
+    with open(manifest, encoding="utf-8") as fh:
+        man = json.load(fh)
+    assert (man["last_batch_id"], man["stream_checkpoint"]) == (0, None)
+
+    # a fully-deduped batch advances the in-memory mark but writes no
+    # data; attach-after-commit records a checkpoint the same way
+    m.process_batch(spark.createDataFrame(batches[0], SCHEMA), 1)
+    m._stream_checkpoint = str(tmp_path / "ckpt_meta")
+    assert m._pending_n == 0
+    before = _file_mtimes(path)
+    m.save()
+    after = _file_mtimes(path)
+    for p, t in before.items():
+        if p != manifest:
+            assert after.get(p) == t, f"meta-only save rewrote {p}"
+    with open(manifest, encoding="utf-8") as fh:
+        man = json.load(fh)
+    assert man["last_batch_id"] == 1
+    assert man["stream_checkpoint"] == str(tmp_path / "ckpt_meta")
+
+    # and the resumed maintainer is scoped: batch 1 replays as a no-op,
+    # the recorded checkpoint is enforced
+    r = StreamingANNIndexMaintainer.from_index_path(spark, path)
+    assert r._last_batch_id == 1
+    assert r._stream_checkpoint == str(tmp_path / "ckpt_meta")
+    # unchanged meta: save stays a true no-op (manifest untouched)
+    before = _file_mtimes(path)
+    r.save(path)
+    assert _file_mtimes(path) == before

@@ -168,5 +168,17 @@ def test_qerr_rejects_inconsistent_codes_and_handles_empty(spark):
     )
     with pytest.raises(ValueError, match="stale codes or wrong m"):
         pq_quantization_error(base, pq.codebooks, bad_codes, m=4)
+    # PARTIAL mismatch (ADVICE pin): F.avg skips per-row NULLs, so a
+    # subset of stale rows must not silently average the valid rest —
+    # any failed reconstruction raises, with the failure count named.
+    partial = pq.codes.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 7 == 0,
+            F.expr("array(cast(null as int), 0, 0, 0)"),
+        ).otherwise(F.col("codes")).alias("codes"),
+    )
+    with pytest.raises(ValueError, match=r"NULL for \d+ of \d+ joined rows"):
+        pq_quantization_error(base, pq.codebooks, partial, m=4)
     empty = spark.createDataFrame([], SCHEMA)
     assert pq_quantization_error(empty, pq.codebooks, pq.codes, m=4) == 0.0
