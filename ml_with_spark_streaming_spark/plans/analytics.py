@@ -364,7 +364,7 @@ def q97_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q109_table_profile_approx")  # no oracle: HLL sketches differ across engines
+@query("q109_table_profile_approx", no_oracle_reason="HLL sketches differ across engines")
 def q109_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q97's per-column profile with the documented 100 TB swap
     applied: ``approx_count_distinct`` (HyperLogLog++, rsd 2%) instead
@@ -420,7 +420,7 @@ def q109_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q119_quantile_profile")  # rows-only: GK sketches are engine/merge-order-specific
+@query("q119_quantile_profile", no_oracle_reason="GK quantile sketches are engine/merge-order-specific")
 def q119_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column approximate quantiles (p25/p50/p75/p95) for the
     numeric lineitem measures — the distribution half of data
@@ -1386,7 +1386,7 @@ def q159_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q162_mergeable_distinct_sketches")  # no oracle: DataSketches HLL is Spark-side
+@query("q162_mergeable_distinct_sketches", no_oracle_reason="DataSketches HLL sketches are Spark-side only")
 def q162_mergeable_distinct_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q151's incremental-MV discipline applied to APPROXIMATE
     distinct counts: per event type, build one DataSketches HLL

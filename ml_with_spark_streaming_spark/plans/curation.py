@@ -713,7 +713,7 @@ def q99_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q100_embedding_dedup_at_scale")  # no oracle: LSH candidate recall is approximate
+@query("q100_embedding_dedup_at_scale", no_oracle_reason="sign-LSH candidate recall is approximate by construction")
 def q100_embedding_dedup_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q99's pipeline in its 100 TB shape: the FULL embeddings table
     (no vec_id cap), near-dup edges from the sign-LSH candidate gate +
@@ -848,7 +848,7 @@ def q101_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q103_sequence_packing_bpe")  # rows-only: BPE isn't SQL-expressible
+@query("q103_sequence_packing_bpe", no_oracle_reason="BPE tokenization isn't SQL-expressible")
 def q103_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q98's concat-and-chunk packing budgeted in REAL byte-level BPE
     tokens (``functions/bpe.py`` — the published Sennrich/GPT-2
@@ -2776,7 +2776,7 @@ def q158_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q165_hard_negatives_ivf")  # rows-only: IVF-probed, approximate by construction
+@query("q165_hard_negatives_ivf", no_oracle_reason="IVF-probed, approximate by construction")
 def q165_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q158's hard-negative mining in its 100 TB shape — the runnable
     composition the q158 docstring promises: the FULL embeddings table
@@ -2863,7 +2863,7 @@ def q165_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q166_semdedup")  # rows-only: KMeans clustering isn't SQL-expressible
+@query("q166_semdedup", no_oracle_reason="KMeans clustering isn't SQL-expressible")
 def q166_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup proper (Abbas et al. 2023) over the embeddings table:
     KMeans clusters (seed 42, the q106 fit), exact cosine pairs ONLY

@@ -313,7 +313,7 @@ def q51_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q52_simhash_neardup")  # no oracle: xxhash64 has no DuckDB equivalent
+@query("q52_simhash_neardup", no_oracle_reason="xxhash64 has no DuckDB equivalent")
 def q52_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints via per-bit
     conditional-sum aggregates; pairs bucketed by the top-16-bit band
@@ -341,7 +341,7 @@ def q52_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q59_mllib_minhash_pairs")  # no oracle: LSH candidate recall is approximate
+@query("q59_mllib_minhash_pairs", no_oracle_reason="MLlib LSH candidate recall is approximate by construction")
 def q59_mllib_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib ``MinHashLSH.approxSimilarityJoin`` fuzzy-dedup (the
     built-in counterpart of q50/q58's hand-rolled pipeline). Jaccard
@@ -420,7 +420,7 @@ def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs(e, threshold=0.4).orderBy("id1", "id2")
 
 
-@query("q82_signlsh_neardup")  # no oracle: LSH recall is approximate
+@query("q82_signlsh_neardup", no_oracle_reason="sign-LSH recall is approximate by construction")
 def q82_signlsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q54's computation behind a random-hyperplane LSH gate — the
     bucketed scale path (pairs form only inside sign-band buckets;
@@ -430,7 +430,7 @@ def q82_signlsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signlsh_neardup(e, threshold=0.4).orderBy("id1", "id2")
 
 
-@query("q55_ivf_ann")  # no oracle: approximate by construction
+@query("q55_ivf_ann", no_oracle_reason="IVF ANN is approximate by construction")
 def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors (deterministic strided
     centroids, nprobe=4) — the 100 TB path for q53's computation."""
@@ -441,7 +441,7 @@ def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, e, k=10, n_centroids=16, nprobe=4).orderBy("q_id", "rank")
 
 
-@query("q106_ivf_kmeans_ann")  # no oracle: approximate by construction
+@query("q106_ivf_kmeans_ann", no_oracle_reason="IVF(KMeans) ANN is approximate by construction")
 def q106_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q55's IVF probing with REAL KMeans centroids (MLlib fit, seed
     42) instead of the content-hash sample — the production index fit
@@ -473,7 +473,7 @@ def q106_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
-@query("q169_ivf_index_refresh")  # rows-only: KMeans fit isn't SQL-expressible
+@query("q169_ivf_index_refresh", no_oracle_reason="iterative KMeans fit isn't SQL-expressible")
 def q169_ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index maintenance — the vector-index sibling of
     q168's inverted-index refresh: the IVF index is FIT on the base
@@ -509,7 +509,7 @@ def q169_ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q170_ivfpq_ann")  # rows-only: approximate (IVF probe + PQ codes) by construction
+@query("q170_ivfpq_ann", no_oracle_reason="IVF probe + PQ codes are approximate by construction")
 def q170_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (Jégou et al. 2011 IVFADC; FAISS IndexIVFPQ) — the
     billion-scale production composition, assembled entirely from
@@ -552,7 +552,7 @@ def q170_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
-@query("q118_kcenter_diverse")  # no oracle: iterative greedy selection isn't SQL-expressible
+@query("q118_kcenter_diverse", no_oracle_reason="iterative greedy k-center selection isn't SQL-expressible")
 def q118_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Farthest-point (k-center) diversity sampling over the embeddings
     table — pick 16 maximally-spread exemplars (coreset selection /
@@ -675,7 +675,7 @@ def q58_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(cands, d, "text", "doc_id", threshold=0.3).orderBy("id1", "id2")
 
 
-@query("q123_cluster_profile")  # rows-only: KMeans assignment isn't SQL-expressible
+@query("q123_cluster_profile", no_oracle_reason="KMeans assignment isn't SQL-expressible")
 def q123_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-based corpus profiling — the view behind cluster-level
     pruning (SemDeDup arXiv:2303.09540, DataComp-style curation):
@@ -745,7 +745,7 @@ def q123_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q126_ann_recall")  # rows-only: the IVF side is approximate by construction
+@query("q126_ann_recall", no_oracle_reason="the IVF side is approximate by construction")
 def q126_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality evaluation as a query: recall@10 of the IVF ANN
     index (q106's real-KMeans fit) against exact brute-force top-10
@@ -804,7 +804,7 @@ def q126_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id")
 
 
-@query("q129_ivf_nprobe_sweep")  # rows-only: approximate by construction
+@query("q129_ivf_nprobe_sweep", no_oracle_reason="IVF ANN is approximate by construction")
 def q129_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF tuning table: recall@10 vs nprobe (1/2/4/8) against the
     exact brute-force baseline, one row per setting — what an index
@@ -911,7 +911,7 @@ def q132_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     return semantic_contamination(corpus, ev, threshold=0.35).orderBy("vec_id")
 
 
-@query("q136_pq_recall")  # rows-only: KMeans codebooks aren't SQL-expressible
+@query("q136_pq_recall", no_oracle_reason="KMeans PQ codebooks aren't SQL-expressible")
 def q136_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization index evaluation: recall@10 of PQ-ADC
     scoring (operators/pq.py — m=4 subspaces x 16 codes = 4 bytes per
@@ -985,7 +985,7 @@ def q136_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q138_pca_ann_sweep")  # rows-only: the PCA eigenbasis isn't SQL-expressible
+@query("q138_pca_ann_sweep", no_oracle_reason="the PCA eigenbasis isn't SQL-expressible")
 def q138_pca_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA-reduced similarity search, evaluated: recall@10 of L2 top-10
     computed in a k-dim PCA projection (k = 4/8/16/32 of d=64) against

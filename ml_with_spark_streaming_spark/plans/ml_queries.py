@@ -88,7 +88,7 @@ def _metrics_df(spark: SparkSession, m, extra: dict | None = None) -> DataFrame:
     return spark.createDataFrame([tuple(row.values())], ", ".join(schema_bits))
 
 
-@query("q70_nb_train_eval")  # rows-only: iterative ML, not SQL-expressible
+@query("q70_nb_train_eval", no_oracle_reason="iterative ML training isn't SQL-expressible")
 def q70_nb_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _labeled_feats(spark, sf_dir).persist()
     try:
@@ -102,7 +102,7 @@ def q70_nb_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.unpersist()
 
 
-@query("q71_nb_incremental_replay")  # rows-only
+@query("q71_nb_incremental_replay", no_oracle_reason="iterative ML training isn't SQL-expressible")
 def q71_nb_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online learning: 3 sequential doc_id-range batches; held-out
     metrics per batch from the model as of that batch."""
@@ -127,7 +127,7 @@ def q71_nb_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.unpersist()
 
 
-@query("q72_kmeans_agreement")  # rows-only
+@query("q72_kmeans_agreement", no_oracle_reason="iterative ML training isn't SQL-expressible")
 def q72_kmeans_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry point B with the SURVEY §3 fix: permutation-invariant
     cluster-vs-label agreement instead of assuming cluster-id ≡ label."""
@@ -156,7 +156,7 @@ def q72_kmeans_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.unpersist()
 
 
-@query("q73_pa_train_eval")  # rows-only
+@query("q73_pa_train_eval", no_oracle_reason="iterative ML training isn't SQL-expressible")
 def q73_pa_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _labeled_feats(spark, sf_dir).persist()
     try:
@@ -171,7 +171,7 @@ def q73_pa_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.unpersist()
 
 
-@query("q74_mllib_nb_pipeline")  # rows-only
+@query("q74_mllib_nb_pipeline", no_oracle_reason="iterative ML training isn't SQL-expressible")
 def q74_mllib_nb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1-M6 as a genuine pyspark.ml.Pipeline + MLlib NaiveBayes —
     the distributed batch twin of the incremental path."""
@@ -186,7 +186,7 @@ def q74_mllib_nb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _metrics_df(spark, binary_metrics(pred, label_col="target", pred_col="prediction"))
 
 
-@query("q88_sgd_train_eval")  # rows-only: iterative ML, not SQL-expressible
+@query("q88_sgd_train_eval", no_oracle_reason="iterative ML training isn't SQL-expressible")
 def q88_sgd_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SGDC entry-point parity (reference SGDC/sgdc.py:154 —
     sklearn.SGDClassifier.partial_fit): hinge-loss SGD with per-shard

@@ -27,14 +27,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# why each non-oracled query has no SQL twin — the stated reason the
+# local gate prints and ORACLE_r{N}.json records next to its weaker
+# rows-only check (driver-side: CORRECTNESS notes the same downgrade)
+NO_ORACLE_REASONS: dict[str, str] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a named query, optionally with its DuckDB oracle SQL.
-
-    Queries without an oracle get the driver's weaker rows-only check
-    (reserved for genuinely non-SQL-expressible ops).
+def query(
+    name: str,
+    oracle: str | None = None,
+    no_oracle_reason: str | None = None,
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query with its DuckDB oracle SQL, or — for
+    genuinely non-SQL-expressible ops (iterative ML, approximate-by-
+    construction ANN, engine-specific sketches) — an explicit
+    ``no_oracle_reason``. Exactly one must be given: a query can't
+    silently downgrade to the rows-only check.
     """
+
+    if (oracle is None) == (no_oracle_reason is None):
+        raise ValueError(
+            f"{name}: give exactly one of oracle / no_oracle_reason"
+        )
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -42,6 +56,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        else:
+            NO_ORACLE_REASONS[name] = no_oracle_reason
         return fn
 
     return deco

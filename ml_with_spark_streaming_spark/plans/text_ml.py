@@ -226,7 +226,7 @@ def q46_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d, fingerprint_expr("text", 8), "doc_id").orderBy("doc_id")
 
 
-@query("q47_stemmed_tokens")  # no oracle: Porter stemming isn't expressible in SQL
+@query("q47_stemmed_tokens", no_oracle_reason="Porter/Snowball stemming isn't expressible in SQL")
 def q47_stemmed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow pandas-UDF Porter stemming (the reference's only UDF,
     PAC/passiveAgressiveModel.py:64-66, vectorized)."""
@@ -368,7 +368,7 @@ def q83_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q102_bpe_token_counts")  # rows-only: BPE isn't SQL-expressible
+@query("q102_bpe_token_counts", no_oracle_reason="BPE tokenization isn't SQL-expressible")
 def q102_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document REAL byte-level BPE token counts next to the
     whitespace count and the q41 regex proxy, plus the implied
@@ -405,7 +405,7 @@ def q102_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q111_bpe_vocab_train")  # rows-only: iterative BPE training isn't SQL-expressible
+@query("q111_bpe_vocab_train", no_oracle_reason="iterative BPE merge training isn't SQL-expressible")
 def q111_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the BPE merge table ON THE CORPUS, distributed — the
     production answer to functions/bpe.py's import-time seed vocab

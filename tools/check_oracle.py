@@ -8,25 +8,52 @@ DuckDB over the same parquet tables, then compares:
     with exact equality on every value (floats included — queries are
     responsible for rounding so this holds).
 
-Usage:  python tools/check_oracle.py [sf_dir] [query-name ...]
+Usage:  python tools/check_oracle.py [sf_dir] [query-name ...] [--emit [path]]
+
+``--emit`` writes the per-query record (ok/skip/fail + rows + the
+registry's stated no-oracle reason) as one JSON artifact — the
+committed round record for the 121 queries the driver's pinned
+50-query CORRECTNESS sample never covers. A bare ``--emit``
+auto-names it ``ORACLE_r{N}.json`` for the in-progress round
+(max committed BENCH_r* + 1).
 """
 
 from __future__ import annotations
 
 import datetime
 import decimal
+import glob
+import json
 import math
 import os
+import re
 import sys
 import time
 from collections import Counter
 
 import duckdb
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = sys.argv[1:]
+EMIT: str | None = None
+if "--emit" in _args:
+    i = _args.index("--emit")
+    if i + 1 < len(_args) and not _args[i + 1].startswith("-"):
+        EMIT = _args[i + 1]
+        del _args[i : i + 2]
+    else:
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        EMIT = os.path.join(REPO, f"ORACLE_r{max(rounds, default=0) + 1:02d}.json")
+        del _args[i]
+
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -128,6 +155,8 @@ def main() -> int:
 
     from ml_with_spark_streaming_spark.session import get_spark
 
+    from ml_with_spark_streaming_spark.plans.registry import NO_ORACLE_REASONS
+
     spark = get_spark(app_name="check_oracle")
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
@@ -137,6 +166,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
@@ -147,10 +177,21 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
+            records[name] = {"status": "fail", "err": f"spark error: {e}"[:300]}
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
-            print(f"skip  {name}: no oracle ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            reason = NO_ORACLE_REASONS.get(name, "no oracle")
+            records[name] = {
+                "status": "skip",
+                "rows": len(srows),
+                "sec": round(time.time() - t0, 1),
+                "reason": reason,
+            }
+            print(
+                f"skip  {name}: no oracle — {reason} "
+                f"({len(srows)} rows, {time.time()-t0:.1f}s)"
+            )
             continue
         try:
             rel = con.sql(oracles[name])
@@ -159,6 +200,7 @@ def main() -> int:
             drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {e}"))
+            records[name] = {"status": "fail", "err": f"duckdb error: {e}"[:300]}
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
 
@@ -178,13 +220,37 @@ def main() -> int:
                 problems.append(f"values differ; spark-only={extra_s} duckdb-only={extra_d}")
         if problems:
             failures.append((name, "; ".join(problems)))
+            records[name] = {
+                "status": "fail",
+                "rows": len(srows),
+                "err": "; ".join(problems)[:300],
+            }
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
+            records[name] = {
+                "status": "ok",
+                "rows": len(srows),
+                "sec": round(time.time() - t0, 1),
+            }
             print(f"ok    {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
 
-    print(f"\n{len(failures)} failures / {len([n for n in qs if not ONLY or n in ONLY])} checked")
+    n_checked = len([n for n in qs if not ONLY or n in ONLY])
+    print(f"\n{len(failures)} failures / {n_checked} checked")
     for name, msg in failures:
         print(f"  {name}: {msg[:300]}")
+    if EMIT:
+        counts = Counter(r["status"] for r in records.values())
+        artifact = {
+            "sf_dir": SF_DIR,
+            "checked": n_checked,
+            "ok": counts.get("ok", 0),
+            "skip_no_oracle": counts.get("skip", 0),
+            "failures": counts.get("fail", 0),
+            "queries": records,
+        }
+        with open(EMIT, "w", encoding="utf-8") as fh:
+            json.dump(artifact, fh, indent=1, sort_keys=True)
+        print(f"wrote {EMIT}")
     spark.stop()
     return 1 if failures else 0
 
