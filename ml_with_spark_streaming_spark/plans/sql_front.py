@@ -1094,8 +1094,12 @@ def rewrite_asof_join(sql: str) -> str:
     SELECT list / trailing clauses limited to ``ra.t`` (the matched
     as-of timestamp — substituted quote-aware, so string literals
     mentioning the alias are untouched). An outer ``WHERE`` is merged
-    into the rewrite's own WHERE. That is the surface the registered
-    twins use; widening it means widening the parity-pin set first."""
+    into the rewrite's own WHERE; trailing ``GROUP BY`` / ``HAVING`` /
+    ``ORDER BY`` / ``LIMIT`` move onto the final select over the
+    windowed union (executed parity vs DuckDB's native ASOF pinned
+    per clause in ``test_asof_rewriter_tail_clause_parity``). That is
+    the surface the registered twins use; widening it means widening
+    the parity-pin set first."""
     m = _ASOF_RE.search(sql)
     qmap = _in_quote_map(sql)
     if m is None or qmap[m.start()]:

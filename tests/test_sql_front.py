@@ -253,3 +253,60 @@ def test_asof_rewriter_review_regressions(spark):
             "SELECT p.a FROM (SELECT * FROM t) p "
             "ASOF JOIN (SELECT * FROM u) v ON p.k = v.k AND p.ts >= v.ts"
         )
+
+
+def test_asof_rewriter_tail_clause_parity(spark):
+    """Round-11 pin (VERDICT #6): each supported TRAILING clause after
+    an ASOF join — GROUP BY, GROUP BY + HAVING, ORDER BY + LIMIT — is
+    executed through the rewrite and matched row-for-row against
+    DuckDB's native ASOF JOIN on the same parquet data. The rewrite
+    moves the tail onto the final select over the windowed union, so
+    these clauses must aggregate/filter/sort the MATCHED rows exactly
+    as the native operator does."""
+    import duckdb
+
+    from ml_with_spark_streaming_spark.plans.sql_front import register_views
+
+    register_views(spark, SF)
+    con = duckdb.connect()
+    for t in ("events",):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    asof = (
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+        "ON p.user_id = v.user_id AND p.ts >= v.ts"
+    )
+    cases = [
+        # trailing GROUP BY
+        (
+            "SELECT p.user_id, COUNT(*) AS n_purch, "
+            f"MAX(epoch_us(p.ts) - epoch_us(v.ts)) AS max_lag_us {asof} "
+            "GROUP BY p.user_id"
+        ),
+        # trailing GROUP BY + HAVING
+        (
+            "SELECT p.user_id, COUNT(*) AS n_purch "
+            f"{asof} GROUP BY p.user_id HAVING COUNT(*) >= 2"
+        ),
+        # outer WHERE + trailing ORDER BY + LIMIT (deterministic order)
+        (
+            "SELECT p.event_id, epoch_us(p.ts) - epoch_us(v.ts) AS lag_us "
+            f"{asof} WHERE p.value > 1 ORDER BY lag_us DESC, p.event_id LIMIT 5"
+        ),
+    ]
+    for stmt in cases:
+        lowered = rewrite_asof_join(spark_dialect(stmt))
+        assert "ASOF JOIN" not in lowered.upper()
+        got = spark.sql(lowered)
+        want_rel = con.sql(stmt)
+        assert [c.lower() for c in got.columns] == [
+            c.lower() for c in want_rel.columns
+        ]
+        ordered = "ORDER BY" in stmt
+        g = [tuple(r) for r in got.collect()]
+        w = [tuple(r) for r in want_rel.fetchall()]
+        if not ordered:
+            g, w = sorted(g), sorted(w)
+        assert g == w, f"tail-clause parity broke for: {stmt}"
+    con.close()
