@@ -447,6 +447,47 @@ def derive_semdedup_knobs(
     return min(max(min_k, math.ceil(math.sqrt(max(n_vectors, 1)))), max_k)
 
 
+def derive_semdedup_gate_bits(
+    threshold: float,
+    bands: int = 16,
+    target_miss: float = 1e-3,
+    max_bits: int = 32,
+    min_net: float = 4.0,
+) -> int:
+    """Band width (bits) for ``semdedup``'s in-cluster sign-LSH
+    candidate gate at this verify threshold — or 0 when the gate
+    cannot pay and the exact in-cluster search should run ungated.
+
+    The derivation is the S-curve sizing rule applied to sign-LSH:
+    per-bit collision probability for the WORST accepted pair is
+    ``agree = 1 - acos(threshold)/π`` (Charikar 2002), a b-bit band
+    collides with probability ``agree^b``, and OR-amplification over
+    ``bands`` bands must keep the per-pair miss below ``target_miss``
+    — so the widest admissible band is
+    ``bits = floor(log(1 - target_miss^(1/bands)) / log(agree))``.
+
+    The gate is only worth arming when it actually prunes: each band
+    regenerates candidates, so the expected noise-pair reduction is
+    ~``2^bits / bands`` — below ``min_net``× the gate is pure overhead
+    and 0 is returned (q166's 0.4 threshold lands here: agree ≈ 0.63
+    admits only 2-bit bands, which prune nothing; the paper's 0.95
+    operating point admits 9-bit bands, a ~32× candidate cut)."""
+    import math
+
+    t = min(max(float(threshold), -1.0), 1.0)
+    agree = 1.0 - math.acos(t) / math.pi
+    if agree <= 0.5:
+        # at/below random-vector bit agreement the gate carries no signal
+        return 0
+    if agree >= 1.0:
+        return max_bits
+    p_min = 1.0 - target_miss ** (1.0 / bands)
+    bits = min(int(math.log(p_min) / math.log(agree)), max_bits)
+    if 2**bits < min_net * bands:
+        return 0
+    return bits
+
+
 def assign_to_centroids(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -519,6 +560,108 @@ def kmeans_centroids(
     return spark.createDataFrame(centers, "cent_id int, cent_vec array<double>")
 
 
+def _semdedup_arrow_pairs(
+    assigned: DataFrame, threshold: float, c_id: str, c_vec: str
+) -> DataFrame:
+    """In-cluster pairs at ``round(cos, 4) >= threshold`` via ONE
+    float64 BLAS matmul per cluster (``applyInPandas`` over the
+    k-bounded clusters) — the same pair set as the expression join,
+    computed at vectorized-flop cost instead of one interpreted
+    aggregate/zip_with tree per pair. Block-chunked: peak memory is
+    O(block × cluster), never cluster². Ids inside a group are sorted
+    so emitted pairs satisfy id1 < id2 by VALUE."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    idt = assigned.schema[c_id].dataType
+    out_schema = StructType([StructField("id1", idt), StructField("id2", idt)])
+    thr = float(threshold)
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id1": pdf[c_id][:0], "id2": pdf[c_id][:0]})
+        pdf = pdf.sort_values(c_id)
+        ids = pdf[c_id].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[c_vec]])
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0.0] = 1.0  # safe_denom twin: zero vector ~ nothing
+        mn = m / norms[:, None]
+        out1, out2 = [], []
+        block = 2048
+        for s in range(0, len(ids), block):
+            cos = np.round(mn[s : s + block] @ mn.T, 4)
+            for r in range(cos.shape[0]):
+                i = s + r
+                js = np.nonzero(cos[r, i + 1 :] >= thr)[0] + i + 1
+                if len(js):
+                    out1.extend([ids[i]] * len(js))
+                    out2.extend(ids[js])
+        return pd.DataFrame(
+            {"id1": np.asarray(out1, dtype=ids.dtype),
+             "id2": np.asarray(out2, dtype=ids.dtype)}
+            if out1
+            else {"id1": pdf[c_id][:0], "id2": pdf[c_id][:0]}
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(per_cluster, out_schema)
+
+
+def _semdedup_gated_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    bits: int,
+    bands: int,
+    c_id: str,
+    c_vec: str,
+    seed: int,
+) -> DataFrame:
+    """In-cluster pairs with the q100 sign-LSH band gate composed in:
+    candidates are pairs that share (cluster, band_idx, band_bits) —
+    both gates AND — then exact cosine verifies just those. The band
+    self-join replaces the cluster self-join, cutting noise pairs by
+    ~2^bits/bands; recall follows the ``derive_semdedup_gate_bits``
+    S-curve bound. Candidate and vector tables are materialized so the
+    verify join doesn't re-plan the corpus scan (the signlsh_neardup
+    fix)."""
+    sig = signlsh_bands(assigned, bits * bands, bands, c_id, c_vec, seed).join(
+        assigned.select(c_id, "cluster"), c_id
+    )
+    s1 = sig.select(
+        "cluster", "band_idx", "band_bits", F.col(c_id).alias("id1")
+    )
+    s2 = sig.select(
+        "cluster", "band_idx", "band_bits", F.col(c_id).alias("id2")
+    )
+    cand = maybe_checkpoint(
+        s1.join(s2, ["cluster", "band_idx", "band_bits"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    cids = (
+        cand.select(F.col("id1").alias(c_id))
+        .union(cand.select(F.col("id2").alias(c_id)))
+        .distinct()
+    )
+    vecs = maybe_checkpoint(
+        assigned.select(c_id, F.col(c_vec).alias("_v")).join(
+            cids, c_id, "left_semi"
+        )
+    )
+    a = vecs.select(F.col(c_id).alias("id1"), F.col("_v").alias("_v1"))
+    b = vecs.select(F.col(c_id).alias("id2"), F.col("_v").alias("_v2"))
+    return (
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .filter(
+            F.round(cosine_expr(F.col("_v1"), F.col("_v2")), 4) >= F.lit(threshold)
+        )
+        .select("id1", "id2")
+    )
+
+
 def semdedup(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -528,6 +671,9 @@ def semdedup(
     seed: int = 42,
     centroids: DataFrame | None = None,
     assignments: DataFrame | None = None,
+    lsh_gate: bool | None = None,
+    lsh_bands: int = 16,
+    pair_backend: str = "arrow",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
     semantic dedup. KMeans-cluster the embedding space, compute exact
@@ -541,18 +687,36 @@ def semdedup(
     — singletons are their own component with ``keep = 1``.
 
     Scale shape: one centroid broadcast + one narrow assignment pass;
-    the pair search is an equi-join on ``cluster`` over the
-    checkpointed assignment (within-cluster pairs only — with k
-    clusters of ~n/k vectors the pair count is n²/k, and production
-    runs k large enough that clusters are index-sized; the paper uses
-    k ≈ √n). Component rounds are q90's join+min loop. The
-    complementary LSH-gated path is ``signlsh_neardup`` (q100); the
-    two differ in candidate generation only.
+    the pair search is scoped to clusters (with k clusters of ~n/k
+    vectors the pair count is n²/k; k is derived as ⌈√n⌉, the paper's
+    regime). Component rounds are q90's join+min loop. Two buy-downs
+    on the n²/k term:
+
+    * ``lsh_gate`` — an IN-CLUSTER sign-LSH band join (the q100 gate
+      composed with the cluster gate): only band-colliding same-cluster
+      pairs reach exact verification. ``None`` (default) derives the
+      band width from the threshold via ``derive_semdedup_gate_bits``
+      and arms the gate only when the S-curve math says it prunes —
+      at the paper's 0.95 operating point it does (~9-bit bands, ~32×
+      candidate cut); at exploratory thresholds (≤ ~0.8) sign-LSH
+      bands wide enough to preserve recall prune nothing, so the gate
+      auto-disarms rather than silently dropping pairs. ``True`` /
+      ``False`` force it.
+    * ``pair_backend="arrow"`` (ungated path) — per-cluster pairs via
+      ONE float64 BLAS matmul per cluster inside ``applyInPandas``
+      (block-chunked, memory O(block·s) for cluster size s), replacing
+      n²/k interpreted Catalyst aggregate/zip_with cosine evaluations
+      with vectorized flops. Same pairs as the expression join
+      (``"join"``, kept for degenerate unbounded clusters where a
+      group no longer fits an Arrow batch: s ≳ 10⁵) up to the
+      float-summation-order-at-the-rounding-boundary caveat the
+      embedding gate documents; backend equality is pinned by test.
 
     Design-regime exactness (clusters of near-identical vectors —
     where SemDeDup operates) is pinned by
     ``tests/test_similarity.py::test_semdedup_planted_clusters``:
-    cluster-scoped components equal all-pairs components there.
+    cluster-scoped components equal all-pairs components there, gate
+    armed (auto at 0.95) and disarmed alike.
     """
     from ml_with_spark_streaming_spark.operators.graph import connected_components
 
@@ -584,24 +748,43 @@ def semdedup(
             .filter(F.col("rn") == 1)
             .select(F.col(c_id), F.col(c_vec), F.col("cent_id").alias("cluster"))
         )
-    a = assigned.select(
-        F.col("cluster"),
-        F.col(c_id).alias("id1"),
-        F.col(c_vec).alias("_v1"),
-    )
-    b = assigned.select(
-        F.col("cluster"),
-        F.col(c_id).alias("id2"),
-        F.col(c_vec).alias("_v2"),
-    )
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("id1") < F.col("id2"))
-        .filter(
-            F.round(cosine_expr(F.col("_v1"), F.col("_v2")), 4) >= F.lit(threshold)
+    gate_bits = derive_semdedup_gate_bits(threshold, bands=lsh_bands)
+    if lsh_gate is None:
+        lsh_gate = gate_bits > 0
+    if lsh_gate:
+        if gate_bits == 0:
+            raise ValueError(
+                f"lsh_gate=True at threshold {threshold}: no band width "
+                "preserves recall while pruning — run ungated "
+                "(lsh_gate=False/None) or raise the threshold"
+            )
+        pairs = _semdedup_gated_pairs(
+            assigned, threshold, gate_bits, lsh_bands, c_id, c_vec, seed
         )
-        .select("id1", "id2")
-    )
+    elif pair_backend == "arrow":
+        pairs = _semdedup_arrow_pairs(assigned, threshold, c_id, c_vec)
+    elif pair_backend == "join":
+        a = assigned.select(
+            F.col("cluster"),
+            F.col(c_id).alias("id1"),
+            F.col(c_vec).alias("_v1"),
+        )
+        b = assigned.select(
+            F.col("cluster"),
+            F.col(c_id).alias("id2"),
+            F.col(c_vec).alias("_v2"),
+        )
+        pairs = (
+            a.join(b, "cluster")
+            .filter(F.col("id1") < F.col("id2"))
+            .filter(
+                F.round(cosine_expr(F.col("_v1"), F.col("_v2")), 4)
+                >= F.lit(threshold)
+            )
+            .select("id1", "id2")
+        )
+    else:
+        raise ValueError(f"unknown pair_backend {pair_backend!r}")
     comp = connected_components(pairs).withColumnRenamed("id", c_id)
     return (
         assigned.select(c_id, "cluster")
