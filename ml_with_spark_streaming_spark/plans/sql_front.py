@@ -211,14 +211,27 @@ SQL_REWRITTEN: tuple[str, ...] = (
 )
 
 
-# Tier 3: WITH RECURSIVE twins whose recursion uses UNION-distinct —
-# Spark 4.1's native recursive CTE accepts only UNION ALL
-# ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]), so these run through the
-# semi-naive fixpoint driver below: each CTE materializes in order,
-# the self-referencing one iterates (base; then union-distinct the
-# step until the row SET stops growing — bounded by the component
-# diameter, the same small-diameter argument q90's DataFrame CC loop
-# documents). Pinned by the same rows+column-names test as tiers 1-2.
+# Tier 3: WITH RECURSIVE twins. ``run_recursive_sql`` lowers a
+# UNION ALL recursion onto Spark 4.1's NATIVE recursive-CTE executor
+# (handed to spark.sql whole — pinned by
+# test_recursive_union_all_runs_natively); only UNION-distinct
+# recursions go through the semi-naive fixpoint driver below (each
+# CTE materializes in order, the self-referencing one iterates until
+# the row SET stops growing — bounded by the component diameter, the
+# same small-diameter argument q90's DataFrame CC loop documents).
+# All 8 current twins are the UNION-distinct remainder BY NECESSITY,
+# not convenience — each one's recursion is a min-label walk over the
+# SYMMETRIC edge closure, where distinct is load-bearing for
+# termination: verified empirically on this Spark build
+# (test_recursive_walk_cannot_lower_natively) that (a) UNION inside
+# the recursion raises [UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE] and
+# (b) the mechanical UNION→UNION ALL rewrite of the cyclic walk
+# re-derives already-seen (id, label) rows forever and dies on the
+# recursion-depth limit instead of terminating. Moving DISTINCT to
+# the outer select cannot fix (b): termination itself depends on the
+# in-recursion dedup, and the single-self-reference rule bars a
+# NOT EXISTS anti-join against the accumulated set. Pinned by the
+# same rows+column-names test as tiers 1-2.
 # NOTE: this tier exists for SQL-surface completeness; the PRODUCTION
 # path for these queries is the DataFrame API (operators/graph.py's
 # checkpointed min-label loop) — the oracle's naive walk materializes
@@ -1016,7 +1029,9 @@ def _fixpoint_cte(
     parts, saw_all = _split_union(body)
     if saw_all:
         raise ValueError(
-            f"recursive CTE {name!r} uses UNION ALL — run it natively via spark.sql"
+            f"recursive CTE {name!r} uses UNION ALL — run_recursive_sql "
+            "lowers that onto Spark's native recursive-CTE executor, "
+            "never this fixpoint driver"
         )
     base = [p for p in parts if not _references(p, name)]
     step = [p for p in parts if _references(p, name)]
@@ -1043,18 +1058,35 @@ def _fixpoint_cte(
 
 
 def run_recursive_sql(spark: SparkSession, sql: str) -> DataFrame:
-    """Execute a WITH RECURSIVE statement whose recursion is
-    UNION-distinct: materialize each CTE in order as a temp view
-    (fixpoint-iterating the self-referencing ones), then run the final
-    query body. The returned DataFrame is built on eagerly-registered
-    views, so later view replacement does not retro-change it."""
+    """Execute a WITH RECURSIVE statement: materialize each CTE in
+    order as a temp view, then run the final query body. A
+    self-referencing CTE whose recursion is UNION ALL is handed to
+    Spark 4.1's NATIVE recursive-CTE executor (the legal lowering —
+    native semantics keep duplicate derivations, exactly as the SQL
+    says); a UNION-distinct recursion — which the native executor
+    refuses ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]) and which cannot
+    be mechanically rewritten to UNION ALL when the walk is cyclic
+    (it would never terminate) — iterates through the semi-naive
+    fixpoint driver. The returned DataFrame is built on
+    eagerly-registered views, so later view replacement does not
+    retro-change it."""
     parsed = _parse_with_recursive(sql)
     if parsed is None:
         raise ValueError("not a WITH RECURSIVE statement")
     ctes, final = parsed
     for name, cols, body in ctes:
         if _references(body, name):
-            df = _fixpoint_cte(spark, name, cols, body)
+            _parts, saw_all = _split_union(body)
+            if saw_all:
+                # native path: earlier CTEs are temp views by now, so
+                # the single recursive CTE re-wraps as its own statement
+                col_sig = f" ({', '.join(cols)})" if cols else ""
+                df = spark.sql(
+                    f"WITH RECURSIVE {name}{col_sig} AS ({body}) "
+                    f"SELECT * FROM {name}"
+                )
+            else:
+                df = _fixpoint_cte(spark, name, cols, body)
         else:
             df = spark.sql(body)
             if cols:

@@ -169,13 +169,14 @@ def test_recursive_driver_edge_cases(spark):
 
     with _pytest.raises(ValueError, match="not a WITH RECURSIVE"):
         run_recursive_sql(spark, "SELECT 1 AS x")
-    with _pytest.raises(ValueError, match="UNION ALL"):
-        run_recursive_sql(
-            spark,
-            """WITH RECURSIVE r(n) AS (
-                 SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 3
-               ) SELECT * FROM r""",
-        )
+    # UNION ALL recursion lowers onto Spark's NATIVE executor (round 11)
+    out = run_recursive_sql(
+        spark,
+        """WITH RECURSIVE r(n) AS (
+             SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 3
+           ) SELECT * FROM r ORDER BY n""",
+    )
+    assert [row.n for row in out.collect()] == [1, 2, 3]
 
 
 try:
@@ -310,3 +311,67 @@ def test_asof_rewriter_tail_clause_parity(spark):
             g, w = sorted(g), sorted(w)
         assert g == w, f"tail-clause parity broke for: {stmt}"
     con.close()
+
+
+def test_recursive_union_all_runs_natively(spark):
+    """Round-11 pin (VERDICT #5): run_recursive_sql hands a UNION ALL
+    recursion to Spark 4.1's native recursive-CTE executor. The diamond
+    DAG distinguishes the engines: the native UNION ALL semantics KEEP
+    the duplicate derivation of the sink node (two paths), which the
+    fixpoint driver's union-distinct would collapse — so the duplicate
+    row is proof the native path executed, with faithful semantics."""
+    from ml_with_spark_streaming_spark.plans.sql_front import run_recursive_sql
+
+    spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src int, dst int"
+    ).createOrReplaceTempView("dag_edges")
+    try:
+        out = run_recursive_sql(
+            spark,
+            """
+            WITH RECURSIVE reach (node) AS (
+              SELECT 1
+              UNION ALL
+              SELECT e.dst FROM reach r JOIN dag_edges e ON e.src = r.node
+            )
+            SELECT node, COUNT(*) AS n_paths FROM reach GROUP BY node ORDER BY node
+            """,
+        )
+        rows = {r.node: r.n_paths for r in out.collect()}
+        assert rows == {1: 1, 2: 1, 3: 1, 4: 2}  # 4 reached via BOTH paths
+    finally:
+        spark.catalog.dropTempView("dag_edges")
+
+
+def test_recursive_walk_cannot_lower_natively(spark):
+    """Round-11 pin (VERDICT #5): the 8 tier-3 twins stay on the
+    fixpoint driver BY NECESSITY. Their shared recursion — a min-label
+    walk over the symmetric edge closure — (a) raises
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE natively as written, and
+    (b) under the mechanical UNION -> UNION ALL rewrite re-derives
+    already-seen rows forever on the cyclic closure and dies on the
+    recursion-depth limit instead of terminating. Both verified here
+    against THIS Spark build, so a future Spark that lifts either
+    restriction shows up as this test failing."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "a int, b int"
+    ).createOrReplaceTempView("sym_edges")
+    walk = """
+      WITH RECURSIVE walk (id, label) AS (
+        SELECT a, a FROM sym_edges
+        {union}
+        SELECT s.b, w.label FROM walk w JOIN sym_edges s ON s.a = w.id
+      )
+      SELECT id, MIN(label) AS component FROM walk GROUP BY id
+    """
+    try:
+        with pytest.raises(AnalysisException, match="UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"):
+            spark.sql(walk.format(union="UNION")).collect()
+        with pytest.raises((Py4JJavaError, Exception)) as ei:
+            spark.sql(walk.format(union="UNION ALL")).collect()
+        assert "RECURSION" in str(ei.value).upper()  # depth limit, not an answer
+    finally:
+        spark.catalog.dropTempView("sym_edges")
