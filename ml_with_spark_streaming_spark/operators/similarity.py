@@ -569,15 +569,32 @@ def _semdedup_arrow_pairs(
     computed at vectorized-flop cost instead of one interpreted
     aggregate/zip_with tree per pair. Block-chunked: peak memory is
     O(block × cluster), never cluster². Ids inside a group are sorted
-    so emitted pairs satisfy id1 < id2 by VALUE."""
+    so emitted pairs satisfy id1 < id2 by VALUE.
+
+    The threshold decision replicates Spark's ROUNDING RULE exactly:
+    ``F.round(x, 4)`` is shortest-decimal-repr BigDecimal HALF_UP, not
+    numpy's scaled half-even — so the vectorized pass takes a small
+    superset (``cos >= thr - 2e-4``) and each superset member is
+    re-decided with ``Decimal(repr(x)).quantize(HALF_UP)``, the same
+    arithmetic Spark runs. The residual backend caveat is therefore
+    SUMMATION ORDER only (BLAS vs the SQL left-fold can differ in the
+    last ulp, which repr then exposes) — the module-level
+    float-at-the-boundary caveat, fixture-true like the embedding
+    gate's."""
     import numpy as np
     import pandas as pd
+
+    from decimal import ROUND_HALF_UP, Decimal
 
     from pyspark.sql.types import StructField, StructType
 
     idt = assigned.schema[c_id].dataType
     out_schema = StructType([StructField("id1", idt), StructField("id2", idt)])
     thr = float(threshold)
+    q4 = Decimal("0.0001")
+
+    def _round4_spark(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(q4, rounding=ROUND_HALF_UP))
 
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -591,11 +608,18 @@ def _semdedup_arrow_pairs(
         out1, out2 = [], []
         block = 2048
         for s in range(0, len(ids), block):
-            cos = np.round(mn[s : s + block] @ mn.T, 4)
+            cos = mn[s : s + block] @ mn.T
             for r in range(cos.shape[0]):
                 i = s + r
-                js = np.nonzero(cos[r, i + 1 :] >= thr)[0] + i + 1
-                if len(js):
+                row = cos[r, i + 1 :]
+                # vectorized superset (any round4 >= thr value exceeds
+                # thr - 5.1e-5), then the exact Spark-rule decision
+                js = [
+                    int(j) + i + 1
+                    for j in np.nonzero(row >= thr - 2e-4)[0]
+                    if _round4_spark(float(row[j])) >= thr
+                ]
+                if js:
                     out1.extend([ids[i]] * len(js))
                     out2.extend(ids[js])
         return pd.DataFrame(
@@ -625,8 +649,13 @@ def _semdedup_gated_pairs(
     S-curve bound. Candidate and vector tables are materialized so the
     verify join doesn't re-plan the corpus scan (the signlsh_neardup
     fix)."""
-    sig = signlsh_bands(assigned, bits * bands, bands, c_id, c_vec, seed).join(
-        assigned.select(c_id, "cluster"), c_id
+    # materialized: both sides of the band self-join read sig, and an
+    # unmaterialized plan would recompute the signature pass (and its
+    # cluster join) once per side
+    sig = maybe_checkpoint(
+        signlsh_bands(assigned, bits * bands, bands, c_id, c_vec, seed).join(
+            assigned.select(c_id, "cluster"), c_id
+        )
     )
     s1 = sig.select(
         "cluster", "band_idx", "band_bits", F.col(c_id).alias("id1")
@@ -748,6 +777,11 @@ def semdedup(
             .filter(F.col("rn") == 1)
             .select(F.col(c_id), F.col(c_vec), F.col("cent_id").alias("cluster"))
         )
+    if pair_backend not in ("arrow", "join"):
+        # validated up front: an armed gate dispatches before the
+        # backend branch, and a typo'd backend must not silently ride
+        # the gated path instead
+        raise ValueError(f"unknown pair_backend {pair_backend!r}")
     gate_bits = derive_semdedup_gate_bits(threshold, bands=lsh_bands)
     if lsh_gate is None:
         lsh_gate = gate_bits > 0

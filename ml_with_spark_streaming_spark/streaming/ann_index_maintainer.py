@@ -666,12 +666,15 @@ class StreamingANNIndexMaintainer:
         assertion that ``vecs`` is a genuinely NEW stream whose data is
         not already in the index: it clears the high-water mark so the
         new checkpoint's batch 0 is processed."""
-        if reset_replay_guard:
-            self._last_batch_id = -1
-            self._stream_checkpoint = None
+        # evaluate the guards against the EFFECTIVE state, but commit
+        # nothing until the stream is actually attached — a failed
+        # attach (bad source, invalid checkpoint path) must not leave a
+        # wiped guard behind that a later save() would persist
+        eff_ckpt = None if reset_replay_guard else self._stream_checkpoint
+        eff_last = -1 if reset_replay_guard else self._last_batch_id
         if (
-            self._stream_checkpoint is not None
-            and checkpoint != self._stream_checkpoint
+            eff_ckpt is not None
+            and checkpoint != eff_ckpt
         ):
             raise ValueError(
                 f"this index was maintained under stream checkpoint "
@@ -681,19 +684,28 @@ class StreamingANNIndexMaintainer:
                 "checkpoint location, pass reset_replay_guard=True for "
                 "a genuinely new stream, or rebuild the index"
             )
-        if self._stream_checkpoint is None and self._last_batch_id >= 0:
+        if eff_ckpt is None and eff_last >= 0:
             raise ValueError(
                 f"this index has applied batches up to id "
-                f"{self._last_batch_id} but records no stream checkpoint "
+                f"{eff_last} but records no stream checkpoint "
                 "(legacy manifest, or batches applied via process_batch "
                 "outside attach); under checkpoint "
                 f"{checkpoint!r} batch ids restart at 0 and the replay "
                 f"guard would silently swallow the first "
-                f"{self._last_batch_id + 1} real batches — pass "
+                f"{eff_last + 1} real batches — pass "
                 "reset_replay_guard=True if this stream's data is NOT "
                 "already in the index, or rebuild the index"
             )
-        self._stream_checkpoint = checkpoint
-        return attach_foreach_batch(
-            vecs, self.process_batch, checkpoint, trigger_seconds, available_now
-        )
+        # commit the guard state before the stream can fire its first
+        # micro-batch (foreachBatch runs on another thread), but roll
+        # back if the attach itself fails — a failed attach must not
+        # leave a wiped guard for a later save() to persist
+        prev = (self._last_batch_id, self._stream_checkpoint)
+        self._last_batch_id, self._stream_checkpoint = eff_last, checkpoint
+        try:
+            return attach_foreach_batch(
+                vecs, self.process_batch, checkpoint, trigger_seconds, available_now
+            )
+        except BaseException:
+            self._last_batch_id, self._stream_checkpoint = prev
+            raise

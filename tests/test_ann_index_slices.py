@@ -291,6 +291,13 @@ def test_attach_refuses_unscoped_replay_guard_and_reset_clears_it(
         "overwrite"
     ).json(str(src))
     stream = spark.readStream.schema(SCHEMA).json(str(src))
+    # a FAILED attach must not leave a wiped guard behind (review pin):
+    # dummy is a static DataFrame, so the attach itself raises — the
+    # guard state must be untouched afterwards
+    with pytest.raises(Exception, match="(?i)stream"):
+        m.attach(dummy, checkpoint=str(tmp_path / "ckpt_new"), reset_replay_guard=True)
+    assert (m._last_batch_id, m._stream_checkpoint) == (0, None)
+
     q = m.attach(
         stream,
         checkpoint=str(tmp_path / "ckpt_new"),

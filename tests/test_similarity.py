@@ -729,3 +729,7 @@ def test_semdedup_gate_derivation_and_backends(spark):
 
     with _pytest.raises(ValueError, match="no band width"):
         semdedup(corpus, n_centroids=6, threshold=0.4, lsh_gate=True)
+    # a typo'd backend must raise even when the gate would dispatch
+    # first (review pin: validated up front)
+    with _pytest.raises(ValueError, match="unknown pair_backend"):
+        semdedup(corpus, n_centroids=6, threshold=0.95, pair_backend="arow")

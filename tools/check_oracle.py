@@ -38,22 +38,36 @@ sys.path.insert(0, REPO)
 
 _args = sys.argv[1:]
 EMIT: str | None = None
+_emit_auto = False
 if "--emit" in _args:
     i = _args.index("--emit")
-    if i + 1 < len(_args) and not _args[i + 1].startswith("-"):
-        EMIT = _args[i + 1]
+    nxt = _args[i + 1] if i + 1 < len(_args) else None
+    # the operand is a PATH only when it looks like one (.json or a
+    # separator) — otherwise `--emit q166_semdedup` would swallow a
+    # query-name filter as the output file
+    if nxt is not None and (nxt.endswith(".json") or os.sep in nxt):
+        EMIT = nxt
         del _args[i : i + 2]
     else:
-        rounds = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
-            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-        ]
-        EMIT = os.path.join(REPO, f"ORACLE_r{max(rounds, default=0) + 1:02d}.json")
+        _emit_auto = True
         del _args[i]
 
 SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 ONLY = set(_args[1:])
+
+if _emit_auto:
+    if ONLY:
+        raise SystemExit(
+            "bare --emit auto-names the ROUND artifact (ORACLE_r{N}.json); "
+            "a name-filtered run would overwrite the full round record "
+            "with a partial one — pass an explicit .json path instead"
+        )
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    EMIT = os.path.join(REPO, f"ORACLE_r{max(rounds, default=0) + 1:02d}.json")
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -248,6 +262,9 @@ def main() -> int:
             "failures": counts.get("fail", 0),
             "queries": records,
         }
+        if ONLY:
+            # a partial record must SAY it's partial
+            artifact["filtered_to"] = sorted(ONLY)
         with open(EMIT, "w", encoding="utf-8") as fh:
             json.dump(artifact, fh, indent=1, sort_keys=True)
         print(f"wrote {EMIT}")
