@@ -225,6 +225,7 @@ def _streaming_rate(spark, per_file: int = 5000, n_files: int = 3) -> float:
 def _ingest_pipeline_rate(
     spark, per_file: int, n_files: int = 3, embedding: bool = False,
     ann: bool = False, verify_mode: str = "broadcast",
+    sf_dir: str | None = None, per_batch: bool = False,
 ) -> dict:
     """documents/s through the composed streaming ingest door —
     StreamingIngestPipeline with the declared production config:
@@ -235,9 +236,15 @@ def _ingest_pipeline_rate(
     carries a vector per doc) — the vector gate's marginal cost as a
     measured number.
 
+    ``sf_dir`` overrides the base-corpus location (the door-at-scale
+    check points it at the 10x ``.scale/sf1`` slice); ``per_batch``
+    additionally records each micro-batch's wall seconds (wrapping
+    ``process_batch``), so a long stream's throughput TREND in batch
+    index is measurable, not just the aggregate rate.
+
     Gate artifacts (corpus fingerprint/band indexes, eval gram set,
     classifier weights, vector signature index) are built from the
-    REAL tables at ``SF_DIR`` before the clock starts — index builds
+    REAL tables at ``sf_dir`` before the clock starts — index builds
     are amortized over a deployment's lifetime; the measured number is
     the per-batch marginal cost, matching how ``_streaming_rate``
     measures the trainer. The stream itself is corpus-derived: ~10%
@@ -263,7 +270,8 @@ def _ingest_pipeline_rate(
     )
     from ml_with_spark_streaming_spark.streaming.quality_filter import freeze_weights
 
-    corpus = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    sf_dir = sf_dir or SF_DIR
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     frozen = freeze_weights(
         classifier_weights(feature_presence(corpus), heuristic_labels(corpus))
     )
@@ -274,7 +282,7 @@ def _ingest_pipeline_rate(
     emb_corpus = None
     base_vecs: list[list[float]] = []
     if embedding:
-        emb_corpus = load_table(spark, SF_DIR, "embeddings").select(
+        emb_corpus = load_table(spark, sf_dir, "embeddings").select(
             _F.col("vec_id").alias("doc_id"), "embedding"
         )
         base_vecs = [list(map(float, r.embedding)) for r in emb_corpus.collect()]
@@ -349,6 +357,19 @@ def _ingest_pipeline_rate(
             .option("maxFilesPerTrigger", 1)
             .load(src)
         )
+        batch_secs: dict[int, float] = {}
+        if per_batch:
+            # wrap process_batch so each micro-batch's wall seconds are
+            # recorded — attach() resolves self.process_batch through
+            # the instance, so the shadowing attribute wins
+            inner = pipe.process_batch
+
+            def timed(df, bid):
+                b0 = time.monotonic()
+                inner(df, bid)
+                batch_secs[int(bid)] = time.monotonic() - b0
+
+            pipe.process_batch = timed
         t0 = time.monotonic()
         q = pipe.attach(
             docs, checkpoint=os.path.join(root, "ckpt"), available_now=True
@@ -368,11 +389,17 @@ def _ingest_pipeline_rate(
             "n_after_decon",
             "n_accepted",
         )
-        return {
+        out = {
             "docs_per_sec": round(n_docs / wall, 1),
             "n_docs": n_docs,
             "survivors": {k: sum(r[k] for r in led) for k in keys},
         }
+        if per_batch:
+            out["per_batch_docs_per_sec"] = [
+                round(per_file / batch_secs[bid], 1)
+                for bid in sorted(batch_secs)
+            ]
+        return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -408,11 +435,12 @@ def main() -> None:
         except ValueError:
             pass
 
-    # n runs per query (default 5), reporting min AND p50: with n=2 a
-    # ±0.2 s co-tenant swing is indistinguishable from a real
-    # regression; min is the steady-state capability number, p50 shows
-    # whether min was an outlier
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    # n runs per query (default 3 since round 11 — the freed budget
+    # funds the door points' median-of-5 below), reporting min AND p50:
+    # with n=2 a ±0.2 s co-tenant swing is indistinguishable from a
+    # real regression; min is the steady-state capability number, p50
+    # shows whether min was an outlier
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     timings_p50: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -489,27 +517,47 @@ def main() -> None:
     # payload-5000 point is also measured WITH the embedding near-dup
     # stage so the vector gate's marginal cost is a committed number
     try:
-        def _best_of(n, **kw):
-            # docs/s is a SINGLE ~30 s observation per run — one GC
-            # pause or co-tenant burst moves it 25% (r7->r8 showed
-            # exactly that at an identical verdict set), so take the
-            # best of n runs: the steady-state capability number, the
-            # same policy as the query timings' min-of-5
-            runs = [_ingest_pipeline_rate(spark, **kw) for _ in range(n)]
-            best = max(runs, key=lambda r: r["docs_per_sec"])
-            best["runs"] = n
-            return best
+        def _point(n, **kw):
+            # docs/s is a SINGLE ~30 s observation per run, swinging
+            # ±25% with co-tenant bursts (r7->r10, documented). At
+            # runs=2 the MODE RATIOS (gate/door) swung 0.75x-0.96x in
+            # one session, which made the r10 verify redesign's true
+            # cost unknowable — so since round 11 the headline
+            # docs_per_sec is the MEDIAN of n runs (runs=5 at the
+            # ratio-bearing 5000-doc points), with the best kept
+            # alongside for continuity with r<=10 best-of-2 numbers
+            rates = sorted(
+                _ingest_pipeline_rate(spark, **kw)["docs_per_sec"]
+                for _ in range(n - 1)
+            )
+            last = _ingest_pipeline_rate(spark, **kw)
+            rates = sorted(rates + [last["docs_per_sec"]])
+            last["docs_per_sec"] = rates[len(rates) // 2] if n % 2 else round(
+                (rates[n // 2 - 1] + rates[n // 2]) / 2, 1
+            )
+            last["docs_per_sec_best"] = rates[-1]
+            last["docs_per_sec_runs"] = rates
+            last["stat"] = "median"
+            last["runs"] = n
+            return last
 
-        ingest = {
-            str(size): _best_of(2, per_file=size) for size in (1000, 5000)
-        }
-        ingest["5000_emb"] = _best_of(2, per_file=5000, embedding=True)
-        ingest["5000_emb_join"] = _best_of(
-            2, per_file=5000, embedding=True, verify_mode="join"
+        ingest = {"1000": _point(3, per_file=1000)}
+        ingest["5000"] = _point(5, per_file=5000)
+        ingest["5000_emb"] = _point(5, per_file=5000, embedding=True)
+        ingest["5000_emb_join"] = _point(
+            5, per_file=5000, embedding=True, verify_mode="join"
         )
-        ingest["5000_emb_ann"] = _best_of(
-            2, per_file=5000, embedding=True, ann=True
+        ingest["5000_emb_ann"] = _point(
+            5, per_file=5000, embedding=True, ann=True
         )
+        # the mode-ratio table the round-10 verdict asked for, under
+        # the steadier methodology (median-of-5 per point)
+        d = ingest["5000"]["docs_per_sec"]
+        if d:
+            ingest["mode_ratios_vs_text_only"] = {
+                k.replace("5000_", ""): round(ingest[k]["docs_per_sec"] / d, 3)
+                for k in ("5000_emb", "5000_emb_join", "5000_emb_ann")
+            }
         out["ingest_pipeline"] = ingest
         compact["ingest_pipeline_docs_per_sec"] = ingest["5000"]["docs_per_sec"]
         compact["ingest_pipeline_emb_docs_per_sec"] = ingest["5000_emb"][

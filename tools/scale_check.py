@@ -239,6 +239,16 @@ def main() -> int:
         "runs_per_point": args.runs,
         "queries": results,
     }
+    # preserve sections owned by sibling checks (door_scale_check.py's
+    # "ingest_door") — each tool rewrites only its own keys
+    if os.path.exists(OUT_JSON):
+        try:
+            with open(OUT_JSON, encoding="utf-8") as fh:
+                prior = json.load(fh)
+            for k, v in prior.items():
+                payload.setdefault(k, v)
+        except (OSError, ValueError):
+            pass
     with open(OUT_JSON, "w", encoding="utf-8") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     print(f"wrote {OUT_JSON}")
