@@ -612,13 +612,21 @@ def _semdedup_arrow_pairs(
             for r in range(cos.shape[0]):
                 i = s + r
                 row = cos[r, i + 1 :]
-                # vectorized superset (any round4 >= thr value exceeds
-                # thr - 5.1e-5), then the exact Spark-rule decision
-                js = [
-                    int(j) + i + 1
-                    for j in np.nonzero(row >= thr - 2e-4)[0]
-                    if _round4_spark(float(row[j])) >= thr
-                ]
+                # three vectorized zones: clear accepts (>= thr + 2e-4)
+                # and clear rejects (< thr - 2e-4) need no re-check —
+                # np.round and Spark's rule can only disagree inside
+                # the band, so the interpreted Decimal decision runs on
+                # boundary-band values ONLY, keeping the hot path BLAS
+                sure = np.nonzero(row >= thr + 2e-4)[0]
+                band = np.nonzero((row >= thr - 2e-4) & (row < thr + 2e-4))[0]
+                js = sorted(
+                    [int(j) + i + 1 for j in sure]
+                    + [
+                        int(j) + i + 1
+                        for j in band
+                        if _round4_spark(float(row[j])) >= thr
+                    ]
+                )
                 if js:
                     out1.extend([ids[i]] * len(js))
                     out2.extend(ids[js])
@@ -797,7 +805,7 @@ def semdedup(
         )
     elif pair_backend == "arrow":
         pairs = _semdedup_arrow_pairs(assigned, threshold, c_id, c_vec)
-    elif pair_backend == "join":
+    else:  # "join" — the up-front validation admits only arrow/join
         a = assigned.select(
             F.col("cluster"),
             F.col(c_id).alias("id1"),
@@ -817,8 +825,6 @@ def semdedup(
             )
             .select("id1", "id2")
         )
-    else:
-        raise ValueError(f"unknown pair_backend {pair_backend!r}")
     comp = connected_components(pairs).withColumnRenamed("id", c_id)
     return (
         assigned.select(c_id, "cluster")

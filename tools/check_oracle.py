@@ -42,10 +42,11 @@ _emit_auto = False
 if "--emit" in _args:
     i = _args.index("--emit")
     nxt = _args[i + 1] if i + 1 < len(_args) else None
-    # the operand is a PATH only when it looks like one (.json or a
-    # separator) — otherwise `--emit q166_semdedup` would swallow a
-    # query-name filter as the output file
-    if nxt is not None and (nxt.endswith(".json") or os.sep in nxt):
+    # the operand is a PATH unless it looks like a registered query
+    # name (qNN_...) — `--emit q166_semdedup` must not swallow a
+    # query-name filter as the output file, while `--emit results`
+    # keeps meaning "write to ./results"
+    if nxt is not None and not re.match(r"^q\d+_", nxt):
         EMIT = nxt
         del _args[i : i + 2]
     else:
@@ -68,6 +69,10 @@ if _emit_auto:
         if (m := re.search(r"BENCH_r(\d+)\.json$", p))
     ]
     EMIT = os.path.join(REPO, f"ORACLE_r{max(rounds, default=0) + 1:02d}.json")
+    if os.path.exists(EMIT):
+        # a FULL re-run of the in-progress round legitimately refreshes
+        # its own artifact — say so rather than clobbering silently
+        print(f"note: refreshing existing round artifact {EMIT}")
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()

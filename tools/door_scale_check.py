@@ -16,9 +16,9 @@ each batch's docs/s (``bench._ingest_pipeline_rate`` with
   below 1; the documented single-observation noise band is ±25%, and
   window means of w=4 batches tighten it, so < ``--flat-bound``
   (default 0.7) flags a trend.
-* ``vs_sf01_ratio`` — the same stream's aggregate docs/s against the
-  sf0.1 base over the 10x base: a per-batch cost carrying an O(corpus)
-  term would show ~10x here; flat designs show ~1.
+* ``vs_sf01_ratio`` — the 10x-base run's aggregate docs/s over the
+  sf0.1-base run's (big/small): a per-batch cost carrying an O(corpus)
+  term would COLLAPSE this toward ~0.1; flat designs read ~1.
 
 Writes the ``ingest_door`` section of SCALE_CHECK.json (merging —
 ``scale_check.py`` owns the query sections) and prints one row per
@@ -66,9 +66,12 @@ def run(per_file: int, n_files: int, skip_base: bool) -> dict:
         )
     generate()
     spark = get_spark(app_name="door-scale-check")
-    # absorb one-time streaming/Arrow init outside every measured point
+    # absorb one-time init outside every measured point — WITH the
+    # embedding gate and serving index armed, so their first-use costs
+    # (Arrow vector-column conversion, signature/IVF machinery) don't
+    # land inside the first measured run's wall clock
     bench._ingest_pipeline_rate(
-        spark, per_file=200, n_files=1, sf_dir=BASE
+        spark, per_file=200, n_files=1, sf_dir=BASE, embedding=True, ann=True
     )
     out: dict = {
         "per_file": per_file,
