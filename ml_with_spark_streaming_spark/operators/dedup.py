@@ -135,18 +135,42 @@ def _minhash_col(i: int, shingle_col: str = "_s") -> Column:
     return F.conv(h, 16, 10).cast("long")
 
 
+def exploded_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """The exploded ``(id_col, _s)`` shingle table every shingle
+    consumer starts from — tokenize behind the repartition barrier
+    (the CollapseProject-into-Generate rule), then one Generate.
+    Exposed so composite queries (q167/q171's recall audit) can
+    materialize ONE shingle pass and feed both their exact-Jaccard and
+    MinHash sides instead of re-running tokenize+explode per side."""
+    toks = df.select(F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_toks"))
+    toks = toks.repartition(id_col)
+    return toks.select(
+        F.col(id_col), F.explode(shingles_expr(F.col("_toks"), n)).alias("_s")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 16,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc k-wide MinHash signature: columns ``<id_col>, mh0..mh{k-1}``.
 
     sig[i] = min over shingles of md5(shingle || '#' || i). Docs with
     zero shingles drop out (explode of an empty array yields no rows),
     matching the reference semantics of skipping empty text.
+
+    ``shingles``: a pre-built ``(id_col, _s)`` table from
+    :func:`exploded_shingles` (same ``shingle_n``!) — callers that
+    also need the shingles elsewhere share one pass.
     """
     # Materialize tokenization behind a shuffle barrier BEFORE the
     # shingle explode: CollapseProject otherwise inlines the 4-regex
@@ -154,9 +178,11 @@ def minhash_signatures(
     # SHINGLE (~50x per doc — measured 24 s vs 3 s at sf0.1). The
     # repartition also spreads the hash fan-out evenly, which is what
     # you want at scale anyway.
-    toks = df.select(F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_toks"))
-    toks = toks.repartition(id_col)
-    ex = toks.select(F.col(id_col), F.explode(shingles_expr(F.col("_toks"), shingle_n)).alias("_s"))
+    ex = (
+        shingles
+        if shingles is not None
+        else exploded_shingles(df, text_col, id_col, shingle_n)
+    )
     aggs = [F.min(_minhash_col(i)).alias(f"mh{i}") for i in range(k)]
     sig = ex.groupBy(id_col).agg(*aggs)
     # surface as the canonical 8-hex form (what the DuckDB oracle and
@@ -193,6 +219,7 @@ def minhash_candidates(
     k: int = 16,
     bands: int = 4,
     max_bucket: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id1 < id2) sharing ≥1 LSH band.
 
@@ -215,7 +242,9 @@ def minhash_candidates(
     transitive closure — only direct pair enumeration inside the
     oversized bucket is traded away. None (default) keeps exact
     all-pairs semantics (the oracle-checked form)."""
-    banded = lsh_bands(minhash_signatures(df, text_col, id_col, k), id_col, k, bands)
+    banded = lsh_bands(
+        minhash_signatures(df, text_col, id_col, k, shingles=shingles), id_col, k, bands
+    )
     buckets = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
@@ -251,6 +280,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     shingle_w: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact set-Jaccard over all pairs sharing ≥1 element.
 
@@ -264,16 +294,35 @@ def jaccard_pairs(
     to candidates (jaccard_verify).
     Columns: id1, id2, jaccard (rounded 4).
     """
-    toks = tokens_expr(clean_text_expr(text_col))
-    elems = toks if shingle_w is None else shingles_expr(toks, shingle_w)
-    dt = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(elems)).alias("t"),
+    # Tokenize behind the repartition barrier BEFORE the element
+    # explode — the same CollapseProject-into-Generate trap as
+    # minhash_signatures: without it the 4-regex cleaning chain is
+    # inlined into the shingle lambda and re-evaluated once per
+    # shingle (measured 4.5 s → 0.45 s for the q167 audit slice at
+    # sf0.1; the barrier also spreads the fan-out across tasks, which
+    # a 1-file oracle-slice scan otherwise serializes).
+    # ``shingles`` (a pre-built exploded_shingles table, shingle width
+    # == shingle_w) lets composite callers share that pass instead.
+    if shingles is not None:
+        if shingle_w is None:
+            raise ValueError("shingles= requires shingle_w (token mode has no shingle table)")
+        dt = (
+            shingles.select(F.col(id_col).alias("id"), F.col("_s").alias("t"))
+            .filter(F.col("t") != "")
+            .distinct()
         )
-        .filter(F.col("t") != "")
-        .distinct()
-    )
+    else:
+        tk = df.select(
+            F.col(id_col).alias("id"), tokens_expr(clean_text_expr(text_col)).alias("_toks")
+        ).repartition("id")
+        elems = (
+            F.col("_toks") if shingle_w is None else shingles_expr(F.col("_toks"), shingle_w)
+        )
+        dt = (
+            tk.select("id", F.explode(F.array_distinct(elems)).alias("t"))
+            .filter(F.col("t") != "")
+            .distinct()
+        )
     # callers cap the input (oracle path), so materializing the
     # token table is cheap — and the four downstream consumers
     # (a/b join sides, two size lookups) stop re-planning the scan
@@ -479,6 +528,12 @@ def containment_pairs(
         .select("id", F.substring(F.md5(F.encode("_g", "UTF-8")), 1, 16).alias("g"))
         .distinct()
     )
+    # round-11 note: a broadcast-anti-join-of-hot-grams variant (count
+    # grams, broadcast the >stop_df list, anti-join — one fewer posting
+    # exchange on paper) measured SLOWER end-to-end at sf0.1 (whole-q140
+    # min 2.70 s vs 2.04 s here, 4-run alternating session): the extra
+    # checkpoint materialization + per-consumer broadcast build costs
+    # more than this single window pass over the checkpointed postings.
     gf = maybe_checkpoint(
         grams.withColumn("dfc", F.count("*").over(W.partitionBy("g")))
         .filter(F.col("dfc") <= stop_df)

@@ -59,11 +59,16 @@ def connected_components(
     # verify) upstream pipeline otherwise, and ReuseExchange can't fire
     # across the differing projections.
     e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(eager=True)
+    # sym/labels checkpoints are LAZY: both still pin their RDDs for
+    # the per-round reuse, but materialization folds into round 1's
+    # job instead of costing two stand-alone jobs up front (round-11:
+    # two fewer actions per CC call; at scale, two fewer full passes
+    # over the edge list before the first propagation round)
     sym = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=False)
 
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=False)
 
     for _ in range(max_iter):
         # min label among each node's neighbors, proposed to the node
@@ -166,11 +171,13 @@ def pagerank(
     ranks = nodes.withColumn("r", F.lit(base).cast("long"))
     for _ in range(iters):
         with_out = ranks.join(outw, "id", "left")
-        # O(1) to the driver: the dangling mass this round
-        dangling = (
-            with_out.filter(F.col("ow").isNull())
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dm"))
-            .collect()[0]["dm"]
+        # the dangling mass rides as a broadcast 1-row aggregate inside
+        # the SAME round plan instead of a separate collect() action:
+        # one job per round (the eager checkpoint), not two — same
+        # integer arithmetic (dm and n are nonnegative, SQL `div` ==
+        # Python // there), pinned by the unchanged q145 oracle
+        dang = with_out.filter(F.col("ow").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
         )
         inc = (
             e.join(
@@ -183,11 +190,13 @@ def pagerank(
         )
         ranks = (
             nodes.join(inc, "id", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "id",
                 (
                     F.lit((100 - d) * base).cast("long")
-                    + F.lit(d) * (F.coalesce("inc", F.lit(0)) + F.lit(int(dangling) // n))
+                    + F.lit(d)
+                    * (F.coalesce("inc", F.lit(0)) + F.expr(f"dm div {n}"))
                 )
                 .alias("num"),
             )

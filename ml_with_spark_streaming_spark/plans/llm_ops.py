@@ -208,17 +208,30 @@ Q171_SQL = _q167_sql(
 
 def _dedup_recall_audit(spark: SparkSession, sf_dir: str, sample_fn) -> DataFrame:
     """Shared recall-audit body; ``sample_fn`` picks the audit slice
-    (see q167 for the semantics and scale shape)."""
+    (see q167 for the semantics and scale shape).
+
+    Round-11: the exact-Jaccard side and the MinHash+LSH side consume
+    ONE materialized shingle pass over the audit slice
+    (``exploded_shingles``) instead of each re-running
+    tokenize+shingle+explode — guide §2.4 (share the pass), measured
+    9.75 s → ~5 s at sf0.1 together with the jaccard_pairs barrier
+    fix; at scale it halves the slice scans."""
+    from ml_with_spark_streaming_spark.operators.dedup import exploded_shingles
+
     d = sample_fn(load_table(spark, sf_dir, "documents"))
+    sh = maybe_checkpoint(exploded_shingles(d, "text", "doc_id", 3))
     exact = maybe_checkpoint(
-        jaccard_pairs(d, "text", "doc_id", threshold=0.3, shingle_w=3).withColumn(
+        jaccard_pairs(
+            d, "text", "doc_id", threshold=0.3, shingle_w=3, shingles=sh
+        ).withColumn(
             "j_x10000",
             F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("long"),
         )
     )
     cand = maybe_checkpoint(
         minhash_candidates(
-            d, "text", "doc_id", k=16, bands=4, max_bucket=_MINHASH_MAX_BUCKET
+            d, "text", "doc_id", k=16, bands=4, max_bucket=_MINHASH_MAX_BUCKET,
+            shingles=sh,
         )
     )
     n_cand = cand.count()  # O(1) scalar off the checkpointed pair table
