@@ -79,7 +79,12 @@ def extract_features(assets: DataFrame, decode_stub: str = "fake") -> DataFrame:
                 }
             )
 
-    return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    # prune to the three consumed columns before the opaque Python
+    # stage — an unprojected mapInPandas ships (and scans) every asset
+    # column, including any metadata struct, into Arrow (guide §4.1)
+    return assets.select("asset_id", "modality", "payload").mapInPandas(
+        batches, schema=FEATURE_SCHEMA
+    )
 
 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -72,9 +72,13 @@ def feature_presence(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     """Distinct (id, fb) presence pairs — fb is the 3-hex-char md5
     bucket of each cleaned token. One explode + one distinct, keyed by
     (id, fb): the Bernoulli feature representation."""
+    # no size()>0 pre-filter: explode of an empty token array already
+    # yields no rows, and the filter's size(_t) re-evaluates the whole
+    # clean+tokenize chain once more per row (Filter and Generate each
+    # inline the projection) — identical output, one less regex pass
     toks = docs.select(
         F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_t")
-    ).filter(F.size("_t") > 0)
+    )
     return (
         toks.select(F.col(id_col), F.explode("_t").alias("_tk"))
         .select(

@@ -143,7 +143,10 @@ def brute_force_topk_arrow(
             StructField("_cos", DoubleType()),
         ]
     )
-    partial = corpus.mapInPandas(part, out_schema)
+    # select the two consumed columns BEFORE the opaque Python stage:
+    # Spark cannot see which columns `part` touches, so an unpruned
+    # corpus would ship (and scan) every column into Arrow (guide §4.1)
+    partial = corpus.select(c_id, c_vec).mapInPandas(part, out_schema)
     scored = partial.select(q_id, c_id, F.round("_cos", 4).alias("cosine"))
     w = W.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -23,6 +23,18 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
+# AQE coalescing floor (round 11). With the default 1m floor,
+# parallelismFirst coalesces any shuffle smaller than ~1 MB/partition
+# down to ONE post-shuffle partition, serializing every small
+# intermediate stage — candidate-pair tables after LSH, per-round CC
+# label joins, weight tables. Those stages exist at every corpus size;
+# a 64k floor keeps them parallel while leaving large shuffles
+# untouched (the floor never binds above it). Env-overridable for
+# cluster profiles where scheduling overhead dominates tiny tasks.
+# Measured at sf0.1 (10 text-heavy queries, 3 alternating runs):
+# min 31.4 s -> 28.9 s, p50 32.2 s -> 29.1 s.
+AQE_MIN_PARTITION_SIZE = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k")
+
 
 def get_spark(
     app_name: str = "ml_with_spark_streaming_spark",
@@ -43,6 +55,7 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", AQE_MIN_PARTITION_SIZE)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -77,6 +90,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": AQE_MIN_PARTITION_SIZE,
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",

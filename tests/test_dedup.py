@@ -333,3 +333,34 @@ def test_q167_recall_audit_counts(spark, tmp_path):
     # the identical pair exists and is recalled at every threshold
     assert (0, 1) in exact and exact[(0, 1)] == 1.0 and (0, 1) in cand
     assert got[7000].n_exact_pairs >= 1 and got[7000].n_recalled >= 1
+
+
+def test_shared_shingle_pass_matches_independent(docs):
+    """Round-11: a pre-built exploded_shingles table fed to BOTH
+    jaccard_pairs and minhash_candidates (the q167/q171 shared-pass
+    shape) must reproduce the independent-pass outputs exactly."""
+    from ml_with_spark_streaming_spark.operators.dedup import exploded_shingles
+
+    sh = exploded_shingles(docs, "text", "doc_id", 3).localCheckpoint()
+    jp_indep = {
+        (r.id1, r.id2): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.3, shingle_w=3).collect()
+    }
+    jp_shared = {
+        (r.id1, r.id2): r.jaccard
+        for r in jaccard_pairs(
+            docs, threshold=0.3, shingle_w=3, shingles=sh
+        ).collect()
+    }
+    assert jp_shared == jp_indep
+    mc_indep = {
+        (r.id1, r.id2) for r in minhash_candidates(docs, k=16, bands=4).collect()
+    }
+    mc_shared = {
+        (r.id1, r.id2)
+        for r in minhash_candidates(docs, k=16, bands=4, shingles=sh).collect()
+    }
+    assert mc_shared == mc_indep
+    # token mode has no shingle table to share — loud, not silent
+    with pytest.raises(ValueError):
+        jaccard_pairs(docs, threshold=0.3, shingles=sh)
