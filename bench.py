@@ -129,11 +129,28 @@ CALIBRATION_REF_SEC = 1.373
 def _calibration_probe(spark) -> float:
     """Wall seconds for the frozen workload (min over 3 runs of each
     component): codegen CPU, a 100k-key shuffle, and a local-disk
-    parquet write+scan round-trip."""
+    parquet write+scan round-trip.
+
+    Round-11 measurement fix (declared in OPTIMIZATION_r11.md): the
+    probe runs under the ENGINE session, so engine conf changes leak
+    into the "machine drift" signal — the round-11 AQE coalescing
+    floor (64k) sped the probe itself ~7.5% (measured 1.40->1.30 /
+    1.21->1.11 in an alternating A/B). The probe now pins the AQE
+    floor to the historical default (1m) for its own jobs and restores
+    the session value after, so calibration stays comparable across
+    rounds. Old numbers (r7-r11-mid) are unaffected — they ran with
+    the 1m session default anyway."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as _F
+
+    _MINPART = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    try:
+        prev_minpart = spark.conf.get(_MINPART, None)
+        spark.conf.set(_MINPART, "1m")
+    except Exception:  # noqa: BLE001 — calibration must never sink the bench
+        prev_minpart = None
 
     def _cpu():
         spark.range(50_000_000).select(
@@ -170,6 +187,13 @@ def _calibration_probe(spark) -> float:
         return round(total, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+        try:
+            if prev_minpart is not None:
+                spark.conf.set(_MINPART, prev_minpart)
+            else:
+                spark.conf.unset(_MINPART)
+        except Exception:  # noqa: BLE001
+            pass
 
 
 def _streaming_rate(spark, per_file: int = 5000, n_files: int = 3) -> float:
