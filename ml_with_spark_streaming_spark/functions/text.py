@@ -27,6 +27,16 @@ RE_MENTIONS = r"[@#&][A-Za-z0-9-]+"  # strip @mentions / #hashtags / &entities
 RE_URLS = r"\w+://\S+"  # strip scheme://… URLs
 RE_NON_ALPHA = r"[^A-Za-z]"  # strip digits/punct/emoji
 RE_WS = r"\s+"  # collapse whitespace
+# The engine fuses the last two reference passes into ONE traversal:
+# replacing every [^A-Za-z] char with a space and then collapsing \s+
+# runs is, character for character, the same string as replacing each
+# maximal [^A-Za-z]+ run with one space (all whitespace at the \s+
+# stage came from the previous pass, so every collapsible run IS a
+# non-alpha run). Property-checked against the 4-pass form on
+# adversarial unicode/URL/mention mixes and on the full sf0.1 corpus
+# (round 11; zero mismatches). One fewer regex pass per document in
+# every text query; the DuckDB oracle keeps the reference 4-pass SQL.
+RE_NON_ALPHA_RUN = r"[^A-Za-z]+"
 
 
 def clean_text_expr(col: Column | str) -> Column:
@@ -35,8 +45,7 @@ def clean_text_expr(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, RE_MENTIONS, " ")
     c = F.regexp_replace(c, RE_URLS, " ")
-    c = F.regexp_replace(c, RE_NON_ALPHA, " ")
-    c = F.regexp_replace(c, RE_WS, " ")
+    c = F.regexp_replace(c, RE_NON_ALPHA_RUN, " ")
     return F.trim(F.lower(c))
 
 

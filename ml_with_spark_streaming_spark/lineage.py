@@ -44,3 +44,45 @@ def maybe_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
             )
         return df
     return df.localCheckpoint(eager=eager)
+
+
+def parallel_parts(*thunks):
+    """Build INDEPENDENT branches of a composite query concurrently.
+
+    Each thunk constructs one branch — typically materializing it via
+    ``maybe_checkpoint`` — and the branches' eager checkpoint jobs then
+    overlap instead of running back to back (optimization guide §2.6:
+    Spark's scheduler runs concurrent jobs fine; actions are only
+    sequential because driver code calls them sequentially, and the
+    later job's tasks back-fill executors freed by the earlier job's
+    straggler tail). Lazy branches cost ~nothing either way; use this
+    only where ≥2 branches each trigger real work at construction.
+
+    Results come back in thunk order; the first exception (by thunk
+    order) propagates. Sequential under SPARK_GRAFT_NO_CHECKPOINT=1
+    (lint mode — keeps plan stringification deterministic) and for a
+    single thunk. ``InheritableThread`` keeps job descriptions/groups
+    (thread-local in Spark) attributed to the calling query.
+    """
+    if os.environ.get("SPARK_GRAFT_NO_CHECKPOINT") == "1" or len(thunks) <= 1:
+        return [t() for t in thunks]
+    from pyspark import InheritableThread
+
+    results: list = [None] * len(thunks)
+    errors: list = [None] * len(thunks)
+
+    def _run(i: int) -> None:
+        try:
+            results[i] = thunks[i]()
+        except BaseException as e:  # noqa: BLE001 — re-raised on the caller thread
+            errors[i] = e
+
+    threads = [InheritableThread(target=_run, args=(i,)) for i in range(len(thunks))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for e in errors:
+        if e is not None:
+            raise e
+    return results

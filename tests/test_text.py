@@ -27,6 +27,76 @@ def test_clean_strips_mentions_urls_nonalpha(spark):
     assert _one(spark, "") == ""
 
 
+def test_clean_fused_run_matches_reference_four_pass(spark):
+    """Round-11 pins the fused cleaning chain: replacing each maximal
+    [^A-Za-z]+ run with one space must equal the reference's two-pass
+    form ([^A-Za-z] -> ' ' then \\s+ -> ' ') character for character —
+    all whitespace entering the collapse pass came from the non-alpha
+    pass, so every collapsible run IS a non-alpha run. Checked over
+    adversarial unicode/URL/mention/whitespace compositions."""
+    import random
+
+    from ml_with_spark_streaming_spark.functions.text import (
+        RE_MENTIONS,
+        RE_NON_ALPHA,
+        RE_URLS,
+        RE_WS,
+    )
+
+    def reference_clean(c):
+        c = F.regexp_replace(c, RE_MENTIONS, " ")
+        c = F.regexp_replace(c, RE_URLS, " ")
+        c = F.regexp_replace(c, RE_NON_ALPHA, " ")
+        c = F.regexp_replace(c, RE_WS, " ")
+        return F.trim(F.lower(c))
+
+    pieces = [
+        "", " ", "\t\n", "@foo", "#bar-baz", "&amp", "http://x.y/z?a=1",
+        "scheme://a@foo.bar", "ab@cd://ef", "x@y://z", "http://x@y-q z",
+        "hello", "WORLD", "ünïcödé", "日本語", "emoji😀mix", "12345",
+        "-dash-", "under_score", "\u200bzw\u200d", "nb\u00a0sp", "\r\r",
+        "  multi   space  ", "tab\tsep", "nl\nsep", "trailing ", " leading",
+        "://", "w://", "x://\t", "#", "&", "@",
+    ]
+    rnd = random.Random(42)
+    rows = [
+        ("".join(rnd.choice(pieces) for _ in range(rnd.randint(0, 8))),)
+        for _ in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    mismatches = (
+        df.select(
+            clean_text_expr("t").alias("fused"),
+            reference_clean(F.col("t")).alias("ref"),
+        )
+        .filter(~F.col("fused").eqNullSafe(F.col("ref")))
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_parallel_parts_values_order_and_errors(spark):
+    """parallel_parts must return thunk results in order, leave
+    checkpointed DataFrames consumable, and propagate a branch's
+    exception."""
+    import pytest as _pytest
+
+    from ml_with_spark_streaming_spark.lineage import maybe_checkpoint, parallel_parts
+
+    a, b = parallel_parts(
+        lambda: maybe_checkpoint(spark.range(5).selectExpr("id * 2 AS x")),
+        lambda: maybe_checkpoint(spark.range(3).selectExpr("id + 10 AS y")),
+    )
+    assert [r["x"] for r in a.orderBy("x").collect()] == [0, 2, 4, 6, 8]
+    assert [r["y"] for r in b.orderBy("y").collect()] == [10, 11, 12]
+
+    def boom():
+        raise ValueError("branch failed")
+
+    with _pytest.raises(ValueError, match="branch failed"):
+        parallel_parts(lambda: maybe_checkpoint(spark.range(2)), boom)
+
+
 def test_tokens_empty_guard(spark):
     rows = spark.createDataFrame([("",), ("a b",)], "t string").select(
         tokens_expr(clean_text_expr("t")).alias("toks")
