@@ -30,9 +30,10 @@ DuckDB oracle can reproduce it bit-for-bit:
 
 Scale shape: the corpus is scanned twice (once for presence — shared
 lineage with training — once implied by the caller's metadata scan);
-the only data-sized shuffles are the (doc_id, bucket) distinct and the
-per-doc score sum, both keyed by doc. Training statistics crossing the
-driver: zero — the 1-row class-totals table is broadcast-joined, never
+presence dedup is per-document inside the token array (no shuffle),
+so the only data-sized shuffles are the training join and the per-doc
+score sum, both keyed by doc. Training statistics crossing the driver:
+zero — the 1-row class-totals table is broadcast-joined, never
 collected. The weight table itself is ≤ 4096 rows.
 """
 
@@ -70,8 +71,21 @@ def _idiv(num: Column, den: Column | int) -> Column:
 
 def feature_presence(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct (id, fb) presence pairs — fb is the 3-hex-char md5
-    bucket of each cleaned token. One explode + one distinct, keyed by
-    (id, fb): the Bernoulli feature representation."""
+    bucket of each cleaned token: the Bernoulli feature representation.
+
+    Dedup happens PER DOCUMENT inside the token array
+    (``array_distinct`` before the explode), not as a global
+    ``.distinct()`` — the pair set is identical because ``id_col`` is
+    one-row-per-document in every caller (``documents`` is keyed by
+    doc_id; streaming micro-batches carry one row per doc), and the
+    global distinct was a full data-sized shuffle + aggregate of the
+    presence table that bought nothing (round-12; sf0.1 A/B min
+    1.09 -> 0.87 s for the operator, full q112 min 2.09 -> 1.42 s;
+    set-parity asserted, pinned by tests/test_quality_clf.py). Were a
+    caller ever to feed duplicate id rows, scores scale by the copy
+    count and the ``score > 0`` decision is sign-invariant — but the
+    trained WEIGHTS would double-count, so training callers must keep
+    the one-row-per-doc contract."""
     # no size()>0 pre-filter: explode of an empty token array already
     # yields no rows, and the filter's size(_t) re-evaluates the whole
     # clean+tokenize chain once more per row (Filter and Generate each
@@ -79,13 +93,18 @@ def feature_presence(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     toks = docs.select(
         F.col(id_col), tokens_expr(clean_text_expr(text_col)).alias("_t")
     )
-    return (
-        toks.select(F.col(id_col), F.explode("_t").alias("_tk"))
-        .select(
-            id_col,
-            F.substring(F.md5(F.encode(F.col("_tk"), "UTF-8")), 1, BUCKET_HEX_CHARS).alias("fb"),
-        )
-        .distinct()
+    return toks.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    "_t",
+                    lambda tk: F.substring(
+                        F.md5(F.encode(tk, "UTF-8")), 1, BUCKET_HEX_CHARS
+                    ),
+                )
+            )
+        ).alias("fb"),
     )
 
 

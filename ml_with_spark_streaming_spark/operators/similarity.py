@@ -857,6 +857,7 @@ def ivf_topk(
     q_group: str | None = None,
     c_group: str | None = None,
     assignments: DataFrame | None = None,
+    c_group_map: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: IVF with deterministic hash-sampled centroids.
 
@@ -872,6 +873,17 @@ def ivf_topk(
     query's ``q_group`` are dropped BEFORE ranking (filtering after
     top-k would silently return fewer than k when same-group vectors
     crowd the top). The ``c_group`` column rides through to the output.
+
+    ``c_group_map`` (optional, requires ``c_group``): a separate
+    ``(c_id, c_group)`` table covering every corpus id. The group
+    column then joins onto the PROBED CANDIDATES (n_queries × nprobe
+    buckets — a small fraction of the corpus) instead of riding the
+    corpus through the bucket join, and the caller's corpus side stays
+    narrow (id, vec) — at scale this replaces a corpus-sized
+    group-attach join with a candidate-sized one (round-12, guide
+    §2.3/§3). Identical rows: the join happens before the group filter
+    and the ranking window, and an id missing from the map is dropped
+    exactly as it would have been by the caller's corpus pre-join.
 
     1. centroids = the n_centroids corpus vectors with smallest
        md5(id) — a content-hash sample: uniform-ish spread, fully
@@ -890,10 +902,14 @@ def ivf_topk(
         raise ValueError("q_group and c_group must be set together")
     if assignments is not None and centroids is None:
         raise ValueError("assignments requires the matching centroids table")
+    if c_group_map is not None and c_group is None:
+        raise ValueError("c_group_map requires c_group")
     if centroids is None:
         centroids = _hash_sample_centroids(corpus, n_centroids, c_id, c_vec)
     centroids = maybe_checkpoint(centroids)
-    c_extra = [c_group] if c_group is not None else []
+    # with a c_group_map, the group column does NOT ride the corpus
+    # through the bucket join — it attaches to the probed candidates
+    c_extra = [c_group] if (c_group is not None and c_group_map is None) else []
     q_extra = [q_group] if q_group is not None else []
     # corpus -> nearest centroid (skipped when a persisted assignment
     # table is supplied — the IVFIndex fit-once/probe-many path)
@@ -918,10 +934,13 @@ def ivf_topk(
         .select(q_id, q_vec, *q_extra, "cent_id")
     )
     scored = probes.join(assigned, "cent_id").filter(F.col(q_id) != F.col(c_id))
+    if c_group_map is not None:
+        scored = scored.join(c_group_map.select(c_id, c_group), c_id)
     if q_group is not None:
         scored = scored.filter(F.col(q_group) != F.col(c_group))
+    out_extra = [c_group] if c_group is not None else []
     scored = scored.select(
-        q_id, c_id, *c_extra, F.round(cosine_expr(F.col(q_vec), F.col(c_vec)), 4).alias("cosine")
+        q_id, c_id, *out_extra, F.round(cosine_expr(F.col(q_vec), F.col(c_vec)), 4).alias("cosine")
     )
     w = W.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -2835,9 +2835,6 @@ def q165_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", F.col("vec_id")).cast("long").alias("component"),
         )
     )
-    corpus = e.join(assigned, "vec_id").withColumnRenamed(
-        "component", "neg_component"
-    )
     anchors = (
         e.filter(F.col("vec_id") < 10)
         .join(assigned, "vec_id")
@@ -2847,16 +2844,24 @@ def q165_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("component").alias("q_comp"),
         )
     )
+    # The component map attaches to the PROBED CANDIDATES inside
+    # ivf_topk (c_group_map), not to the whole corpus: the corpus side
+    # stays the narrow (vec_id, embedding) table, which removes a full
+    # corpus-sized join (e ⋈ assigned) from the plan and shrinks the
+    # group-attach join from corpus-sized to candidate-sized
+    # (round-12, guide §2.3/§3). `assigned` is checkpointed above, so
+    # its second reference here costs nothing extra.
     return (
         ivf_topk(
             anchors,
-            corpus,
+            e,
             k=3,
             nprobe=4,
             centroids=idx.centroids,
             assignments=idx.assignments,
             q_group="q_comp",
             c_group="neg_component",
+            c_group_map=assigned.withColumnRenamed("component", "neg_component"),
         )
         .select(
             "q_id",

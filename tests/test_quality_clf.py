@@ -98,6 +98,39 @@ def test_classifier_generalizes_to_holdout(spark):
     assert agree == len(holdout)
 
 
+def test_presence_matches_global_distinct_reference(spark):
+    """The round-12 per-document ``array_distinct`` formulation must
+    produce EXACTLY the reference global-distinct pair set (same rows,
+    no duplicates) on a corpus with repeated tokens, unicode, URLs and
+    empty/punct-only docs — the shuffle-free rewrite's contract."""
+    rows = [
+        (0, "alpha alpha alpha beta beta gamma"),
+        (1, ""),
+        (2, "!!! ??? %%"),
+        (3, "http://x.co/path?a=1 alpha müller café naïve"),
+        (4, "Tab\tseparated\nnewline  double  space alpha"),
+        (5, "singleton"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = feature_presence(d)
+    from ml_with_spark_streaming_spark.functions.text import clean_text_expr, tokens_expr
+    from ml_with_spark_streaming_spark.operators.quality_clf import BUCKET_HEX_CHARS
+
+    ref = (
+        d.select(F.col("doc_id"), tokens_expr(clean_text_expr("text")).alias("_t"))
+        .select(F.col("doc_id"), F.explode("_t").alias("_tk"))
+        .select(
+            "doc_id",
+            F.substring(F.md5(F.encode(F.col("_tk"), "UTF-8")), 1, BUCKET_HEX_CHARS).alias("fb"),
+        )
+        .distinct()
+    )
+    got_rows = [(r["doc_id"], r["fb"]) for r in got.collect()]
+    ref_rows = [(r["doc_id"], r["fb"]) for r in ref.collect()]
+    assert sorted(got_rows) == sorted(ref_rows)  # set-equal AND duplicate-free
+    assert len(got_rows) == len(set(got_rows))
+
+
 def test_hi_vocab_buckets_weigh_positive(spark):
     d = _docs(spark)
     w = {r["fb"]: r["w"] for r in classifier_weights(feature_presence(d), heuristic_labels(d)).collect()}

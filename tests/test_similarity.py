@@ -230,6 +230,52 @@ def test_ivf_hard_negatives_recall(spark):
     assert recall >= 0.6, f"IVF hard-negative recall {recall:.2f} < 0.6"
 
 
+def test_ivf_topk_c_group_map_matches_corpus_column(spark):
+    """The round-12 candidate-side group attach (``c_group_map``) must
+    return EXACTLY the rows of the corpus-column path — same ids, same
+    cosines, same ranks — on a fixture where the exclusion bites
+    (planted clusters crowd each anchor's top)."""
+    import random as _random
+
+    from ml_with_spark_streaming_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rnd = _random.Random(11)
+    rows = []
+    vid = 0
+    for _ in range(8):  # planted clusters of 4 jittered copies
+        base = [rnd.gauss(0, 1) for _ in range(12)]
+        for _ in range(4):
+            rows.append((vid, [x * (1 + rnd.uniform(-1e-3, 1e-3)) for x in base]))
+            vid += 1
+    for _ in range(60):
+        rows.append((vid, [rnd.gauss(0, 1) for _ in range(12)]))
+        vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    comp = F.when(F.col("vec_id") < 32, (F.col("vec_id") / 4).cast("long") * 4).otherwise(
+        F.col("vec_id")
+    )
+    tagged = corpus.withColumn("neg_component", comp)
+    group_map = corpus.select("vec_id", comp.alias("neg_component"))
+    anchors = tagged.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") < 32)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("neg_component").alias("q_comp"),
+    )
+    cents = kmeans_centroids(corpus, n_centroids=8, c_vec="embedding", seed=42)
+    kw = dict(k=3, nprobe=4, centroids=cents, q_group="q_comp", c_group="neg_component")
+    via_column = ivf_topk(anchors, tagged, **kw).orderBy("q_id", "rank").collect()
+    via_map = (
+        ivf_topk(anchors, corpus, c_group_map=group_map, **kw)
+        .orderBy("q_id", "rank")
+        .collect()
+    )
+    assert via_map == via_column
+    assert len(via_map) > 0
+
+
 def test_semdedup_planted_clusters(spark):
     """SemDeDup design regime: planted near-identical groups must
     collapse to ONE keeper each, noise survives untouched, and the

@@ -5,9 +5,9 @@ For each named query (default: bench.py's HEADLINE set) at
 
 * times ``n`` noop-sink materializations (guide §1.4) and records
   min + p50 wall seconds,
-* writes ``plans/r11/<name>_<tag>.txt`` with ``explain('formatted')``
-  when ``--plans <tag>`` is given (the judge checks plan claims
-  against these files),
+* writes ``plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<tag>.txt`` (default
+  r12) with ``explain('formatted')`` when ``--plans <tag>`` is given
+  (the judge checks plan claims against these files),
 * labels every job (guide §1.5) so a Spark UI / event log session is
   readable.
 
@@ -69,7 +69,7 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    plans_dir = os.path.join(REPO, "plans", "r11")
+    plans_dir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"))
     if plan_tag:
         os.makedirs(plans_dir, exist_ok=True)
 
