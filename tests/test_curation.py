@@ -12,6 +12,8 @@ from ml_with_spark_streaming_spark.operators.graph import (
 )
 from ml_with_spark_streaming_spark.plans.curation import pii_signals, repetition_signals
 
+import pytest
+
 
 def _components(spark, edges):
     df = spark.createDataFrame(edges, "id1: long, id2: long")
@@ -49,6 +51,7 @@ def test_star_components_matches_min_label(spark):
     )
 
 
+@pytest.mark.slow
 def test_q100_lsh_gate_matches_exact_on_planted_clusters(spark):
     """q100's pipeline (sign-LSH gate → components) must produce
     EXACTLY the clusters of the all-pairs formulation in the gate's
@@ -108,6 +111,7 @@ def test_cc_duplicate_and_symmetric_edges_change_nothing(spark):
     }
 
 
+@pytest.mark.slow
 def test_cc_deep_chain_falls_back_to_star(spark):
     # diameter-80 chain with max_iter=4: min-label cannot converge, so
     # the star-contraction handoff must finish the job (previously a

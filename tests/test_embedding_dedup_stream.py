@@ -18,6 +18,10 @@ from ml_with_spark_streaming_spark.streaming.embedding_dedup_filter import (
     StreamingEmbeddingDedup,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-stream/artifact-fit module: full-suite only (SPARK_GRAFT_FULL_TESTS=1)
+
 _DIM = 16
 _SCHEMA = "vec_id long, embedding array<float>"
 

@@ -4,6 +4,8 @@ emerges as a heavy hitter mid-stream."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import random
@@ -41,6 +43,7 @@ def _exact(batches):
     return grams
 
 
+@pytest.mark.slow
 def test_merged_state_honors_mg_bound_and_finds_template(spark):
     batches = _mk_batches()
     k = 63

@@ -13,6 +13,10 @@ from ml_with_spark_streaming_spark.streaming.ingest_dedup import (
     build_corpus_index,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-stream/artifact-fit module: full-suite only (SPARK_GRAFT_FULL_TESTS=1)
+
 # 30-token base docs so a 1-token edit keeps Jaccard ~0.94 >= 0.9
 _BASE = ["w" + chr(97 + i) + chr(97 + j) for i in range(3) for j in range(10)]
 

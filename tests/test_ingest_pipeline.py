@@ -17,6 +17,10 @@ from ml_with_spark_streaming_spark.streaming.quality_filter import freeze_weight
 
 from tests.test_quality_clf import _HI_WORDS, _docs
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-stream/artifact-fit module: full-suite only (SPARK_GRAFT_FULL_TESTS=1)
+
 
 def test_pipeline_composes_both_gates(spark):
     corpus = _docs(spark)  # even ids: high quality; odd ids: low quality

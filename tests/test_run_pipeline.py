@@ -14,6 +14,10 @@ sys.path.insert(
 
 from run_pipeline import run_pipeline  # noqa: E402
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-stream/artifact-fit module: full-suite only (SPARK_GRAFT_FULL_TESTS=1)
+
 STAGES = ("spans", "budget", "keep", "audit", "copies", "chunks", "manifest")
 
 

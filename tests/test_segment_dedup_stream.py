@@ -10,6 +10,8 @@ from ml_with_spark_streaming_spark.streaming.segment_dedup_filter import (
     StreamingSegmentDedup,
 )
 
+import pytest
+
 W = 3  # 3-token segments for readable fixtures
 BOILER = "all rights reserved"
 A = "alpha beta gamma"
@@ -57,6 +59,7 @@ def test_multibatch_stream_equals_batch_union(spark):
     assert h2["n_docs"] == 3 and h2["n_docs_kept"] == 1
 
 
+@pytest.mark.slow
 def test_compaction_is_verdict_invariant(spark):
     corpus_rows = [(1, f"{A} {BOILER}")]
     batches = [

@@ -230,6 +230,7 @@ def test_ivf_hard_negatives_recall(spark):
     assert recall >= 0.6, f"IVF hard-negative recall {recall:.2f} < 0.6"
 
 
+@pytest.mark.slow
 def test_ivf_topk_c_group_map_matches_corpus_column(spark):
     """The round-12 candidate-side group attach (``c_group_map``) must
     return EXACTLY the rows of the corpus-column path — same ids, same
@@ -276,6 +277,7 @@ def test_ivf_topk_c_group_map_matches_corpus_column(spark):
     assert len(via_map) > 0
 
 
+@pytest.mark.slow
 def test_semdedup_planted_clusters(spark):
     """SemDeDup design regime: planted near-identical groups must
     collapse to ONE keeper each, noise survives untouched, and the
@@ -467,6 +469,7 @@ def test_kcenter_small_corpus_truncates(spark):
     assert len({r.rank for r in got}) == 3
 
 
+@pytest.mark.slow
 def test_kcenter_layout_independent(spark):
     """k-center selection is a pure function of corpus content —
     row order / partitioning must not change the picked exemplars."""
@@ -516,6 +519,7 @@ def test_semantic_contamination_planted(spark):
     assert (got[4].max_cosine, got[4].contaminated) == (0.0, 0)
 
 
+@pytest.mark.slow
 def test_pq_encode_deterministic_and_layout_independent(spark):
     """PQ codes are a pure function of vector CONTENT: same corpus in
     a different partition layout encodes identically, and codes have
@@ -537,6 +541,7 @@ def test_pq_encode_deterministic_and_layout_independent(spark):
     assert all(len(c) == 4 and all(0 <= x < 4 for x in c) for c in got_a.values())
 
 
+@pytest.mark.slow
 def test_pq_recall_high_on_clustered_vectors(spark):
     """On PLANTED clusters (where real encoder output lives) PQ-ADC
     retrieves the query's own cluster: every top-(size-1) neighbor of
@@ -581,6 +586,7 @@ def test_pq_recall_high_on_clustered_vectors(spark):
     assert all(cs == sorted(cs, reverse=True) for cs in by_q.values())
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_and_all_probed_equals_rerank(spark):
     """IVF-PQ on planted clusters: with the coarse quantizer routing
     queries to their own cluster's bucket, top-(size-1) neighbors are
@@ -638,6 +644,7 @@ def test_ivfpq_recall_and_all_probed_equals_rerank(spark):
     assert all_probed == rerank
 
 
+@pytest.mark.slow
 def test_pq_encode_arrow_equals_hof(spark, monkeypatch):
     """The Arrow/numpy encode formulation (code spaces >= 1024 floats)
     must produce the same codes as the JVM HOF path — same fixture,
@@ -693,6 +700,7 @@ def test_arrow_paths_preserve_string_ids(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_pq_encode_arrow_preserves_id_type(spark, monkeypatch):
     """The Arrow path's output schema must carry the CORPUS id type —
     a string-keyed corpus crossing the 1024-float threshold keeps its
@@ -716,6 +724,7 @@ def test_pq_encode_arrow_preserves_id_type(spark, monkeypatch):
     assert arrow == hof
 
 
+@pytest.mark.slow
 def test_semdedup_gate_derivation_and_backends(spark):
     """Round-11 pins (VERDICT #3):
 

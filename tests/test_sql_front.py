@@ -30,7 +30,40 @@ def _rows(df):
     )
 
 
-@pytest.mark.parametrize("name", SQL_RUNNABLE + SQL_REWRITTEN + SQL_RECURSIVE + SQL_ASOF)
+# The heavyweight parity params (iterative CC/PageRank twins, the
+# composed pipelines, MinHash chains — 10-80 s each even at sf0.001)
+# run only in the full suite (SPARK_GRAFT_FULL_TESTS=1); the default
+# subset keeps the fast ~85% so `pytest tests/ -x -q` fits the round
+# driver's time budget (round-12, r11-verdict item #7).
+_SLOW_PARAMS = {
+    "q50_minhash_candidates",
+    "q51_jaccard_pairs",
+    "q54_embedding_neardup",
+    "q58_fuzzy_dedup_pipeline",
+    "q90_dedup_clusters",
+    "q93_curation_pipeline",
+    "q99_embedding_dedup_clusters",
+    "q105_incremental_dedup",
+    "q113_curation_with_classifier",
+    "q114_training_mix_export",
+    "q128_winnowing_pairs",
+    "q131_bigram_lm_nll",
+    "q133_leakage_safe_split",
+    "q134_canonical_selection",
+    "q145_nation_pagerank",
+    "q158_hard_negatives",
+    "q167_dedup_recall_audit",
+    "q171_dedup_recall_audit_sampled",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_PARAMS else n
+        for n in SQL_RUNNABLE + SQL_REWRITTEN + SQL_RECURSIVE + SQL_ASOF
+    ],
+)
 def test_sql_text_matches_dataframe_api(spark, name):
     sql_df = run_sql(spark, SF, name)
     api_df = QUERIES[name](spark, SF)

@@ -600,6 +600,7 @@ def test_available_now_trigger_processes_all_then_terminates(spark, tmp_path):
     assert trainer.history[-1]["f1"] == 1.0
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
     """Left-outer stream-stream join: a click with no purchase inside
     its 30-min bound emits (click, null) — but only once the watermark
